@@ -1,0 +1,132 @@
+"""Deduplication operators (north-star dedup family).
+
+- exact dedup: md5 fingerprint groupBy (hash-shuffle on the digest — at
+  100 TB this is one shuffle keyed by a 128-bit hash, no skew).
+- near-dup MinHash + LSH banding: shingle → per-seed min-hash → band
+  signatures → bucket join.  Banding caps pair generation: only documents
+  agreeing on an entire band ever meet in the shuffle, so the candidate
+  set is linear-ish in corpus size instead of quadratic.
+- SimHash: 64-bit weighted sign fingerprint; hamming-distance candidate
+  filter.
+
+All hashing uses Spark's xxhash64 (JVM, deterministic across executors
+and runs) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5; canonical id = min id per group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature: for seed i, min over shingles of xxhash64(i, s)."""
+    sh = shingles(text_col, k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding.
+
+    rows-per-band = num_hashes/bands; two docs become a candidate pair iff
+    some band's sub-signature matches exactly.  Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, k).alias("_sig")
+    )
+    band_rows = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash64(text_col: Column | str, k: int = 3) -> Column:
+    """64-bit SimHash over the shingle set.
+
+    Classic bit-voting simhash needs per-bit vote counts; expressed here
+    JVM-side by summing ±1 contributions per bit via aggregate over the
+    shingle hashes.  Returns a bigint fingerprint.
+    """
+    sh = shingles(text_col, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # For each of 64 bits: sum(+1 if bit set else -1) over shingle hashes,
+    # fingerprint bit = 1 iff vote > 0.
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    fp = F.lit(0).cast("bigint")
+    for i, vote in enumerate(bit_votes):
+        fp = fp + F.when(vote > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)
+    return fp
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two distinct-shingle arrays, rounded to 4dp."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.round(inter / union, 4)

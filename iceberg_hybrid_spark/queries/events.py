@@ -1,0 +1,266 @@
+"""Event-stream analytics (SURVEY.md §2.B streaming row; batch-queryable).
+
+The reference's sync-event store (SyncPort / InMemorySyncAdapter) is an
+append-only event table consumed with filters, sorts, windows and status
+aggregations.  These queries exercise that surface over the driver's
+``events`` table: tumbling windows, sessionization (gap-based), lag/lead
+transitions, JSON extraction, and argmax.
+
+The true streaming versions (readStream + watermark + windowed agg +
+applyInPandasWithState) live in ``iceberg_hybrid_spark.streaming``; the
+batch forms here are what the DuckDB oracle can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-count aggregation — the getPendingEvents/getFailedEvents
+    family (SyncPort.scala:42-77) generalized to a full breakdown."""
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("user_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS user_count,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation.  In streaming form this is
+    ``groupBy(window('ts','1 hour'))`` with a watermark; epoch-aligned
+    window starts equal date_trunc('hour') so the oracle matches."""
+    ev = _ev(spark, sf_dir)
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.start.alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1 ORDER BY hour_start
+"""
+
+
+def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS event_count
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum — the batch shadow of a session_window streaming aggregation."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        with_gap.groupBy("user_id")
+        .agg(
+            F.sum("is_new_session").cast("bigint").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_SESSIONS_SQL = """
+SELECT user_id,
+       CAST(SUM(is_new_session) AS BIGINT) AS session_count,
+       COUNT(*) AS event_count
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  ) g
+) s
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead transition matrix — the event status-transition tracking
+    (SyncEvent Pending→InProgress→Completed) generalized."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transition_count"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+SELECT prev_type, event_type AS next_type, COUNT(*) AS transition_count
+FROM (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+  FROM events
+) t
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (the reference parses Iceberg schema JSON
+    strings and marker JSON — SURVEY §2.B scalar-fns row)."""
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       ROUND(AVG(k), 4) AS avg_k,
+       MAX(k) AS max_k,
+       MIN(k) AS min_k,
+       COUNT(*) AS event_count
+FROM (
+  SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k FROM events
+) j
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def top_user_by_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max — ReadRouter's argmax (maxByOption(_._2),
+    ReadRouter.scala:75-88) in aggregate form."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", "value").alias("top_user_id"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TOP_USER_SQL = """
+SELECT event_type,
+       arg_max(user_id, value) AS top_user_id,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def error_rate_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failure-rate monitoring — mirror of the backpressure controller's
+    failure-rate input (iceberg-arch-hybrid-replica-dr.md:172-185)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("error_count"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("error_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+ERROR_RATE_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS event_count,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS error_count,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS error_rate
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+SPECS = [
+    QuerySpec("events_by_type", events_by_type, EVENTS_BY_TYPE_SQL,
+              "event status breakdown (getPendingEvents family)"),
+    QuerySpec("events_hourly_window", events_hourly_window, EVENTS_HOURLY_SQL,
+              "tumbling 1h window aggregation"),
+    QuerySpec("events_daily_by_type", events_daily_by_type, EVENTS_DAILY_SQL,
+              "daily×type bucketing"),
+    QuerySpec("user_sessions", user_sessions, USER_SESSIONS_SQL,
+              "gap-based sessionization via lag + running sum"),
+    QuerySpec("event_type_transitions", event_type_transitions,
+              EVENT_TRANSITIONS_SQL, "lag/lead transition matrix"),
+    QuerySpec("events_json_props", events_json_props, EVENTS_JSON_SQL,
+              "JSON scalar extraction + agg"),
+    QuerySpec("top_user_by_value_per_type", top_user_by_value_per_type,
+              TOP_USER_SQL, "max_by / arg_max"),
+    QuerySpec("error_rate_by_day", error_rate_by_day, ERROR_RATE_SQL,
+              "failure-rate monitoring aggregation"),
+]

@@ -1,0 +1,357 @@
+"""LLM-data-pipeline queries: text analysis, dedup, similarity search.
+
+These are the north-star operators (BASELINE.json): each is expressed as
+shuffle-bounded DataFrame ops — no driver-side loops, no row-at-a-time
+Python UDFs — so the same plan runs over a 100 TB documents table.
+
+The DuckDB oracles mirror the exact arithmetic shape (same operand order,
+same rounding) so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as T
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+# DuckDB fragment computing distinct 3-token shingles from `text`.
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+# --- text analysis ----------------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.token_count("text")
+    return (
+        docs.select("lang", tc.alias("tc"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("tc").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS doc_count,
+       CAST(SUM(tc) AS BIGINT) AS total_tokens,
+       ROUND(AVG(tc), 4) AS avg_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM (SELECT lang, n_chars, len(string_split(text, ' ')) AS tc FROM documents) d
+GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("token_count"),
+        T.distinct_token_count("text").alias("distinct_tokens"),
+        T.lexical_diversity("text").alias("lexical_diversity"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text").alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id,
+       tc AS token_count,
+       dt AS distinct_tokens,
+       ROUND(dt / tc, 4) AS lexical_diversity,
+       ROUND(sc / tc, 4) AS stopword_ratio,
+       ROUND(0.5 * (dt / tc)
+             + 0.3 * least((sc / tc) * 10.0, 1.0)
+             + 0.2 * least(tc / 100.0, 1.0), 4) AS quality_score
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS tc,
+         len(list_distinct(string_split(text, ' '))) AS dt,
+         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS sc
+  FROM documents
+) d
+ORDER BY doc_id
+"""
+
+
+def language_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs. labeled lang — confusion counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.language_guess("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+LANGUAGE_PREDICTION_SQL = """
+SELECT lang,
+       CASE WHEN ROUND(sc / tc, 4) >= 0.04 THEN 'en' ELSE 'other' END AS lang_pred,
+       COUNT(*) AS doc_count
+FROM (
+  SELECT lang,
+         len(string_split(text, ' ')) AS tc,
+         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS sc
+  FROM documents
+) d
+GROUP BY 1, 2 ORDER BY lang, lang_pred
+"""
+
+
+# --- dedup ------------------------------------------------------------------
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs).orderBy("fingerprint")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+def shingle_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-canonical rolling fingerprint (document fingerprinting op)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.shingle_fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+SHINGLE_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort({_DUCK_SHINGLES}), '|')) AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+ORDER BY doc_id
+"""
+
+
+def near_dup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar document pairs by 3-gram shingle Jaccard,
+    blocked on a length bucket (n_chars//16).
+
+    Blocking is the scale lever: candidate pairs are generated per bucket
+    (a hash-partition self-join) instead of a full cross join — the same
+    posture MinHash-LSH banding takes at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 16).cast("bigint").alias("bucket"),
+        T.shingles("text").alias("sh"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        D.ngram_jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+    )
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+NEAR_DUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars // 16 AS bucket, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents) x
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+             / (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))), 4)
+           AS jaccard
+FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact shingle Jaccard.
+
+    Non-SQL-expressible oracle (xxhash64 seeds differ per engine) →
+    rows-only driver check; correctness is pinned by unit tests with
+    planted near-duplicates instead.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs, num_hashes=16, bands=16)
+    d = docs.select("doc_id", T.shingles("text").alias("sh"))
+    verified = (
+        cands.join(d.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(d.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+# --- similarity search ------------------------------------------------------
+
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (brute-force baseline).
+
+    The plan is a broadcast of the single query vector + a map-side score
+    + TakeOrderedAndProject — no shuffle of the corpus at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    return topk.select("vec_id", "label", "cosine_sim").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+           AS cosine_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def embedding_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for each of 5 query vectors in one pass —
+    the batched ANN serving shape (broadcast queries × partitioned corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    topk = S.brute_force_topk(emb, queries, k=3)
+    return topk.select("q_vec_id", "vec_id", "cosine_sim", "rank").orderBy(
+        "q_vec_id", "rank"
+    )
+
+
+EMBEDDING_MULTI_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_vec_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+  SELECT q.q_vec_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+             AS cosine_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_vec_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_vec_id ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_vec_id, vec_id, cosine_sim, rank FROM ranked
+WHERE rank <= 3 ORDER BY q_vec_id, rank
+"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double_array("embedding")
+    return (
+        emb.select("label", S.norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_count"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_SQL = """
+SELECT label,
+       COUNT(*) AS vec_count,
+       ROUND(AVG(nrm), 4) AS avg_norm,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+             AS nrm
+  FROM embeddings
+) n
+GROUP BY label ORDER BY label
+"""
+
+
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets (the 100 TB scale path):
+    bucket on 6 sign bits, then exact top-1 neighbor within bucket.
+    Deterministic (planes from a fixed seed, inlined as literals);
+    rows-only driver check — verified against brute force in unit tests."""
+    import random
+
+    rng = random.Random(42)
+    dim = 64
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(6)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = S.hyperplane_lsh_buckets(emb, planes)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        S.cosine(
+            S.as_double_array(F.col("a.embedding")),
+            S.as_double_array(F.col("b.embedding")),
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "cosine_sim")
+        .orderBy("vec_id")
+    )
+
+
+SPECS = [
+    QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,
+              "token counting per language"),
+    QuerySpec("doc_quality_scores", doc_quality_scores, DOC_QUALITY_SQL,
+              "per-document quality scoring"),
+    QuerySpec("language_prediction", language_prediction, LANGUAGE_PREDICTION_SQL,
+              "language-ID heuristic confusion counts"),
+    QuerySpec("dedup_exact_documents", dedup_exact_documents, DEDUP_EXACT_SQL,
+              "exact dedup via md5 fingerprint groupBy"),
+    QuerySpec("shingle_fingerprints", shingle_fingerprints, SHINGLE_FINGERPRINT_SQL,
+              "canonical shingle-set fingerprint"),
+    QuerySpec("near_dup_shingle_pairs", near_dup_shingle_pairs, NEAR_DUP_SQL,
+              "blocked n-gram Jaccard near-dup pairs"),
+    QuerySpec("minhash_near_dup", minhash_near_dup, None,
+              "MinHash-LSH near-dup (rows-only; engine-specific hashes)"),
+    QuerySpec("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_SQL,
+              "brute-force cosine top-k"),
+    QuerySpec("embedding_multi_query_topk", embedding_multi_query_topk,
+              EMBEDDING_MULTI_TOPK_SQL, "batched multi-query ANN serving"),
+    QuerySpec("embedding_norm_stats", embedding_norm_stats, EMBEDDING_NORM_SQL,
+              "vector norm statistics per label"),
+    QuerySpec("embedding_lsh_ann", embedding_lsh_ann, None,
+              "hyperplane-LSH bucketed ANN (rows-only)"),
+]

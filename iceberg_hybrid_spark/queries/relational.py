@@ -1,0 +1,699 @@
+"""Star-schema relational query surface (SURVEY.md §2.B).
+
+Covers: scans with pushdown, the full join family (inner / semi / anti /
+broadcast), aggregations (incl. rollup, cube, count-distinct), windows
+(latest-per-group, running totals, rank-based top-k), sort/limit/top-k,
+set ops (EXCEPT / INTERSECT — the snapshot-diff pattern), and pagination
+(offset/limit — CatalogPort.listTablesPaginated pattern).
+
+Scale notes: dimension tables (region/nation/supplier/customer) broadcast
+under the session's 64 MB threshold even at sf100; the fact-side joins
+shuffle on their join keys once and reuse the exchange.  All filters are
+plain column predicates so Catalyst pushes them into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- q1: pricing summary (scan + filter + wide aggregation) -----------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3: shipping priority (3-way join + agg + deterministic top-k) ---------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q5: local supplier volume (5-way join, region filter) ------------------
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# --- flagship: revenue by nation (the entry() query) ------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join lineitem→orders→customer→nation→region, revenue per nation.
+
+    The reference hands query engines a file list and expects exactly this
+    kind of star-schema aggregation over it (SURVEY §2.B; ReadRouter
+    getDataFiles → engine scan).  nation/region broadcast; the
+    lineitem⋈orders shuffle is the only exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS lineitem_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# --- top customers by spend (agg + join + deterministic top-k) --------------
+
+def top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    return (
+        spend.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spend", "order_count")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, total_spend, order_count
+FROM (
+  SELECT o_custkey,
+         ROUND(SUM(o_totalprice), 2) AS total_spend,
+         COUNT(*) AS order_count
+  FROM orders GROUP BY o_custkey
+) s
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# --- rollup / cube (grouping-sets family) -----------------------------------
+
+def segment_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("c_mktsegment", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+SEGMENT_NATION_ROLLUP_SQL = """
+SELECT c_mktsegment, n_name,
+       COUNT(*) AS customer_count,
+       ROUND(SUM(c_acctbal), 2) AS total_balance,
+       ROUND(AVG(c_acctbal), 4) AS avg_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (c_mktsegment, n_name)
+"""
+
+
+def region_segment_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .cube("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+REGION_SEGMENT_CUBE_SQL = """
+SELECT r_name, c_mktsegment,
+       COUNT(*) AS customer_count,
+       ROUND(AVG(c_acctbal), 4) AS avg_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+"""
+
+
+# --- windows: latest-per-group (getLatestMetadata pattern) ------------------
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (customer, orderdate desc) — the reference's
+    latest-snapshot-per-table lookup (CatalogPort.getLatestMetadata,
+    ReplicationPlanner.java:75-76 argmax-by-sequence) as a window query."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.round(F.col("o_totalprice"), 2).alias("latest_totalprice"),
+        )
+    )
+
+
+LATEST_ORDER_SQL = """
+SELECT o_custkey,
+       o_orderkey AS latest_orderkey,
+       o_orderdate AS latest_orderdate,
+       ROUND(o_totalprice, 2) AS latest_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) t WHERE rn = 1
+"""
+
+
+# --- windows: running totals (SyncProgress backlog pattern) -----------------
+
+def running_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("monthly_revenue"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.withColumn(
+        "running_revenue", F.round(F.sum("monthly_revenue").over(w), 2)
+    ).orderBy("month")
+
+
+RUNNING_REVENUE_SQL = """
+SELECT month, monthly_revenue,
+       ROUND(SUM(monthly_revenue) OVER (
+           ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_revenue
+FROM (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         ROUND(SUM(o_totalprice), 2) AS monthly_revenue
+  FROM orders GROUP BY 1
+) m
+ORDER BY month
+"""
+
+
+# --- semi / anti joins (sync skip-if-exists / dedup patterns) ---------------
+
+def priority_counts_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having ≥1 returned lineitem — LEFT SEMI join, the reference's
+    skip-if-exists probe (SyncOrchestrator.scala:114-118) inverted."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_RETURNS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the orphan-detection set difference
+    (Inventory − Reachable, iceberg-arch-geo-distributed-ha.md:886-899)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+PARTS_NEVER_ORDERED_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+ORDER BY p_partkey
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --- set ops: EXCEPT / INTERSECT (snapshot-diff pattern) --------------------
+
+def open_minus_finished_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT — the manifest set-diff at the heart of
+    ReplicationPlanner.java:78-84 (files@vN − files@vK)."""
+    orders = _t(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_.subtract(fin).orderBy("o_custkey")
+
+
+OPEN_MINUS_FINISHED_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+def open_and_finished_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_.intersect(fin).orderBy("o_custkey")
+
+
+OPEN_AND_FINISHED_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+# --- supplier/part volume top-k --------------------------------------------
+
+def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("s_name", "p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count(F.lit(1)).alias("shipment_count"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("s_name"), F.asc("p_brand"))
+        .limit(15)
+    )
+
+
+SUPPLIER_PART_VOLUME_SQL = """
+SELECT s_name, p_brand,
+       ROUND(SUM(l_quantity), 2) AS total_qty,
+       COUNT(*) AS shipment_count
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+GROUP BY s_name, p_brand
+ORDER BY total_qty DESC, s_name ASC, p_brand ASC
+LIMIT 15
+"""
+
+
+# --- date/time scalar functions + stats -------------------------------------
+
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_sale"),
+            F.round(F.min("o_totalprice"), 2).alias("min_sale"),
+            F.round(F.max("o_totalprice"), 2).alias("max_sale"),
+        )
+        .orderBy("month")
+    )
+
+
+MONTHLY_ORDER_STATS_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS order_count,
+       ROUND(SUM(o_totalprice), 2) AS total_sales,
+       ROUND(AVG(o_totalprice), 4) AS avg_sale,
+       ROUND(MIN(o_totalprice), 2) AS min_sale,
+       ROUND(MAX(o_totalprice), 2) AS max_sale
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — distinct-aggregation path."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("nation_count"),
+            F.count(F.lit(1)).alias("customer_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+NATIONS_PER_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS nation_count,
+       COUNT(*) AS customer_count
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- conditional aggregation ------------------------------------------------
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(CASE WHEN …) conditional aggregation — the commit-gate quorum
+    computation (approved==required && rejected==0,
+    InMemoryCommitGateAdapter.java:212-227) is exactly this shape."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("open_count"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("finished_count"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("bigint")
+            .alias("pending_count"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)),
+                2,
+            ).alias("open_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_STATUS_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 2) AS open_value
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- pagination (CatalogPort.listTablesPaginated pattern) -------------------
+
+def orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+ORDERS_PAGE_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+"""
+
+
+# --- argmax per group (ReadRouter.selectOptimalRegion pattern) --------------
+
+def top_nation_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score each group then argmax — ReadRouter.scala:75-88 (score all regions
+    in parallel, maxBy score) as a rank-1 window query."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    per_nation = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("total_balance"), F.asc("n_name"))
+    return (
+        per_nation.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("r_name", F.col("n_name").alias("top_nation"), "total_balance")
+        .orderBy("r_name")
+    )
+
+
+TOP_NATION_PER_REGION_SQL = """
+SELECT r_name, n_name AS top_nation, total_balance
+FROM (
+  SELECT r_name, n_name, total_balance,
+         ROW_NUMBER() OVER (PARTITION BY r_name
+                            ORDER BY total_balance DESC, n_name ASC) AS rn
+  FROM (
+    SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+  ) pn
+) ranked WHERE rn = 1
+ORDER BY r_name
+"""
+
+
+def nation_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's weighted region health score
+    (ReadRouter.scala:93-116: 0.7*storage + 0.3*activity) computed as a
+    pure column expression over per-nation aggregates."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.avg("c_acctbal").alias("_avg_bal"),
+            F.count(F.lit(1)).alias("customer_count"),
+        )
+    )
+    score = F.round(
+        0.7 * (F.col("_avg_bal") / 10000.0) + 0.3 * (F.col("customer_count") / 1000.0), 6
+    )
+    return (
+        agg.select("n_name", "customer_count", score.alias("health_score"))
+        .orderBy(F.desc("health_score"), F.asc("n_name"))
+    )
+
+
+NATION_HEALTH_SCORE_SQL = """
+SELECT n_name, customer_count,
+       ROUND(0.7 * (avg_bal / 10000.0) + 0.3 * (customer_count / 1000.0), 6)
+           AS health_score
+FROM (
+  SELECT n_name, AVG(c_acctbal) AS avg_bal, COUNT(*) AS customer_count
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+) a
+ORDER BY health_score DESC, n_name ASC
+"""
+
+
+SPECS = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
+              "TPC-H Q1-style wide aggregation with filter pushdown"),
+    QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
+              "3-way join + agg + deterministic top-k"),
+    QuerySpec("q5_nation_revenue", q5_nation_revenue, Q5_SQL,
+              "5-way star join with region filter"),
+    QuerySpec("revenue_by_nation", revenue_by_nation, REVENUE_BY_NATION_SQL,
+              "flagship star aggregation (entry query)"),
+    QuerySpec("top_customers_by_spend", top_customers_by_spend, TOP_CUSTOMERS_SQL,
+              "agg + join + top-k"),
+    QuerySpec("segment_nation_rollup", segment_nation_rollup, SEGMENT_NATION_ROLLUP_SQL,
+              "ROLLUP grouping sets"),
+    QuerySpec("region_segment_cube", region_segment_cube, REGION_SEGMENT_CUBE_SQL,
+              "CUBE grouping sets"),
+    QuerySpec("latest_order_per_customer", latest_order_per_customer, LATEST_ORDER_SQL,
+              "latest-per-group window (getLatestMetadata pattern)"),
+    QuerySpec("running_revenue_by_month", running_revenue_by_month, RUNNING_REVENUE_SQL,
+              "running-total window frame"),
+    QuerySpec("priority_counts_with_returns", priority_counts_with_returns,
+              PRIORITY_RETURNS_SQL, "LEFT SEMI join (EXISTS)"),
+    QuerySpec("parts_never_ordered", parts_never_ordered, PARTS_NEVER_ORDERED_SQL,
+              "LEFT ANTI join (orphan-detection pattern)"),
+    QuerySpec("customers_without_orders", customers_without_orders,
+              CUSTOMERS_WITHOUT_ORDERS_SQL, "LEFT ANTI join"),
+    QuerySpec("open_minus_finished_custkeys", open_minus_finished_custkeys,
+              OPEN_MINUS_FINISHED_SQL, "EXCEPT (snapshot-diff pattern)"),
+    QuerySpec("open_and_finished_custkeys", open_and_finished_custkeys,
+              OPEN_AND_FINISHED_SQL, "INTERSECT"),
+    QuerySpec("supplier_part_volume", supplier_part_volume, SUPPLIER_PART_VOLUME_SQL,
+              "fact⋈dim⋈dim broadcast joins + top-k"),
+    QuerySpec("monthly_order_stats", monthly_order_stats, MONTHLY_ORDER_STATS_SQL,
+              "date_trunc bucketing + min/max/avg"),
+    QuerySpec("nations_per_segment", nations_per_segment, NATIONS_PER_SEGMENT_SQL,
+              "exact COUNT(DISTINCT)"),
+    QuerySpec("order_status_pivot", order_status_pivot, ORDER_STATUS_PIVOT_SQL,
+              "conditional aggregation (quorum pattern)"),
+    QuerySpec("orders_page", orders_page, ORDERS_PAGE_SQL,
+              "ORDER BY + OFFSET/LIMIT pagination"),
+    QuerySpec("top_nation_per_region", top_nation_per_region, TOP_NATION_PER_REGION_SQL,
+              "argmax-per-group (routeRead pattern)"),
+    QuerySpec("nation_health_score", nation_health_score, NATION_HEALTH_SCORE_SQL,
+              "weighted scoring expression (scoreRegion pattern)"),
+]

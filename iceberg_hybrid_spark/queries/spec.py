@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """A named query: Spark builder + optional DuckDB oracle SQL."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Assemble the full registry (imported lazily to keep startup light)."""
+    from . import events as _events
+    from . import llm as _llm
+    from . import relational as _relational
+
+    specs: dict[str, QuerySpec] = {}
+    for mod in (_relational, _events, _llm):
+        for spec in mod.SPECS:
+            if spec.name in specs:
+                raise ValueError(f"duplicate query name {spec.name!r}")
+            specs[spec.name] = spec
+    return specs

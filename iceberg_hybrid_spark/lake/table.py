@@ -1,0 +1,552 @@
+"""HyTable — a from-scratch snapshot table format on parquet.
+
+Re-implements, Spark-first and without any Iceberg runtime, the table
+semantics the reference coordinates (SURVEY.md §1-§2):
+
+- immutable snapshots with monotonic sequence numbers
+  (≙ ``TableMetadata``/``SnapshotId``, modules/domain/TableMetadata.scala:9-16,
+  legacy/modules/domain/SnapshotId.java:23)
+- optimistic CAS commits with bounded retry
+  (≙ ``commitSnapshot(expectedParent)``, legacy CatalogPort.java:63;
+  doc iceberg-arch-geo-distributed-ha.md:287-311)
+- per-snapshot data-file manifests (≙ ``Manifest``/``FileRef``,
+  legacy/modules/domain/Manifest.java:3, FileRef.java:3-4)
+- time travel + commit history (≙ ``getCommitHistory``, CatalogPort.scala:43-52)
+- snapshot diff / incremental read (≙ ReplicationPlanner.java:70-99)
+- staged commits + publish — write-audit-publish
+  (≙ ``setVisibility`` "verify and promote", legacy CatalogPort.java:75)
+- snapshot expiry and orphan-file detection
+  (≙ gc-producer / orphan detection, iceberg-arch-geo-distributed-ha.md:778-916)
+
+Metadata layout (one directory per table)::
+
+    <root>/data/<commit-uuid>/part-*.parquet
+    <root>/_meta/v<seq:06d>.json        ← snapshot file; O_EXCL create = CAS
+
+The commit primitive is ``open(v{N+1}.json, O_CREAT|O_EXCL)``: exactly one
+writer can create the next version file, losers re-read and retry — the
+same optimistic protocol Iceberg catalogs implement, using the filesystem
+as the atomic register.  On an object store the same protocol runs against
+a conditional-put (If-None-Match) or a catalog service; only ``_commit``
+changes.
+
+Scale posture: metadata ops are O(files-in-snapshot) driver-side JSON
+(fine up to millions of files — this is what Iceberg manifests are), and
+all *data* movement is Spark jobs; nothing row-level ever touches the
+driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as SPARK_T
+
+_META = "_meta"
+_DATA = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same sequence number first."""
+
+
+class NoSuchSnapshot(Exception):
+    pass
+
+
+@dataclass(frozen=True)
+class DataFileRef:
+    """≙ reference FileRef (path, size, row_count); path is table-relative
+    so replication can rewrite the base (ReadRouter.java:186-189)."""
+
+    path: str
+    size_bytes: int
+    row_count: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "size_bytes": self.size_bytes, "row_count": self.row_count}
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFileRef":
+        return DataFileRef(d["path"], d["size_bytes"], d["row_count"])
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: str
+    sequence_number: int
+    parent_id: str | None
+    timestamp_ms: int
+    operation: str  # create | append | overwrite | replace | publish
+    schema_ddl: str
+    manifest: tuple[DataFileRef, ...]
+    staged: bool = False
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "sequence_number": self.sequence_number,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "schema_ddl": self.schema_ddl,
+            "manifest": [f.to_json() for f in self.manifest],
+            "staged": self.staged,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            sequence_number=d["sequence_number"],
+            parent_id=d.get("parent_id"),
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            schema_ddl=d["schema_ddl"],
+            manifest=tuple(DataFileRef.from_json(f) for f in d["manifest"]),
+            staged=d.get("staged", False),
+            summary=d.get("summary", {}),
+        )
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class HyTable:
+    """One snapshot-versioned parquet table rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+
+    # ---- paths -------------------------------------------------------------
+
+    @property
+    def meta_dir(self) -> str:
+        return os.path.join(self.root, _META)
+
+    @property
+    def data_dir(self) -> str:
+        return os.path.join(self.root, _DATA)
+
+    def _version_path(self, seq: int) -> str:
+        return os.path.join(self.meta_dir, f"v{seq:06d}.json")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.meta_dir) and bool(self._version_files())
+
+    # ---- snapshot log ------------------------------------------------------
+
+    def _version_files(self) -> list[str]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        return sorted(
+            f for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def snapshots(self, include_staged: bool = True) -> list[Snapshot]:
+        out = []
+        for f in self._version_files():
+            with open(os.path.join(self.meta_dir, f)) as fh:
+                s = Snapshot.from_json(json.load(fh))
+            if include_staged or not s.staged:
+                out.append(s)
+        return out
+
+    def current_snapshot(self) -> Snapshot | None:
+        """Latest *visible* (non-staged) snapshot — ≙ getLatestMetadata."""
+        visible = self.snapshots(include_staged=False)
+        return visible[-1] if visible else None
+
+    def snapshot_by_id(self, snapshot_id: str) -> Snapshot:
+        for s in self.snapshots():
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise NoSuchSnapshot(snapshot_id)
+
+    def snapshot_by_seq(self, seq: int) -> Snapshot:
+        for s in self.snapshots():
+            if s.sequence_number == seq:
+                return s
+        raise NoSuchSnapshot(f"seq={seq}")
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel: latest visible snapshot committed ≤ timestamp."""
+        cands = [
+            s for s in self.snapshots(include_staged=False)
+            if s.timestamp_ms <= timestamp_ms
+        ]
+        if not cands:
+            raise NoSuchSnapshot(f"as_of={timestamp_ms}")
+        return cands[-1]
+
+    # ---- commit (optimistic CAS) ------------------------------------------
+
+    def _commit(self, snap: Snapshot, expected_parent: str | None = "__any__") -> Snapshot:
+        """Atomically create v{seq}.json; O_EXCL is the CAS register.
+
+        ``expected_parent`` mirrors legacy CatalogPort.commitSnapshot's
+        optimistic-concurrency check: if given, the commit only succeeds
+        when the current visible head still matches.
+        """
+        os.makedirs(self.meta_dir, exist_ok=True)
+        if expected_parent != "__any__":
+            head = self.current_snapshot()
+            head_id = head.snapshot_id if head else None
+            if head_id != expected_parent:
+                raise CommitConflict(
+                    f"expected parent {expected_parent}, head is {head_id}"
+                )
+        path = self._version_path(snap.sequence_number)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snap.to_json(), fh)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflict(f"seq {snap.sequence_number} already committed") from None
+        with os.fdopen(fd, "w") as fh, open(tmp) as src:
+            fh.write(src.read())
+        os.unlink(tmp)
+        return snap
+
+    def _next_seq(self) -> int:
+        snaps = self.snapshots()
+        return (snaps[-1].sequence_number + 1) if snaps else 1
+
+    def _write_data_files(self, df: DataFrame) -> list[DataFileRef]:
+        commit_dir = uuid.uuid4().hex
+        out_dir = os.path.join(self.data_dir, commit_dir)
+        df.write.mode("error").parquet(out_dir)
+        refs = []
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(out_dir, fn)
+            refs.append(
+                DataFileRef(
+                    path=f"{_DATA}/{commit_dir}/{fn}",
+                    size_bytes=os.path.getsize(full),
+                    row_count=_parquet_row_count(full),
+                )
+            )
+        return refs
+
+    def _make_snapshot(
+        self,
+        operation: str,
+        manifest: tuple[DataFileRef, ...],
+        schema_ddl: str,
+        staged: bool = False,
+        summary: dict | None = None,
+        seq: int | None = None,
+        parent: str | None = None,
+    ) -> Snapshot:
+        snaps = self.snapshots()
+        if seq is None:
+            seq = (snaps[-1].sequence_number + 1) if snaps else 1
+        if parent is None and snaps:
+            parent = snaps[-1].snapshot_id
+        return Snapshot(
+            snapshot_id=f"commit-{uuid.uuid4()}",
+            sequence_number=seq,
+            parent_id=parent,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            schema_ddl=schema_ddl,
+            manifest=manifest,
+            staged=staged,
+            summary=summary or {},
+        )
+
+    def _retrying_commit(self, build, max_retries: int = 5) -> Snapshot:
+        """CAS retry loop with jittered backoff
+        (doc iceberg-arch-geo-distributed-ha.md:287-311)."""
+        import random
+
+        for attempt in range(max_retries):
+            snap = build()
+            try:
+                return self._commit(snap)
+            except CommitConflict:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(random.uniform(0.01, 0.05) * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    # ---- write operations --------------------------------------------------
+
+    def create(self, df: DataFrame) -> Snapshot:
+        if self.exists():
+            raise FileExistsError(f"table already exists at {self.root}")
+        files = self._write_data_files(df)
+        snap = self._make_snapshot("create", tuple(files), df.schema.simpleString())
+        return self._commit(snap)
+
+    def append(self, df: DataFrame, staged: bool = False) -> Snapshot:
+        """Append commit: parent manifest + new files (Iceberg fast-append)."""
+        files = self._write_data_files(df)
+
+        def build():
+            cur = self.current_snapshot()
+            manifest = (cur.manifest if cur else ()) + tuple(files)
+            return self._make_snapshot(
+                "append", manifest, df.schema.simpleString(), staged=staged,
+                summary={"added_files": len(files)},
+            )
+
+        return self._retrying_commit(build)
+
+    def overwrite(self, df: DataFrame, staged: bool = False) -> Snapshot:
+        files = self._write_data_files(df)
+
+        def build():
+            return self._make_snapshot(
+                "overwrite", tuple(files), df.schema.simpleString(), staged=staged,
+                summary={"added_files": len(files)},
+            )
+
+        return self._retrying_commit(build)
+
+    def stage_append(self, df: DataFrame) -> Snapshot:
+        """Write-audit-publish step 1: commit an invisible snapshot
+        (≙ two-phase marker ``_inprogress/vN.marker``,
+        iceberg-arch-hybrid-replica-dr.md:90-104)."""
+        return self.append(df, staged=True)
+
+    def publish(self, snapshot_id: str) -> Snapshot:
+        """WAP step 2 (≙ setVisibility / cherrypick): re-commit the staged
+        manifest as a new visible head after verification."""
+        staged = self.snapshot_by_id(snapshot_id)
+        if not staged.staged:
+            raise ValueError(f"{snapshot_id} is not staged")
+
+        def build():
+            return self._make_snapshot(
+                "publish", staged.manifest, staged.schema_ddl,
+                summary={"published_from": snapshot_id},
+            )
+
+        return self._retrying_commit(build)
+
+    def rewrite_data_files(self, target_file_size_bytes: int = 256 * 1024 * 1024) -> Snapshot:
+        """Compaction (≙ rewrite_data_files; doc :1111-1115): rewrite the
+        current snapshot's data into ~target-sized files, commit as
+        'replace' (same rows, new layout)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise NoSuchSnapshot("table is empty")
+        total = sum(f.size_bytes for f in cur.manifest)
+        n_files = max(1, round(total / target_file_size_bytes))
+        df = self.read().coalesce(n_files)
+        files = self._write_data_files(df)
+
+        def build():
+            return self._make_snapshot(
+                "replace", tuple(files), cur.schema_ddl,
+                summary={"compacted_from": len(cur.manifest), "to": len(files)},
+            )
+
+        return self._retrying_commit(build)
+
+    # ---- read operations ---------------------------------------------------
+
+    def _paths(self, snap: Snapshot) -> list[str]:
+        return [os.path.join(self.root, f.path) for f in snap.manifest]
+
+    def read(
+        self,
+        snapshot_id: str | None = None,
+        as_of_ms: int | None = None,
+        seq: int | None = None,
+    ) -> DataFrame:
+        """Scan — current snapshot, or time travel by id/seq/timestamp
+        (≙ VERSION AS OF / TIMESTAMP AS OF)."""
+        if snapshot_id is not None:
+            snap = self.snapshot_by_id(snapshot_id)
+        elif seq is not None:
+            snap = self.snapshot_by_seq(seq)
+        elif as_of_ms is not None:
+            snap = self.snapshot_as_of(as_of_ms)
+        else:
+            snap = self.current_snapshot()
+            if snap is None:
+                raise NoSuchSnapshot("table has no visible snapshot")
+        paths = self._paths(snap)
+        if not paths:
+            return self.spark.createDataFrame([], snap.schema_ddl)
+        return self.spark.read.parquet(*paths)
+
+    def incremental_read(self, from_seq: int, to_seq: int) -> DataFrame:
+        """Rows in files added in (from_seq, to_seq] — the fast-forward
+        diff read (doc :333; ReplicationPlanner's plan as a data scan)."""
+        added = self.diff_files(from_seq, to_seq)
+        if not added:
+            to = self.snapshot_by_seq(to_seq)
+            return self.spark.createDataFrame([], to.schema_ddl)
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f.path) for f in added]
+        )
+
+    # ---- metadata tables (≙ t.files / t.snapshots / t.history) ------------
+
+    _FILES_SCHEMA = SPARK_T.StructType([
+        SPARK_T.StructField("file_path", SPARK_T.StringType()),
+        SPARK_T.StructField("size_bytes", SPARK_T.LongType()),
+        SPARK_T.StructField("row_count", SPARK_T.LongType()),
+        SPARK_T.StructField("snapshot_seq", SPARK_T.LongType()),
+    ])
+
+    def files(self, seq: int | None = None) -> DataFrame:
+        snap = self.snapshot_by_seq(seq) if seq is not None else self.current_snapshot()
+        if snap is None:
+            return self.spark.createDataFrame([], self._FILES_SCHEMA)
+        rows = [
+            (f.path, f.size_bytes, f.row_count, snap.sequence_number)
+            for f in snap.manifest
+        ]
+        return self.spark.createDataFrame(rows, self._FILES_SCHEMA)
+
+    _SNAPSHOTS_SCHEMA = SPARK_T.StructType([
+        SPARK_T.StructField("snapshot_id", SPARK_T.StringType()),
+        SPARK_T.StructField("sequence_number", SPARK_T.LongType()),
+        SPARK_T.StructField("parent_id", SPARK_T.StringType()),
+        SPARK_T.StructField("committed_at_ms", SPARK_T.LongType()),
+        SPARK_T.StructField("operation", SPARK_T.StringType()),
+        SPARK_T.StructField("staged", SPARK_T.BooleanType()),
+        SPARK_T.StructField("file_count", SPARK_T.LongType()),
+        SPARK_T.StructField("total_bytes", SPARK_T.LongType()),
+        SPARK_T.StructField("total_rows", SPARK_T.LongType()),
+    ])
+
+    def history(self) -> DataFrame:
+        rows = [
+            (
+                s.snapshot_id, s.sequence_number, s.parent_id, s.timestamp_ms,
+                s.operation, s.staged, len(s.manifest),
+                sum(f.size_bytes for f in s.manifest),
+                sum(f.row_count for f in s.manifest),
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(rows, self._SNAPSHOTS_SCHEMA)
+
+    # ---- snapshot diff (≙ ReplicationPlanner.plan) -------------------------
+
+    def diff_files(self, from_seq: int | None, to_seq: int) -> list[DataFileRef]:
+        """Files in to_seq's manifest but not in from_seq's — the manifest
+        set-difference at ReplicationPlanner.java:78-84.  from_seq=None
+        diffs against empty (full snapshot)."""
+        to = self.snapshot_by_seq(to_seq)
+        if from_seq is None:
+            return list(to.manifest)
+        fro = self.snapshot_by_seq(from_seq)
+        have = {f.path for f in fro.manifest}
+        return [f for f in to.manifest if f.path not in have]
+
+    def diff(self, from_seq: int | None, to_seq: int) -> DataFrame:
+        """Same as diff_files but as a DataFrame (added/removed marker)."""
+        to = self.snapshot_by_seq(to_seq)
+        fro_paths = (
+            set() if from_seq is None
+            else {f.path for f in self.snapshot_by_seq(from_seq).manifest}
+        )
+        to_map = {f.path: f for f in to.manifest}
+        rows = [
+            (f.path, f.size_bytes, f.row_count, "added")
+            for f in to.manifest if f.path not in fro_paths
+        ]
+        if from_seq is not None:
+            for f in self.snapshot_by_seq(from_seq).manifest:
+                if f.path not in to_map:
+                    rows.append((f.path, f.size_bytes, f.row_count, "removed"))
+        schema = SPARK_T.StructType([
+            SPARK_T.StructField("file_path", SPARK_T.StringType()),
+            SPARK_T.StructField("size_bytes", SPARK_T.LongType()),
+            SPARK_T.StructField("row_count", SPARK_T.LongType()),
+            SPARK_T.StructField("change", SPARK_T.StringType()),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
+    # ---- maintenance: expiry + orphans (≙ GC family) -----------------------
+
+    def expire_snapshots(
+        self,
+        retain_last: int = 1,
+        older_than_ms: int | None = None,
+        delete_files: bool = True,
+    ) -> dict:
+        """≙ expire_snapshots(retain_last, older_than): drop old snapshot
+        metadata; physically delete files unreachable from any retained
+        snapshot (the gc-producer's `all_files − reachable`,
+        doc :778-795)."""
+        snaps = self.snapshots()
+        if not snaps:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        keep = set(s.sequence_number for s in snaps[-retain_last:]) if retain_last else set()
+        cur = self.current_snapshot()
+        if cur:
+            keep.add(cur.sequence_number)
+        expired = [
+            s for s in snaps
+            if s.sequence_number not in keep
+            and (older_than_ms is None or s.timestamp_ms < older_than_ms)
+        ]
+        reachable = {
+            f.path
+            for s in snaps
+            if s.sequence_number not in {e.sequence_number for e in expired}
+            for f in s.manifest
+        }
+        deletable = {
+            f.path for s in expired for f in s.manifest if f.path not in reachable
+        }
+        deleted = 0
+        for s in expired:
+            os.unlink(self._version_path(s.sequence_number))
+        if delete_files:
+            for rel in deletable:
+                full = os.path.join(self.root, rel)
+                if os.path.exists(full):
+                    os.unlink(full)
+                    deleted += 1
+        return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+    def orphan_files(self) -> list[str]:
+        """Files under data/ referenced by NO snapshot — the doc's
+        `Orphan ≈ Inventory − Reachable` (doc :886-899).  Inventory here
+        is a filesystem walk; on S3 it would be the Inventory parquet."""
+        reachable = {f.path for s in self.snapshots() for f in s.manifest}
+        orphans = []
+        for dirpath, _, files in os.walk(self.data_dir):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel not in reachable and fn.endswith(".parquet"):
+                    orphans.append(rel)
+        return sorted(orphans)
+
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
+        """Delete orphans older than the grace period (doc: P14D general,
+        P3D tmp prefixes — caller picks the window)."""
+        removed = []
+        for rel in self.orphan_files():
+            full = os.path.join(self.root, rel)
+            mtime_ms = os.path.getmtime(full) * 1000
+            if older_than_ms is None or mtime_ms < older_than_ms:
+                os.unlink(full)
+                removed.append(rel)
+        return removed

@@ -1,0 +1,202 @@
+"""HyTable format: commits, time travel, diff, WAP, expiry, orphans, CAS.
+
+Mirrors the reference's test layering (SURVEY §5): unit specs per
+component over in-memory/tmp adapters.
+"""
+
+import os
+import time
+
+import pytest
+
+from iceberg_hybrid_spark.lake.table import CommitConflict, HyTable, NoSuchSnapshot
+
+
+def make_df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS doubled")
+
+
+def test_create_and_read(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    snap = t.create(make_df(spark, 0, 100))
+    assert snap.sequence_number == 1
+    assert snap.operation == "create"
+    assert t.read().count() == 100
+
+
+def test_append_accumulates(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    t.append(make_df(spark, 100, 150))
+    assert t.read().count() == 150
+    assert t.current_snapshot().sequence_number == 2
+    # manifest = parent files + new files
+    assert len(t.current_snapshot().manifest) > len(t.snapshot_by_seq(1).manifest)
+
+
+def test_overwrite_replaces(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    t.overwrite(make_df(spark, 0, 10))
+    assert t.read().count() == 10
+
+
+def test_time_travel_by_seq_and_id(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    s1 = t.create(make_df(spark, 0, 100))
+    t.append(make_df(spark, 100, 150))
+    assert t.read(seq=1).count() == 100
+    assert t.read(snapshot_id=s1.snapshot_id).count() == 100
+    assert t.read().count() == 150
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    ts_between = int(time.time() * 1000)
+    time.sleep(0.01)
+    t.append(make_df(spark, 100, 150))
+    assert t.read(as_of_ms=ts_between).count() == 100
+
+
+def test_history_and_files_metadata_tables(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    t.append(make_df(spark, 100, 150))
+    hist = t.history().collect()
+    assert [r.sequence_number for r in hist] == [1, 2]
+    assert all(r.total_rows > 0 for r in hist)
+    files = t.files().collect()
+    assert sum(f.row_count for f in files) == 150
+
+
+def test_snapshot_diff(spark, tmp_table_root):
+    """≙ ReplicationPlanner manifest set-diff."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    t.append(make_df(spark, 100, 150))
+    added = t.diff_files(1, 2)
+    assert added
+    assert {f.path for f in added} == (
+        {f.path for f in t.snapshot_by_seq(2).manifest}
+        - {f.path for f in t.snapshot_by_seq(1).manifest}
+    )
+    # incremental read returns exactly the appended rows
+    inc = t.incremental_read(1, 2)
+    assert inc.count() == 50
+    # full diff when from is None
+    assert len(t.diff_files(None, 2)) == len(t.snapshot_by_seq(2).manifest)
+
+
+def test_diff_df_marks_removed(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    t.overwrite(make_df(spark, 0, 10))
+    changes = {(r.file_path, r.change) for r in t.diff(1, 2).collect()}
+    assert any(c == "added" for _, c in changes)
+    assert any(c == "removed" for _, c in changes)
+
+
+def test_wap_stage_then_publish(spark, tmp_table_root):
+    """≙ setVisibility verify-and-promote: staged commits are invisible
+    until published."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    staged = t.stage_append(make_df(spark, 100, 150))
+    assert staged.staged
+    assert t.read().count() == 100  # not visible yet
+    t.publish(staged.snapshot_id)
+    assert t.read().count() == 150
+
+
+def test_publish_rejects_non_staged(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    s = t.create(make_df(spark, 0, 10))
+    with pytest.raises(ValueError):
+        t.publish(s.snapshot_id)
+
+
+def test_cas_conflict(spark, tmp_table_root):
+    """Two writers racing for the same sequence — exactly one wins."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 10))
+    snap_a = t._make_snapshot("append", t.current_snapshot().manifest, "id BIGINT")
+    snap_b = t._make_snapshot("append", t.current_snapshot().manifest, "id BIGINT")
+    t._commit(snap_a)
+    with pytest.raises(CommitConflict):
+        t._commit(snap_b)
+
+
+def test_expected_parent_cas(spark, tmp_table_root):
+    """≙ commitSnapshot(expectedParent) optimistic concurrency."""
+    t = HyTable(spark, tmp_table_root)
+    s1 = t.create(make_df(spark, 0, 10))
+    t.append(make_df(spark, 10, 20))
+    stale = t._make_snapshot("append", (), "id BIGINT")
+    with pytest.raises(CommitConflict):
+        t._commit(stale, expected_parent=s1.snapshot_id)
+
+
+def test_append_retries_past_conflict(spark, tmp_table_root):
+    """The retrying commit loop re-reads the head and lands at the next seq."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 10))
+    # simulate a racer taking seq 2 right before our append commits
+    racer = t._make_snapshot("append", t.current_snapshot().manifest, "x INT")
+    t._commit(racer)
+    snap = t.append(make_df(spark, 10, 20))
+    assert snap.sequence_number == 3
+    assert t.read().count() == 20
+
+
+def test_expire_snapshots_deletes_unreachable(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    t.overwrite(make_df(spark, 0, 10))  # snapshot 1's files now unreachable
+    old_files = [os.path.join(t.root, f.path) for f in t.snapshot_by_seq(1).manifest]
+    result = t.expire_snapshots(retain_last=1)
+    assert result["expired_snapshots"] == 1
+    assert result["deleted_files"] == len(old_files)
+    assert all(not os.path.exists(p) for p in old_files)
+    assert t.read().count() == 10  # current unaffected
+
+
+def test_expire_keeps_shared_files(spark, tmp_table_root):
+    """Files shared with retained snapshots must survive expiry."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    t.append(make_df(spark, 100, 150))  # shares snapshot 1's files
+    t.expire_snapshots(retain_last=1)
+    assert t.read().count() == 150  # all files still present
+
+
+def test_orphan_detection_and_removal(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 10))
+    orphan_dir = os.path.join(t.data_dir, "deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "stray.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    assert t.orphan_files() == [os.path.relpath(orphan, t.root)]
+    # grace window: too-new orphan survives an older_than cutoff in the past
+    assert t.remove_orphan_files(older_than_ms=0) == []
+    assert os.path.exists(orphan)
+    removed = t.remove_orphan_files()
+    assert removed and not os.path.exists(orphan)
+
+
+def test_rewrite_data_files_compacts(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100).repartition(8))
+    assert len(t.current_snapshot().manifest) == 8
+    snap = t.rewrite_data_files(target_file_size_bytes=10**9)
+    assert snap.operation == "replace"
+    assert len(snap.manifest) == 1
+    assert t.read().count() == 100
+
+
+def test_read_empty_table_raises(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    with pytest.raises(NoSuchSnapshot):
+        t.read()

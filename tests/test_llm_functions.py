@@ -1,0 +1,110 @@
+"""LLM-pipeline operators: dedup correctness with planted duplicates, LSH
+vs brute-force agreement, text metrics edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_hybrid_spark.functions import dedup as D
+from iceberg_hybrid_spark.functions import similarity as S
+from iceberg_hybrid_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("lazy", "sleepy")  # one token differs → high jaccard
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1
+        (4, "completely different text about spark queries and shuffle behavior here"),
+        (5, "short doc"),
+        (6, "a b"),                     # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = {r.canonical_id: r.dup_count for r in D.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert groups[3] == 1
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    out = {r.doc_id: r.sh for r in docs.select("doc_id", T.shingles("text").alias("sh")).collect()}
+    assert out[6] == []  # 2 tokens < k=3 → empty, not sequence-down garbage
+    assert len(out[1]) > 5
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    cands = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in cands  # exact dup always collides
+    assert (1, 3) in cands  # near dup shares most shingles
+    # the unrelated doc should not pair with everything
+    assert (1, 4) not in cands
+
+
+def test_ngram_jaccard_values(spark, docs):
+    d = docs.select("doc_id", T.shingles("text").alias("sh"))
+    a = d.filter("doc_id = 1").selectExpr("sh AS sh_a")
+    for other, expect_high in ((2, True), (4, False)):
+        b = d.filter(f"doc_id = {other}").selectExpr("sh AS sh_b")
+        jac = a.crossJoin(b).select(D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")).alias("j")).collect()[0].j
+        if expect_high:
+            assert jac == 1.0
+        else:
+            assert jac < 0.1
+
+
+def test_simhash_near_dups_close_in_hamming(spark, docs):
+    fp = {r.doc_id: r.f for r in docs.select("doc_id", D.simhash64("text").alias("f")).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming(fp[1], fp[2]) == 0          # identical text
+    assert hamming(fp[1], fp[3]) < hamming(fp[1], fp[4])  # near-dup closer
+
+
+def test_brute_force_topk_self_similarity_excluded(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)], i % 3) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    topk = S.brute_force_topk(emb, emb.filter("vec_id = 0"), k=5)
+    got = topk.collect()
+    assert len(got) == 5
+    assert all(r.vec_id != 0 for r in got)
+    ranks = [r.rank for r in got]
+    assert ranks == [1, 2, 3, 4, 5]
+    sims = [r.cosine_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_buckets_deterministic_and_partition_neighbors(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    # plant a near-identical pair
+    rows.append((100, [x + 0.001 for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    b1 = {r.vec_id: r.lsh_bucket for r in S.hyperplane_lsh_buckets(emb, planes).collect()}
+    b2 = {r.vec_id: r.lsh_bucket for r in S.hyperplane_lsh_buckets(emb, planes).collect()}
+    assert b1 == b2  # deterministic
+    assert b1[0] == b1[100]  # near-identical vectors share a bucket
+
+
+def test_quality_score_bounds(spark, docs):
+    scores = [r.q for r in docs.select(T.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_language_guess(spark):
+    rows = [(1, "the cat sat on the mat with the hat"), (2, "xyz abc def ghi jkl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.g for r in df.select("doc_id", T.language_guess("text").alias("g")).collect()}
+    assert out[1] == "en" and out[2] == "other"

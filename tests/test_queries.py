@@ -1,0 +1,30 @@
+"""Query-surface smoke at sf0.001: every registered query runs and returns
+a stable schema.  (Full value correctness is the DuckDB oracle gate —
+tools/check_oracle.py — run separately because it needs duckdb.)"""
+
+import pytest
+
+from iceberg_hybrid_spark.queries import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+SPECS = all_specs()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_runs(spark, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
+    # aliasing contract: no auto-generated aggregate names leak out
+    for c in df.columns:
+        assert "(" not in c, f"unaliased column {c!r} in {name}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(m.oracle_sql()) <= set(m.queries())

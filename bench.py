@@ -1,0 +1,77 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed as build-plan + execute + collect (the driver-visible
+latency).  The session is warmed with a trivial job first so JVM/codegen
+startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_hybrid_spark.queries import all_specs
+from iceberg_hybrid_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "revenue_by_nation",
+    "top_customers_by_spend",
+    "latest_order_per_customer",
+    "running_revenue_by_month",
+    "supplier_part_volume",
+    "parts_never_ordered",
+    "events_hourly_window",
+    "user_sessions",
+    "event_type_transitions",
+    "doc_quality_scores",
+    "dedup_exact_documents",
+    "near_dup_shingle_pairs",
+    "embedding_topk_cosine",
+    "embedding_multi_query_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

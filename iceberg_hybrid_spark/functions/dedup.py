@@ -34,12 +34,29 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
     """MinHash signature: for seed i, min over shingles of xxhash64(i, s)."""
-    sh = shingles(text_col, k)
-    mins = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    return minhash_from_shingles(shingles(text_col, k), num_hashes)
+
+
+def minhash_from_shingles(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """Signature from a shingle array in ONE pass: hash each shingle once
+    (xxhash64), then fold over the hashes keeping an elementwise running
+    min of the derived hash family h_i = h*(2i+1) + i*φ (64-bit wrap).
+
+    A single ``aggregate`` traversal — no per-seed re-tokenization, no
+    duplicated subtrees for common-subexpression elimination to miss."""
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    phi = F.lit(0x9E3779B9).cast("long")
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda a, i: F.least(
+                a, h * (F.lit(2).cast("long") * i + 1) + i.cast("long") * phi
+            ),
+        ),
+    )
 
 
 def minhash_lsh_candidates(
@@ -60,7 +77,9 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, k).alias("_sig")
+        F.col(id_col), shingles(F.col(text_col), k).alias("_sh")
+    ).select(
+        F.col(id_col), minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig")
     )
     band_rows = sig.select(
         id_col,

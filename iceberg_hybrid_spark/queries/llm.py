@@ -154,14 +154,21 @@ def near_dup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
+        "lang",
         F.floor(F.col("n_chars") / 16).cast("bigint").alias("bucket"),
         T.shingles("text").alias("sh"),
-    )
+    ).repartition(F.col("lang"), F.col("bucket"))
+    # The explicit hash-repartition materializes the shingle arrays once
+    # behind a shuffle boundary (instead of re-deriving them per joined
+    # pair) and co-locates the self-join: both sides reuse one exchange.
+    # Blocking on (lang, length-bucket) keeps candidate generation
+    # near-linear — near-duplicates share language and similar length.
     a = d.alias("a")
     b = d.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
@@ -173,15 +180,16 @@ def near_dup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_SQL = f"""
 WITH d AS (
-  SELECT doc_id, n_chars // 16 AS bucket, {_DUCK_SHINGLES} AS sh
-  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents) x
+  SELECT doc_id, lang, n_chars // 16 AS bucket, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents) x
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
              / (len(a.sh) + len(b.sh)
                 - len(list_filter(a.sh, s -> list_contains(b.sh, s)))), 4)
            AS jaccard
-FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
 LIMIT 20
 """

@@ -1,0 +1,171 @@
+"""Structured Streaming over event queues.
+
+The reference's sync-event work queue (SyncPort.getSyncEventsStream,
+modules/ports/SyncPort.scala:31; InMemorySyncAdapter.scala:96-99) and its
+scheduled drain (SyncOrchestrator.processPendingEvents) map to:
+
+- a file-based streaming source over an append-only event directory
+  (≙ the Kafka/DB event bus the docs assume),
+- watermarked tumbling/sliding window aggregations for sync monitoring
+  (mirror_lag / backlog metrics, iceberg-arch-hybrid-replica-dr.md:230),
+- ``session_window`` for activity sessionization,
+- ``applyInPandasWithState`` for per-key stateful status tracking (the
+  Pending→InProgress→Completed/Failed state machine),
+- ``foreachBatch`` to run the batch orchestrator incrementally
+  (the Spark translation SURVEY §3.2 prescribes).
+
+Late data policy: the watermark bounds state; events older than the
+watermark are dropped by the engine — the tests pin this behavior.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as SPARK_T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("event_id", SPARK_T.LongType()),
+    SPARK_T.StructField("ts", SPARK_T.TimestampType()),
+    SPARK_T.StructField("user_id", SPARK_T.LongType()),
+    SPARK_T.StructField("event_type", SPARK_T.StringType()),
+    SPARK_T.StructField("value", SPARK_T.DoubleType()),
+])
+
+
+def read_event_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema: SPARK_T.StructType = EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream.  ``maxFilesPerTrigger`` is the
+    backpressure knob (iceberg-arch-hybrid-replica-dr.md:478-507)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(events_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window counts per event type."""
+    win = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (the streaming twin of the
+    batch ``user_sessions`` query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+# ---- stateful status tracking (applyInPandasWithState) ---------------------
+
+TRACKER_OUTPUT_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("user_id", SPARK_T.LongType()),
+    SPARK_T.StructField("total_events", SPARK_T.LongType()),
+    SPARK_T.StructField("last_event_type", SPARK_T.StringType()),
+    SPARK_T.StructField("transitions", SPARK_T.LongType()),
+])
+
+TRACKER_STATE_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("total", SPARK_T.LongType()),
+    SPARK_T.StructField("last_type", SPARK_T.StringType()),
+    SPARK_T.StructField("transitions", SPARK_T.LongType()),
+])
+
+
+def _track_status(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-key running state: event count, last type, #type-transitions —
+    the SyncEvent status state machine generalized (custom stateful
+    operator via Arrow-batched pandas, never row-at-a-time)."""
+    (user_id,) = key
+    if state.exists:
+        total, last_type, transitions = state.get
+    else:
+        total, last_type, transitions = 0, None, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et in pdf["event_type"]:
+            if last_type is not None and et != last_type:
+                transitions += 1
+            last_type = et
+        total += len(pdf)
+    state.update((total, last_type, transitions))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "total_events": [total],
+            "last_event_type": [last_type],
+            "transitions": [transitions],
+        }
+    )
+
+
+def status_transition_tracker(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState keyed by user: emits the running status
+    summary every micro-batch (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track_status,
+        outputStructType=TRACKER_OUTPUT_SCHEMA,
+        stateStructType=TRACKER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---- foreachBatch orchestration --------------------------------------------
+
+def sync_events_foreach_batch(
+    stream: DataFrame,
+    handler: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drive a batch handler incrementally — the foreachBatch form of
+    processPendingEvents (SURVEY §3.2).  ``availableNow`` processes the
+    backlog then stops (the scheduled-drain semantics of the reference's
+    worker); continuous mode just omits the trigger."""
+    writer = stream.writeStream.foreachBatch(handler).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,111 @@
+"""Multimodal-column queries over binary payloads (north-star family).
+
+The payloads are synthesized deterministically from the documents table
+(no media fixtures exist in the testdata), so the byte-level metadata is
+oracle-checkable in DuckDB while the decode pipeline itself (mapInPandas)
+gets a rows-only check + unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.multimodal import decode_media, media_from_documents, sample_frames
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary columns: byte length + content
+    fingerprint per media item (all JVM-side column ops)."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("fingerprint"),
+    ).orderBy("media_id")
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS fingerprint
+FROM documents ORDER BY media_id
+"""
+
+
+def multimodal_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("media_count"),
+            F.sum(F.col("meta.n_bytes")).cast("bigint").alias("total_bytes"),
+            F.round(F.avg(F.col("meta.n_bytes")), 4).alias("avg_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MULTIMODAL_TYPE_STATS_SQL = """
+SELECT CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+       COUNT(*) AS media_count,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes
+FROM documents GROUP BY 1 ORDER BY media_type
+"""
+
+
+def video_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: fixed-size byte windows per "video",
+    exploded + re-aggregated (the explode is the per-frame fan-out a real
+    frame extractor produces)."""
+    frames = sample_frames(_media(spark, sf_dir), frame_size=64, max_frames=8)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("frame_count"),
+            F.sum(F.octet_length("frame_bytes")).cast("bigint").alias("sampled_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+VIDEO_FRAME_COUNTS_SQL = """
+SELECT doc_id AS media_id,
+       CAST(least(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 8)
+            AS BIGINT) AS frame_count,
+       CAST(least(octet_length(encode(text)), 512) AS BIGINT) AS sampled_bytes
+FROM documents
+WHERE CAST(doc_id % 3 AS INTEGER) = 2
+ORDER BY media_id
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched decode pipeline (fake codec) — rows-only check;
+    byte-exact behavior pinned in tests/test_multimodal.py."""
+    return decode_media(_media(spark, sf_dir), fake=True).orderBy("media_id")
+
+
+SPECS = [
+    QuerySpec("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_SQL,
+              "binary payload + typed metadata projection"),
+    QuerySpec("multimodal_type_stats", multimodal_type_stats, MULTIMODAL_TYPE_STATS_SQL,
+              "per-media-type byte statistics"),
+    QuerySpec("video_frame_counts", video_frame_counts, VIDEO_FRAME_COUNTS_SQL,
+              "frame-sampling fan-out + re-aggregation"),
+    QuerySpec("multimodal_decode_features", multimodal_decode_features, None,
+              "mapInPandas decode pipeline (rows-only; fake codec)"),
+]

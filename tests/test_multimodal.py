@@ -1,0 +1,88 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, deterministic fake
+decode, frame sampling, stub behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_hybrid_spark.sources.multimodal import (
+    DECODED_SCHEMA,
+    decode_media,
+    media_from_documents,
+    resize_stub,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body " + "x" * (i * 40), "en", f"src{i % 3}", 10) for i in range(9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return media_from_documents(docs)
+
+
+def test_media_schema_and_types(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "payload", "meta"]
+    rows = media.collect()
+    assert {r.media_type for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert isinstance(r.payload, (bytes, bytearray))
+        assert r.meta.n_bytes == len(r.payload)
+
+
+def test_fake_decode_deterministic(media):
+    a = decode_media(media, fake=True).orderBy("media_id").collect()
+    b = decode_media(media, fake=True).orderBy("media_id").collect()
+    assert a == b
+    assert [f.name for f in decode_media(media, fake=True).schema.fields] == [
+        f.name for f in DECODED_SCHEMA.fields
+    ]
+    for r in a:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert len(r.fingerprint) == 32
+        assert r.byte_entropy >= 0.0
+
+
+def test_real_decode_raises_not_implemented(media):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )
+
+
+def test_frame_sampling_shapes(media):
+    frames = sample_frames(media, frame_size=64, max_frames=8)
+    rows = frames.collect()
+    assert rows, "expected video payloads"
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    videos = {r.media_id: r for r in media.filter("media_type = 'video'").collect()}
+    assert set(by_media) == set(videos)
+    for mid, fr in by_media.items():
+        n_bytes = len(videos[mid].payload)
+        expect = min((n_bytes + 63) // 64, 8)
+        assert len(fr) == expect
+        assert sorted(f.frame_index for f in fr) == list(range(expect))
+        # every frame except possibly the last is exactly frame_size
+        sizes = [len(f.frame_bytes) for f in sorted(fr, key=lambda x: x.frame_index)]
+        assert all(s == 64 for s in sizes[:-1])
+        assert sum(sizes) == min(n_bytes, 512)
+
+
+def test_resize_stub_raises(media):
+    with pytest.raises(Exception) as exc_info:
+        resize_stub(media, 32, 32).collect()
+    assert "NotImplementedError" in str(exc_info.value)
+
+
+def test_decode_distributed_batches(spark, media):
+    """mapInPandas over multiple partitions: results independent of
+    partitioning (batch-shape correctness)."""
+    one = decode_media(media.coalesce(1), fake=True).orderBy("media_id").collect()
+    many = decode_media(media.repartition(4), fake=True).orderBy("media_id").collect()
+    assert one == many

@@ -156,6 +156,24 @@ def apply_delete_plan(
     return executions
 
 
+def orphans_from_inventory(
+    inventory: DataFrame, reachable: DataFrame, path_col: str = "file_path"
+) -> DataFrame:
+    """Inventory-based orphan detection — the doc's
+    ``Orphan ≈ Inventory − Reachable`` (doc :886-899) as a LEFT ANTI join.
+
+    ``inventory`` is the object-store listing (S3 Inventory parquet at
+    scale; ``binaryFile``/walk locally); ``reachable`` is the union of
+    retained snapshots' manifests (``HyTable.files``).  The reachable set
+    is manifest-sized (small) → broadcast; the 100 TB inventory streams
+    through the anti-join without ever collecting."""
+    from pyspark.sql import functions as F
+
+    return inventory.join(
+        F.broadcast(reachable.select(path_col).distinct()), path_col, "left_anti"
+    )
+
+
 _EXECUTION_SCHEMA = SPARK_T.StructType([
     SPARK_T.StructField("file_uri", SPARK_T.StringType()),
     SPARK_T.StructField("result", SPARK_T.StringType()),

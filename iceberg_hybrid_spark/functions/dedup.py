@@ -145,7 +145,10 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
-    """Jaccard over two distinct-shingle arrays, rounded to 4dp."""
+    """Jaccard over two distinct-shingle arrays, rounded to 4dp
+    (boundary-stable: see functions.text.ROUND_EPS)."""
+    from .text import round_stable
+
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return F.round(inter / union, 4)
+    return round_stable(inter / union, 4)

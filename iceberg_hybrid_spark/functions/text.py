@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 # the same literal list).
 STOPWORDS = ("the", "a")
 
+# Ratios of small integers (k/token_count etc.) can land EXACTLY on a
+# round-half boundary (1/32 = 0.03125), where Spark's BigDecimal HALF_UP
+# and DuckDB's scaled-double rounding disagree.  Shifting by -1e-9 before
+# rounding resolves every exact boundary downward in both engines; values
+# not on a boundary are ≥ ~2.5e-7 away for these denominators, so nothing
+# else moves.  DuckDB oracles subtract the same literal.
+ROUND_EPS = 1e-9
+
+
+def round_stable(col: Column, scale: int) -> Column:
+    # + 0.0 normalizes IEEE -0.0 (from rounding a tiny negative) to +0.0
+    return F.round(col - ROUND_EPS, scale) + F.lit(0.0)
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (documents testdata is space-separated)."""
@@ -35,11 +48,11 @@ def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -
 
 def lexical_diversity(text: Column | str) -> Column:
     """distinct tokens / total tokens, 4dp."""
-    return F.round(distinct_token_count(text) / token_count(text), 4)
+    return round_stable(distinct_token_count(text) / token_count(text), 4)
 
 
 def stopword_ratio(text: Column | str) -> Column:
-    return F.round(stopword_count(text) / token_count(text), 4)
+    return round_stable(stopword_count(text) / token_count(text), 4)
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
@@ -80,7 +93,7 @@ def quality_score(text: Column | str) -> Column:
     diversity = distinct_token_count(text) / tc
     stop = stopword_count(text) / tc
     length_factor = F.least(tc / F.lit(100.0), F.lit(1.0))
-    return F.round(
+    return round_stable(
         0.5 * diversity + 0.3 * F.least(stop * 10.0, F.lit(1.0)) + 0.2 * length_factor,
         4,
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import round_stable
 from ..sources.tables import load_table
 from .spec import QuerySpec
 
@@ -170,7 +171,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            round_stable(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.min("k").alias("min_k"),
             F.count(F.lit(1)).alias("event_count"),
@@ -181,7 +182,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       ROUND(AVG(k), 4) AS avg_k,
+       ROUND(AVG(k) - 0.000000001, 4) + 0.0 AS avg_k,
        MAX(k) AS max_k,
        MIN(k) AS min_k,
        COUNT(*) AS event_count
@@ -225,7 +226,7 @@ def error_rate_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
             .cast("bigint")
             .alias("error_count"),
-            F.round(
+            round_stable(
                 F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
                 / F.count(F.lit(1)),
                 6,
@@ -241,7 +242,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
            AS error_count,
        ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*), 6) AS error_rate
+             / COUNT(*) - 0.000000001, 6) + 0.0 AS error_rate
 FROM events GROUP BY 1 ORDER BY day
 """
 

@@ -37,8 +37,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum("tc").cast("bigint").alias("total_tokens"),
-            F.round(F.avg("tc"), 4).alias("avg_tokens"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            T.round_stable(F.avg("tc"), 4).alias("avg_tokens"),
+            T.round_stable(F.avg("n_chars"), 4).alias("avg_chars"),
         )
         .orderBy("lang")
     )
@@ -48,8 +48,8 @@ DOC_TOKEN_STATS_SQL = """
 SELECT lang,
        COUNT(*) AS doc_count,
        CAST(SUM(tc) AS BIGINT) AS total_tokens,
-       ROUND(AVG(tc), 4) AS avg_tokens,
-       ROUND(AVG(n_chars), 4) AS avg_chars
+       ROUND(AVG(tc) - 0.000000001, 4) + 0.0 AS avg_tokens,
+       ROUND(AVG(n_chars) - 0.000000001, 4) + 0.0 AS avg_chars
 FROM (SELECT lang, n_chars, len(string_split(text, ' ')) AS tc FROM documents) d
 GROUP BY lang ORDER BY lang
 """
@@ -71,11 +71,11 @@ DOC_QUALITY_SQL = """
 SELECT doc_id,
        tc AS token_count,
        dt AS distinct_tokens,
-       ROUND(dt / tc, 4) AS lexical_diversity,
-       ROUND(sc / tc, 4) AS stopword_ratio,
+       ROUND(dt / tc - 0.000000001, 4) + 0.0 AS lexical_diversity,
+       ROUND(sc / tc - 0.000000001, 4) + 0.0 AS stopword_ratio,
        ROUND(0.5 * (dt / tc)
              + 0.3 * least((sc / tc) * 10.0, 1.0)
-             + 0.2 * least(tc / 100.0, 1.0), 4) AS quality_score
+             + 0.2 * least(tc / 100.0, 1.0) - 0.000000001, 4) + 0.0 AS quality_score
 FROM (
   SELECT doc_id,
          len(string_split(text, ' ')) AS tc,
@@ -100,7 +100,7 @@ def language_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LANGUAGE_PREDICTION_SQL = """
 SELECT lang,
-       CASE WHEN ROUND(sc / tc, 4) >= 0.04 THEN 'en' ELSE 'other' END AS lang_pred,
+       CASE WHEN ROUND(sc / tc - 0.000000001, 4) >= 0.04 THEN 'en' ELSE 'other' END AS lang_pred,
        COUNT(*) AS doc_count
 FROM (
   SELECT lang,
@@ -186,8 +186,8 @@ WITH d AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
              / (len(a.sh) + len(b.sh)
-                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))), 4)
-           AS jaccard
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+             - 0.000000001, 4) + 0.0 AS jaccard
 FROM d a JOIN d b
   ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ORDER BY jaccard DESC, doc_a ASC, doc_b ASC

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import round_stable
 from ..sources.multimodal import decode_media, media_from_documents, sample_frames
 from ..sources.tables import load_table
 from .spec import QuerySpec
@@ -50,7 +51,7 @@ def multimodal_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("media_count"),
             F.sum(F.col("meta.n_bytes")).cast("bigint").alias("total_bytes"),
-            F.round(F.avg(F.col("meta.n_bytes")), 4).alias("avg_bytes"),
+            round_stable(F.avg(F.col("meta.n_bytes")), 4).alias("avg_bytes"),
         )
         .orderBy("media_type")
     )
@@ -62,7 +63,7 @@ SELECT CASE CAST(doc_id % 3 AS INTEGER)
            AS media_type,
        COUNT(*) AS media_count,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes
+       ROUND(AVG(octet_length(encode(text))) - 0.000000001, 4) + 0.0 AS avg_bytes
 FROM documents GROUP BY 1 ORDER BY media_type
 """
 

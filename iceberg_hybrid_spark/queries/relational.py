@@ -653,7 +653,40 @@ ORDER BY health_score DESC, n_name ASC
 """
 
 
+# --- percentiles (distribution stats) ---------------------------------------
+
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` — both linear interpolation)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDER_PERCENTILES_SQL = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       COUNT(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 SPECS = [
+    QuerySpec("order_value_percentiles", order_value_percentiles,
+              ORDER_PERCENTILES_SQL, "exact interpolated percentiles per group"),
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1-style wide aggregation with filter pushdown"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,

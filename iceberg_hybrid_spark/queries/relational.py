@@ -424,6 +424,37 @@ ORDER BY o_custkey
 """
 
 
+def all_activity_keys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + dedup-count — the remaining set-op (union) with a
+    per-source count (orders ∪ lineitem key usage)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    unioned = orders.select(
+        F.col("o_orderkey").alias("orderkey"), F.lit("orders").alias("src")
+    ).unionByName(
+        li.select(F.col("l_orderkey").alias("orderkey"), F.lit("lineitem").alias("src"))
+    )
+    return (
+        unioned.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.countDistinct("orderkey").alias("distinct_keys"),
+        )
+        .orderBy("src")
+    )
+
+
+UNION_KEYS_SQL = """
+SELECT src, COUNT(*) AS row_count, COUNT(DISTINCT orderkey) AS distinct_keys
+FROM (
+  SELECT o_orderkey AS orderkey, 'orders' AS src FROM orders
+  UNION ALL
+  SELECT l_orderkey AS orderkey, 'lineitem' AS src FROM lineitem
+) u
+GROUP BY src ORDER BY src
+"""
+
+
 def open_and_finished_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
@@ -715,6 +746,8 @@ SPECS = [
               OPEN_MINUS_FINISHED_SQL, "EXCEPT (snapshot-diff pattern)"),
     QuerySpec("open_and_finished_custkeys", open_and_finished_custkeys,
               OPEN_AND_FINISHED_SQL, "INTERSECT"),
+    QuerySpec("all_activity_keys_union", all_activity_keys_union, UNION_KEYS_SQL,
+              "UNION ALL + per-source distinct counts"),
     QuerySpec("supplier_part_volume", supplier_part_volume, SUPPLIER_PART_VOLUME_SQL,
               "fact⋈dim⋈dim broadcast joins + top-k"),
     QuerySpec("monthly_order_stats", monthly_order_stats, MONTHLY_ORDER_STATS_SQL,

@@ -1,0 +1,126 @@
+"""Property-based tests: HyTable vs a python model, concurrent CAS
+commits, minhash/jaccard invariants."""
+
+import threading
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_hybrid_spark.lake.table import HyTable
+
+
+# --- HyTable random op sequences vs model -----------------------------------
+
+op_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(min_value=1, max_value=40)),
+        st.tuples(st.just("overwrite"), st.integers(min_value=0, max_value=40)),
+        st.tuples(st.just("expire"), st.integers(min_value=1, max_value=3)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=op_strategy)
+def test_hytable_matches_model(spark, tmp_path_factory, ops):
+    """Row count and snapshot-count invariants hold for arbitrary
+    append/overwrite/expire sequences; time travel always reproduces the
+    model's historical row counts for retained snapshots."""
+    root = str(tmp_path_factory.mktemp("prop") / "tbl")
+    t = HyTable(spark, root)
+    model_rows = 0
+    history: list[int] = []  # model row-count per committed seq
+    for op, arg in ops:
+        if op == "append":
+            df = spark.range(arg).toDF("id")
+            if t.exists():
+                t.append(df)
+            else:
+                t.create(df)
+            model_rows += arg
+            history.append(model_rows)
+        elif op == "overwrite":
+            if not t.exists():
+                continue
+            t.overwrite(spark.range(arg).toDF("id"))
+            model_rows = arg
+            history.append(model_rows)
+        else:  # expire
+            if not t.exists():
+                continue
+            t.expire_snapshots(retain_last=arg)
+    if not t.exists():
+        return
+    assert t.read().count() == model_rows
+    # retained snapshots still read to their historical counts
+    snaps = t.snapshots()
+    assert len(snaps) >= 1
+    for s in snaps:
+        expected = history[s.sequence_number - 1]
+        assert t.read(seq=s.sequence_number).count() == expected
+    # current is always the max retained sequence
+    assert t.current_snapshot().sequence_number == snaps[-1].sequence_number
+
+
+def test_concurrent_appends_no_lost_updates(spark, tmp_path):
+    """N racing writers: every append lands exactly once (CAS + retry),
+    final row count is the sum — the reference's concurrent-registration
+    spec (InMemoryRegistryAdapterSpec:172-216) applied to commits."""
+    root = str(tmp_path / "tbl")
+    t = HyTable(spark, root)
+    t.create(spark.range(0, 10).toDF("id"))
+    errors = []
+
+    def writer(k):
+        try:
+            # each thread its own handle (no shared mutable state)
+            HyTable(spark, root).append(
+                spark.range(k * 100, k * 100 + 20).toDF("id")
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert t.read().count() == 10 + 4 * 20
+    assert t.current_snapshot().sequence_number == 5
+    # every snapshot's parent chain is consistent
+    snaps = t.snapshots()
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur.parent_id == prev.snapshot_id
+
+
+# --- minhash / jaccard invariants -------------------------------------------
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=30),
+       mutations=st.integers(min_value=0, max_value=3))
+def test_minhash_collision_monotone_in_similarity(spark, words, mutations):
+    """Identical docs always collide on every band; jaccard of a doc with
+    itself is 1.0."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions.dedup import minhash_from_shingles, ngram_jaccard
+    from iceberg_hybrid_spark.functions.text import shingles
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    sigs = df.select(
+        "doc_id", minhash_from_shingles(shingles("text"), 8).alias("sig")
+    ).collect()
+    assert sigs[0].sig == sigs[1].sig  # identical text → identical signature
+    jac = (
+        df.filter("doc_id = 1")
+        .select(ngram_jaccard(shingles("text"), shingles("text")).alias("j"))
+        .collect()[0]
+        .j
+    )
+    assert jac == 1.0

@@ -62,19 +62,45 @@ class NoSuchSnapshot(Exception):
 
 @dataclass(frozen=True)
 class DataFileRef:
-    """≙ reference FileRef (path, size, row_count); path is table-relative
-    so replication can rewrite the base (ReadRouter.java:186-189)."""
+    """≙ reference FileRef (path, size, row_count, partition); path is
+    table-relative so replication can rewrite the base
+    (ReadRouter.java:186-189).
+
+    ``stats`` carries per-column (min, max) from the parquet footer — the
+    manifest-level pruning metadata Iceberg keeps, enabling file skipping
+    for reads/deletes/merges without opening files.  ``partition`` carries
+    hive-style partition values for partition pruning and dynamic
+    partition overwrite.
+    """
 
     path: str
     size_bytes: int
     row_count: int
+    stats: tuple[tuple[str, object, object], ...] = ()  # (col, min, max)
+    partition: tuple[tuple[str, str], ...] = ()  # (col, value-as-string)
 
     def to_json(self) -> dict:
-        return {"path": self.path, "size_bytes": self.size_bytes, "row_count": self.row_count}
+        return {
+            "path": self.path,
+            "size_bytes": self.size_bytes,
+            "row_count": self.row_count,
+            "stats": [[c, lo, hi] for c, lo, hi in self.stats],
+            "partition": [[c, v] for c, v in self.partition],
+        }
 
     @staticmethod
     def from_json(d: dict) -> "DataFileRef":
-        return DataFileRef(d["path"], d["size_bytes"], d["row_count"])
+        return DataFileRef(
+            d["path"], d["size_bytes"], d["row_count"],
+            tuple((c, lo, hi) for c, lo, hi in d.get("stats", [])),
+            tuple((c, v) for c, v in d.get("partition", [])),
+        )
+
+    def bounds(self, col: str) -> tuple[object, object] | None:
+        for c, lo, hi in self.stats:
+            if c == col:
+                return (lo, hi)
+        return None
 
 
 @dataclass(frozen=True)
@@ -121,6 +147,47 @@ def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+_STATS_OK_TYPES = (int, float, str, bool)
+
+
+def _parquet_column_stats(path: str) -> tuple[tuple[str, object, object], ...]:
+    """Per-column (min, max) aggregated over row groups, from the parquet
+    footer — no data read.  Only JSON-safe primitive stats are kept."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, _STATS_OK_TYPES):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return tuple(sorted((c, mins[c], maxs[c]) for c in mins))
+
+
+def _parse_hive_partition(rel_dir: str) -> tuple[tuple[str, str], ...]:
+    """Extract key=value partition segments from a relative path."""
+    parts = []
+    for seg in rel_dir.split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            parts.append((k, v))
+    return tuple(parts)
 
 
 class HyTable:
@@ -227,23 +294,34 @@ class HyTable:
         snaps = self.snapshots()
         return (snaps[-1].sequence_number + 1) if snaps else 1
 
-    def _write_data_files(self, df: DataFrame) -> list[DataFileRef]:
+    def _write_data_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[DataFileRef]:
         commit_dir = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_dir)
-        df.write.mode("error").parquet(out_dir)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_dir)
         refs = []
-        for fn in sorted(os.listdir(out_dir)):
-            if not fn.endswith(".parquet"):
-                continue
-            full = os.path.join(out_dir, fn)
-            refs.append(
-                DataFileRef(
-                    path=f"{_DATA}/{commit_dir}/{fn}",
-                    size_bytes=os.path.getsize(full),
-                    row_count=_parquet_row_count(full),
+        for dirpath, _, files in os.walk(out_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                refs.append(
+                    DataFileRef(
+                        path=rel,
+                        size_bytes=os.path.getsize(full),
+                        row_count=_parquet_row_count(full),
+                        stats=_parquet_column_stats(full),
+                        partition=_parse_hive_partition(
+                            os.path.relpath(dirpath, out_dir)
+                        ),
+                    )
                 )
-            )
-        return refs
+        return sorted(refs, key=lambda r: r.path)
 
     def _make_snapshot(
         self,
@@ -289,34 +367,94 @@ class HyTable:
 
     # ---- write operations --------------------------------------------------
 
-    def create(self, df: DataFrame) -> Snapshot:
+    def _partition_summary(self, df: DataFrame, partition_by: list[str] | None) -> dict:
+        if not partition_by:
+            return {}
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.name in partition_by
+        }
+        return {"partition_by": list(partition_by), "partition_types": types}
+
+    def partition_spec(self) -> tuple[list[str], dict[str, str]]:
+        """The table's partition columns + types (from the latest summary)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return [], {}
+        return (
+            list(cur.summary.get("partition_by", [])),
+            dict(cur.summary.get("partition_types", {})),
+        )
+
+    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
         if self.exists():
             raise FileExistsError(f"table already exists at {self.root}")
-        files = self._write_data_files(df)
-        snap = self._make_snapshot("create", tuple(files), df.schema.simpleString())
+        files = self._write_data_files(df, partition_by)
+        snap = self._make_snapshot(
+            "create", tuple(files), df.schema.simpleString(),
+            summary=self._partition_summary(df, partition_by),
+        )
         return self._commit(snap)
 
     def append(self, df: DataFrame, staged: bool = False) -> Snapshot:
         """Append commit: parent manifest + new files (Iceberg fast-append)."""
-        files = self._write_data_files(df)
+        partition_by, _ = self.partition_spec()
+        files = self._write_data_files(df, partition_by or None)
 
         def build():
             cur = self.current_snapshot()
             manifest = (cur.manifest if cur else ()) + tuple(files)
+            summary = {"added_files": len(files)}
+            summary.update(self._partition_summary(df, partition_by))
             return self._make_snapshot(
                 "append", manifest, df.schema.simpleString(), staged=staged,
-                summary={"added_files": len(files)},
+                summary=summary,
             )
 
         return self._retrying_commit(build)
 
-    def overwrite(self, df: DataFrame, staged: bool = False) -> Snapshot:
-        files = self._write_data_files(df)
+    def overwrite(
+        self, df: DataFrame, staged: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        if partition_by is None:
+            partition_by = self.partition_spec()[0] or None
+        files = self._write_data_files(df, partition_by)
 
         def build():
+            summary = {"added_files": len(files)}
+            summary.update(self._partition_summary(df, partition_by))
             return self._make_snapshot(
                 "overwrite", tuple(files), df.schema.simpleString(), staged=staged,
-                summary={"added_files": len(files)},
+                summary=summary,
+            )
+
+        return self._retrying_commit(build)
+
+    def overwrite_partitions(self, df: DataFrame) -> Snapshot:
+        """Dynamic partition overwrite (≙ overwritePartitions): replace
+        only the partitions present in ``df``; files of untouched
+        partitions survive unchanged."""
+        partition_by, _ = self.partition_spec()
+        if not partition_by:
+            raise ValueError("table is not partitioned; use overwrite()")
+        new_files = self._write_data_files(df, partition_by)
+        replaced = {f.partition for f in new_files}
+
+        def build():
+            cur = self.current_snapshot()
+            kept = tuple(
+                f for f in (cur.manifest if cur else ()) if f.partition not in replaced
+            )
+            summary = {
+                "added_files": len(new_files),
+                "replaced_partitions": sorted(str(dict(p)) for p in replaced),
+            }
+            summary.update(self._partition_summary(df, partition_by))
+            return self._make_snapshot(
+                "overwrite_partitions", kept + tuple(new_files),
+                df.schema.simpleString(), summary=summary,
             )
 
         return self._retrying_commit(build)
@@ -362,19 +500,109 @@ class HyTable:
 
         return self._retrying_commit(build)
 
-    # ---- read operations ---------------------------------------------------
+    # ---- read operations + pruning -----------------------------------------
 
     def _paths(self, snap: Snapshot) -> list[str]:
         return [os.path.join(self.root, f.path) for f in snap.manifest]
+
+    @staticmethod
+    def _file_may_match(
+        f: DataFileRef, preds: list[tuple[str, str, object]]
+    ) -> bool:
+        """Manifest-level pruning: False only when the file PROVABLY has no
+        matching row (partition value or footer min/max excludes the
+        predicate).  Missing stats ⇒ keep the file (safe)."""
+        part = dict(f.partition)
+        for col, op, val in preds:
+            if col in part:
+                raw = part[col]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return False  # null partition never matches these ops
+                try:
+                    pv = type(val)(raw) if not isinstance(val, str) else raw
+                except (TypeError, ValueError):
+                    continue
+                lo = hi = pv
+            else:
+                b = f.bounds(col)
+                if b is None:
+                    continue
+                lo, hi = b
+                if not isinstance(val, type(lo)) and not (
+                    isinstance(val, (int, float)) and isinstance(lo, (int, float))
+                ):
+                    continue
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        return True
+
+    def prune_files(
+        self, preds: list[tuple[str, str, object]], snap: Snapshot | None = None
+    ) -> list[DataFileRef]:
+        """Files that may contain rows matching ALL predicates
+        ((col, op, value) with op ∈ {=, <, <=, >, >=}) — the metadata
+        min/max pruning Iceberg manifests provide."""
+        snap = snap or self.current_snapshot()
+        if snap is None:
+            return []
+        return [f for f in snap.manifest if self._file_may_match(f, preds)]
+
+    @staticmethod
+    def _preds_to_column(preds: list[tuple[str, str, object]]):
+        ops = {
+            "=": lambda c, v: c == v,
+            "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v,
+            ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+        }
+        expr = F.lit(True)
+        for col, op, val in preds:
+            expr = expr & ops[op](F.col(col), F.lit(val))
+        return expr
+
+    def _read_refs(self, snap: Snapshot, refs: list[DataFileRef]) -> DataFrame:
+        """Read a file subset, reconstructing typed partition columns
+        (partitionBy strips them from the files)."""
+        if not refs:
+            return self.spark.createDataFrame([], snap.schema_ddl)
+        partition_by = list(snap.summary.get("partition_by", []))
+        ptypes = dict(snap.summary.get("partition_types", {}))
+        if not partition_by:
+            return self.spark.read.parquet(*[os.path.join(self.root, f.path) for f in refs])
+        groups: dict[tuple, list[str]] = {}
+        for f in refs:
+            groups.setdefault(f.partition, []).append(os.path.join(self.root, f.path))
+        out = None
+        for part, paths in sorted(groups.items()):
+            df = self.spark.read.parquet(*paths)
+            for col, raw in part:
+                typ = ptypes.get(col, "string")
+                lit = (
+                    F.lit(None) if raw == "__HIVE_DEFAULT_PARTITION__" else F.lit(raw)
+                )
+                df = df.withColumn(col, lit.cast(typ))
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read(
         self,
         snapshot_id: str | None = None,
         as_of_ms: int | None = None,
         seq: int | None = None,
+        preds: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """Scan — current snapshot, or time travel by id/seq/timestamp
-        (≙ VERSION AS OF / TIMESTAMP AS OF)."""
+        (≙ VERSION AS OF / TIMESTAMP AS OF).  ``preds`` prunes files via
+        manifest stats, then applies the residual filter."""
         if snapshot_id is not None:
             snap = self.snapshot_by_id(snapshot_id)
         elif seq is not None:
@@ -385,21 +613,117 @@ class HyTable:
             snap = self.current_snapshot()
             if snap is None:
                 raise NoSuchSnapshot("table has no visible snapshot")
-        paths = self._paths(snap)
-        if not paths:
-            return self.spark.createDataFrame([], snap.schema_ddl)
-        return self.spark.read.parquet(*paths)
+        refs = self.prune_files(preds, snap) if preds else list(snap.manifest)
+        df = self._read_refs(snap, refs)
+        return df.filter(self._preds_to_column(preds)) if preds else df
+
+    # ---- row-level operations (copy-on-write) ------------------------------
+
+    def delete_where(self, preds: list[tuple[str, str, object]]) -> Snapshot:
+        """Row-level DELETE as file-granular copy-on-write: only files
+        whose stats/partition overlap the predicate are rewritten; all
+        others carry over untouched (≙ Iceberg COW DELETE)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise NoSuchSnapshot("table is empty")
+        affected = self.prune_files(preds, cur)
+        if not affected:
+            return cur
+        keep_rows = self._read_refs(cur, affected).filter(
+            ~self._preds_to_column(preds)
+        )
+        partition_by = list(cur.summary.get("partition_by", [])) or None
+        new_files = (
+            self._write_data_files(keep_rows, partition_by)
+            if keep_rows.limit(1).count()
+            else []
+        )
+        affected_set = {f.path for f in affected}
+
+        def build():
+            head = self.current_snapshot()
+            untouched = tuple(f for f in head.manifest if f.path not in affected_set)
+            return self._make_snapshot(
+                "delete", untouched + tuple(new_files), head.schema_ddl,
+                summary={**{k: head.summary[k] for k in ("partition_by", "partition_types") if k in head.summary},
+                         "rewritten_files": len(affected), "new_files": len(new_files)},
+            )
+
+        return self._retrying_commit(build)
+
+    def update_where(
+        self, preds: list[tuple[str, str, object]], assignments: dict[str, str]
+    ) -> Snapshot:
+        """Row-level UPDATE (COW): rewrite affected files applying
+        ``assignments`` (column → SQL expression) to matching rows."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise NoSuchSnapshot("table is empty")
+        affected = self.prune_files(preds, cur)
+        if not affected:
+            return cur
+        match = self._preds_to_column(preds)
+        df = self._read_refs(cur, affected)
+        for col, expr in assignments.items():
+            df = df.withColumn(col, F.when(match, F.expr(expr)).otherwise(F.col(col)))
+        partition_by = list(cur.summary.get("partition_by", [])) or None
+        new_files = self._write_data_files(df, partition_by)
+        affected_set = {f.path for f in affected}
+
+        def build():
+            head = self.current_snapshot()
+            untouched = tuple(f for f in head.manifest if f.path not in affected_set)
+            return self._make_snapshot(
+                "update", untouched + tuple(new_files), head.schema_ddl,
+                summary={**{k: head.summary[k] for k in ("partition_by", "partition_types") if k in head.summary},
+                         "rewritten_files": len(affected), "new_files": len(new_files)},
+            )
+
+        return self._retrying_commit(build)
+
+    def merge(self, source: DataFrame, key_cols: list[str]) -> Snapshot:
+        """MERGE/upsert (COW): source rows replace matching target rows,
+        non-matching source rows insert.  File selection uses the
+        manifest key-range stats against the source's key bounds, so only
+        potentially-matching files rewrite — the rest carry over."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return self.create(source)
+        bounds = source.agg(
+            *[F.min(c).alias(f"_lo_{c}") for c in key_cols],
+            *[F.max(c).alias(f"_hi_{c}") for c in key_cols],
+        ).collect()[0]
+        preds = []
+        for c in key_cols:
+            lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+            if lo is not None:
+                preds.append((c, ">=", lo))
+                preds.append((c, "<=", hi))
+        affected = self.prune_files(preds, cur) if preds else list(cur.manifest)
+        target_rows = self._read_refs(cur, affected)
+        merged = target_rows.join(
+            source.select(key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(source)
+        partition_by = list(cur.summary.get("partition_by", [])) or None
+        new_files = self._write_data_files(merged, partition_by)
+        affected_set = {f.path for f in affected}
+
+        def build():
+            head = self.current_snapshot()
+            untouched = tuple(f for f in head.manifest if f.path not in affected_set)
+            return self._make_snapshot(
+                "merge", untouched + tuple(new_files), head.schema_ddl,
+                summary={**{k: head.summary[k] for k in ("partition_by", "partition_types") if k in head.summary},
+                         "rewritten_files": len(affected), "new_files": len(new_files)},
+            )
+
+        return self._retrying_commit(build)
 
     def incremental_read(self, from_seq: int, to_seq: int) -> DataFrame:
         """Rows in files added in (from_seq, to_seq] — the fast-forward
         diff read (doc :333; ReplicationPlanner's plan as a data scan)."""
         added = self.diff_files(from_seq, to_seq)
-        if not added:
-            to = self.snapshot_by_seq(to_seq)
-            return self.spark.createDataFrame([], to.schema_ddl)
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, f.path) for f in added]
-        )
+        return self._read_refs(self.snapshot_by_seq(to_seq), added)
 
     # ---- metadata tables (≙ t.files / t.snapshots / t.history) ------------
 

@@ -805,6 +805,98 @@ class HyTable:
         ])
         return self.spark.createDataFrame(rows, schema)
 
+    # ---- branches (≙ promote_to_regional_branch, doc :287-311) -------------
+
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(self.meta_dir, "branches", name)
+
+    def _branch_versions(self, name: str) -> list[str]:
+        d = self._branch_dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(f for f in os.listdir(d) if f.endswith(".json"))
+
+    def _advance_branch(self, name: str, snapshot_id: str) -> None:
+        """CAS-advance the branch pointer (O_EXCL versioned files — the
+        same register as main commits)."""
+        d = self._branch_dir(name)
+        os.makedirs(d, exist_ok=True)
+        n = len(self._branch_versions(name)) + 1
+        path = os.path.join(d, f"v{n:06d}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # raises on race
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"snapshot_id": snapshot_id}, fh)
+
+    def create_branch(self, name: str, seq: int | None = None) -> Snapshot:
+        """Branch from a snapshot (default: current head) — ≙ ALTER TABLE
+        CREATE BRANCH.  Branch state is a pointer; no data copies."""
+        if self._branch_versions(name):
+            raise FileExistsError(f"branch {name!r} already exists")
+        head = self.snapshot_by_seq(seq) if seq is not None else self.current_snapshot()
+        if head is None:
+            raise NoSuchSnapshot("cannot branch an empty table")
+        self._advance_branch(name, head.snapshot_id)
+        return head
+
+    def branch_head(self, name: str) -> Snapshot:
+        versions = self._branch_versions(name)
+        if not versions:
+            raise NoSuchSnapshot(f"branch {name!r}")
+        with open(os.path.join(self._branch_dir(name), versions[-1])) as fh:
+            return self.snapshot_by_id(json.load(fh)["snapshot_id"])
+
+    def append_to_branch(self, name: str, df: DataFrame) -> Snapshot:
+        """Append on a branch: the commit is staged (invisible to main
+        reads) and the branch pointer advances — the regional-branch write
+        of the geo design (writers never touch main directly)."""
+        head = self.branch_head(name)
+        files = self._write_data_files(df, list(head.summary.get("partition_by", [])) or None)
+
+        def build():
+            return self._make_snapshot(
+                "branch_append", head.manifest + tuple(files), df.schema.simpleString(),
+                staged=True, parent=head.snapshot_id,
+                summary={**head.summary, "branch": name},
+            )
+
+        snap = self._retrying_commit(build)
+        self._advance_branch(name, snap.snapshot_id)
+        return snap
+
+    def read_branch(self, name: str) -> DataFrame:
+        head = self.branch_head(name)
+        return self._read_refs(head, list(head.manifest))
+
+    def _is_ancestor(self, ancestor_id: str | None, snap: Snapshot) -> bool:
+        seen: Snapshot | None = snap
+        ids = {s.snapshot_id: s for s in self.snapshots()}
+        while seen is not None:
+            if seen.snapshot_id == ancestor_id:
+                return True
+            seen = ids.get(seen.parent_id) if seen.parent_id else None
+        return ancestor_id is None
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Fast-forward main to the branch head — the CAS promote with
+        ancestry check (expected_hash semantics): refuses if main moved
+        past the branch point (diverged)."""
+        bh = self.branch_head(name)
+        main = self.current_snapshot()
+        main_id = main.snapshot_id if main else None
+        if not self._is_ancestor(main_id, bh):
+            raise CommitConflict(
+                f"branch {name!r} does not descend from main head; cannot fast-forward"
+            )
+
+        def build():
+            return self._make_snapshot(
+                "fast_forward", bh.manifest, bh.schema_ddl,
+                summary={**{k: v for k, v in bh.summary.items() if k != "branch"},
+                         "fast_forwarded_from": name},
+            )
+
+        return self._retrying_commit(build)
+
     # ---- maintenance: expiry + orphans (≙ GC family) -----------------------
 
     def expire_snapshots(

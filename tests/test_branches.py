@@ -1,0 +1,57 @@
+"""Branch writes + fast-forward — ≙ promote_to_regional_branch
+(iceberg-arch-geo-distributed-ha.md:287-311): regional writers commit to
+a branch; main advances only by verified CAS fast-forward."""
+
+import pytest
+
+from iceberg_hybrid_spark.lake.table import CommitConflict, HyTable, NoSuchSnapshot
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.range(0, 100).toDF("id"))
+    return t
+
+
+def test_branch_write_invisible_to_main(spark, table):
+    table.create_branch("eu_replica")
+    table.append_to_branch("eu_replica", spark.range(100, 150).toDF("id"))
+    assert table.read().count() == 100          # main unchanged
+    assert table.read_branch("eu_replica").count() == 150
+
+
+def test_fast_forward_publishes_branch(spark, table):
+    table.create_branch("eu_replica")
+    table.append_to_branch("eu_replica", spark.range(100, 150).toDF("id"))
+    table.append_to_branch("eu_replica", spark.range(150, 160).toDF("id"))
+    snap = table.fast_forward("eu_replica")
+    assert snap.operation == "fast_forward"
+    assert table.read().count() == 160
+
+
+def test_fast_forward_rejects_diverged_main(spark, table):
+    table.create_branch("eu_replica")
+    table.append_to_branch("eu_replica", spark.range(100, 150).toDF("id"))
+    # main moves independently → branch no longer descends from main head
+    table.append(spark.range(1000, 1010).toDF("id"))
+    with pytest.raises(CommitConflict, match="does not descend"):
+        table.fast_forward("eu_replica")
+
+
+def test_branch_requires_existing_table(spark, tmp_path):
+    t = HyTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(NoSuchSnapshot):
+        t.create_branch("b")
+
+
+def test_duplicate_branch_rejected(table):
+    table.create_branch("b")
+    with pytest.raises(FileExistsError):
+        table.create_branch("b")
+
+
+def test_branch_from_historical_seq(spark, table):
+    table.append(spark.range(100, 200).toDF("id"))
+    table.create_branch("old", seq=1)
+    assert table.read_branch("old").count() == 100

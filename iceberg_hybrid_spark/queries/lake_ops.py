@@ -1,0 +1,124 @@
+"""Table-format lifecycle queries — §2.A operators surfaced through the
+driver's correctness gate.
+
+Each query materializes a scratch HyTable under /tmp from the (seeded,
+deterministic) testdata, drives the snapshot lifecycle, and returns a
+deterministic projection (operations, row counts — never uuids or
+timestamps), so the DuckDB oracle can be written as a literal golden
+VALUES table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lake.table import HyTable
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+
+def _scratch(prefix: str) -> str:
+    root = os.path.join(tempfile.gettempdir(), "ihs_lake_ops", prefix)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create → append → delete → time-travel: history as (seq, operation,
+    total_rows) — the commit-log surface (getCommitHistory)."""
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    region = load_table(spark, sf_dir, "region").coalesce(1)
+    t = HyTable(spark, _scratch("lifecycle"))
+    t.create(nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")))
+    t.append(region.select(F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")))
+    t.delete_where([("k", "<", 3)])
+    return (
+        t.history()
+        .select(
+            F.col("sequence_number").alias("seq"),
+            F.col("operation"),
+            F.col("total_rows"),
+        )
+        .orderBy("seq")
+    )
+
+
+SNAPSHOT_LIFECYCLE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'create', CAST((SELECT COUNT(*) FROM nation) AS BIGINT)),
+  (CAST(2 AS BIGINT), 'append',
+   CAST((SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS BIGINT)),
+  (CAST(3 AS BIGINT), 'delete',
+   CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey >= 3)
+        + (SELECT COUNT(*) FROM region WHERE r_regionkey >= 3) AS BIGINT))
+) AS t(seq, operation, total_rows)
+ORDER BY seq
+"""
+
+
+def snapshot_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read between two snapshots returns exactly the appended
+    rows — the ReplicationPlanner diff as a data scan."""
+    cust = load_table(spark, sf_dir, "customer").coalesce(1)
+    t = HyTable(spark, _scratch("diff"))
+    t.create(cust.filter(F.col("c_custkey") <= 50).select("c_custkey", "c_name"))
+    t.append(cust.filter(F.col("c_custkey") > 50).select("c_custkey", "c_name"))
+    return t.incremental_read(1, 2).orderBy("c_custkey")
+
+
+SNAPSHOT_DIFF_SQL = """
+SELECT c_custkey, c_name FROM customer WHERE c_custkey > 50 ORDER BY c_custkey
+"""
+
+
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF: read seq 1 after later overwrites."""
+    supp = load_table(spark, sf_dir, "supplier").coalesce(1)
+    t = HyTable(spark, _scratch("tt"))
+    t.create(supp.select("s_suppkey", "s_name"))
+    t.overwrite(supp.filter(F.col("s_suppkey") == 1).select("s_suppkey", "s_name"))
+    return t.read(seq=1).orderBy("s_suppkey")
+
+
+TIME_TRAVEL_SQL = """
+SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey
+"""
+
+
+def merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics check: upsert modified + new rows over region."""
+    region = load_table(spark, sf_dir, "region").coalesce(1)
+    t = HyTable(spark, _scratch("merge"))
+    t.create(region.select(F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")))
+    source = spark.createDataFrame(
+        [(0, "REGION_ZERO_UPDATED"), (99, "NEW_REGION")], "k int, name string"
+    )
+    t.merge(source, ["k"])
+    return t.read().orderBy("k")
+
+
+MERGE_UPSERT_SQL = """
+SELECT * FROM (
+  SELECT r_regionkey AS k, r_name AS name FROM region WHERE r_regionkey <> 0
+  UNION ALL
+  SELECT * FROM (VALUES (0, 'REGION_ZERO_UPDATED'), (99, 'NEW_REGION')) v(k, name)
+) m
+ORDER BY k
+"""
+
+
+SPECS = [
+    QuerySpec("snapshot_lifecycle", snapshot_lifecycle, SNAPSHOT_LIFECYCLE_SQL,
+              "commit log: create/append/delete history"),
+    QuerySpec("snapshot_diff_rows", snapshot_diff_rows, SNAPSHOT_DIFF_SQL,
+              "incremental read between snapshots (ReplicationPlanner diff)"),
+    QuerySpec("time_travel_read", time_travel_read, TIME_TRAVEL_SQL,
+              "VERSION AS OF read after overwrite"),
+    QuerySpec("merge_upsert_result", merge_upsert_result, MERGE_UPSERT_SQL,
+              "MERGE upsert row-level semantics"),
+]

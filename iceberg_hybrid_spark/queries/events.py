@@ -92,6 +92,56 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h-window/1h-slide counts: each event lands in two
+    epoch-aligned windows (streaming F.window(slide) semantics, batch
+    form).  Oracle replicates via a 2-element unnest of window starts."""
+    ev = _ev(spark, sf_dir)
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT window_start,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 2) AS total_value
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         value
+  FROM events
+) w
+GROUP BY window_start ORDER BY window_start
+"""
+
+
+def approx_vs_exact_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) next to the exact count — the
+    at-scale distinct-count path (rows-only: sketch estimates are
+    engine-specific; the exact column pins correctness in tests)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(F.abs(F.col("approx_users") - F.col("exact_users"))
+                    / F.col("exact_users"), 4),
+        )
+        .orderBy("event_type")
+    )
+
+
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity gap) via lag + running
     sum — the batch shadow of a session_window streaming aggregation."""
@@ -254,6 +304,10 @@ SPECS = [
               "tumbling 1h window aggregation"),
     QuerySpec("events_daily_by_type", events_daily_by_type, EVENTS_DAILY_SQL,
               "daily×type bucketing"),
+    QuerySpec("events_sliding_window", events_sliding_window, EVENTS_SLIDING_SQL,
+              "sliding 2h/1h window counts"),
+    QuerySpec("approx_vs_exact_users", approx_vs_exact_users, None,
+              "HLL approx_count_distinct vs exact (rows-only)"),
     QuerySpec("user_sessions", user_sessions, USER_SESSIONS_SQL,
               "gap-based sessionization via lag + running sum"),
     QuerySpec("event_type_transitions", event_type_transitions,

@@ -1,0 +1,55 @@
+"""Regenerate docs/PLANS.md — formatted physical plans for key queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from iceberg_hybrid_spark.queries import all_specs  # noqa: E402
+from iceberg_hybrid_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "parts_never_ordered",
+    "embedding_topk_cosine",
+]
+
+HEADER = """# Physical plan audit (sf0.1, AQE on)
+
+Captured via .explain("formatted"); evidence that filters/projections
+push into the parquet scans, dimension joins broadcast, anti-joins use
+broadcast hash, and top-k compiles to TakeOrderedAndProject.  Regenerate
+with: python tools/capture_plans.py
+"""
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    specs = all_specs()
+    out = [HEADER, "```"]
+    for name in QUERIES:
+        df = specs[name].fn(spark, "/root/testdata/sf0.1")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
+        tree, _, details = text.partition("\n\n")
+        out.append(f"===== {name} =====")
+        out.append(tree)
+        for line in details.splitlines():
+            ls = line.strip()
+            if ls.startswith(("PushedFilters", "ReadSchema", "Location")):
+                out.append("    " + ls[:160])
+        out.append("")
+    out.append("```")
+    with open("/root/repo/docs/PLANS.md", "w") as fh:
+        fh.write("\n".join(out))
+    print("wrote docs/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,14 @@ class DataFileRef:
     row_count: int
     stats: tuple[tuple[str, object, object], ...] = ()  # (col, min, max)
     partition: tuple[tuple[str, str], ...] = ()  # (col, value-as-string)
+    # ≙ reference ContentType (legacy ContentType.java:2):
+    # data | equality_delete | position_delete
+    content: str = "data"
+    # for equality deletes: the identity columns the delete rows match on
+    delete_cols: tuple[str, ...] = ()
+    # sequence the file was added at — deletes only apply to data files
+    # with added_seq <= the delete's added_seq (Iceberg sequence rule)
+    added_seq: int = 0
 
     def to_json(self) -> dict:
         return {
@@ -86,6 +94,9 @@ class DataFileRef:
             "row_count": self.row_count,
             "stats": [[c, lo, hi] for c, lo, hi in self.stats],
             "partition": [[c, v] for c, v in self.partition],
+            "content": self.content,
+            "delete_cols": list(self.delete_cols),
+            "added_seq": self.added_seq,
         }
 
     @staticmethod
@@ -94,6 +105,9 @@ class DataFileRef:
             d["path"], d["size_bytes"], d["row_count"],
             tuple((c, lo, hi) for c, lo, hi in d.get("stats", [])),
             tuple((c, v) for c, v in d.get("partition", [])),
+            d.get("content", "data"),
+            tuple(d.get("delete_cols", [])),
+            d.get("added_seq", 0),
         )
 
     def bounds(self, col: str) -> tuple[object, object] | None:
@@ -333,11 +347,18 @@ class HyTable:
         seq: int | None = None,
         parent: str | None = None,
     ) -> Snapshot:
+        import dataclasses
+
         snaps = self.snapshots()
         if seq is None:
             seq = (snaps[-1].sequence_number + 1) if snaps else 1
         if parent is None and snaps:
             parent = snaps[-1].snapshot_id
+        # stamp newly-added files (added_seq 0) with this commit's sequence
+        manifest = tuple(
+            dataclasses.replace(f, added_seq=seq) if f.added_seq == 0 else f
+            for f in manifest
+        )
         return Snapshot(
             snapshot_id=f"commit-{uuid.uuid4()}",
             sequence_number=seq,
@@ -544,16 +565,24 @@ class HyTable:
                 return False
         return True
 
+    @staticmethod
+    def data_files(snap: Snapshot) -> list[DataFileRef]:
+        return [f for f in snap.manifest if f.content == "data"]
+
+    @staticmethod
+    def delete_files(snap: Snapshot, content: str) -> list[DataFileRef]:
+        return [f for f in snap.manifest if f.content == content]
+
     def prune_files(
         self, preds: list[tuple[str, str, object]], snap: Snapshot | None = None
     ) -> list[DataFileRef]:
-        """Files that may contain rows matching ALL predicates
+        """Data files that may contain rows matching ALL predicates
         ((col, op, value) with op ∈ {=, <, <=, >, >=}) — the metadata
         min/max pruning Iceberg manifests provide."""
         snap = snap or self.current_snapshot()
         if snap is None:
             return []
-        return [f for f in snap.manifest if self._file_may_match(f, preds)]
+        return [f for f in self.data_files(snap) if self._file_may_match(f, preds)]
 
     @staticmethod
     def _preds_to_column(preds: list[tuple[str, str, object]]):
@@ -569,21 +598,55 @@ class HyTable:
             expr = expr & ops[op](F.col(col), F.lit(val))
         return expr
 
-    def _read_refs(self, snap: Snapshot, refs: list[DataFileRef]) -> DataFrame:
+    def _read_refs(
+        self, snap: Snapshot, refs: list[DataFileRef], with_meta: bool = False
+    ) -> DataFrame:
         """Read a file subset, reconstructing typed partition columns
-        (partitionBy strips them from the files)."""
+        (partitionBy strips them from the files).  ``with_meta`` adds
+        ``__file`` (table-relative path), ``__pos`` (row index within the
+        file) and ``__seq`` (the file's added_seq) — the identity columns
+        position deletes and sequence rules need."""
         if not refs:
-            return self.spark.createDataFrame([], snap.schema_ddl)
+            df = self.spark.createDataFrame([], snap.schema_ddl)
+            if with_meta:
+                df = (
+                    df.withColumn("__file", F.lit(None).cast("string"))
+                    .withColumn("__pos", F.lit(None).cast("long"))
+                    .withColumn("__seq", F.lit(None).cast("long"))
+                )
+            return df
         partition_by = list(snap.summary.get("partition_by", []))
         ptypes = dict(snap.summary.get("partition_types", {}))
+        seq_by_path = {f.path: f.added_seq for f in refs}
+
+        def _load(paths: list[str]) -> DataFrame:
+            df = self.spark.read.parquet(*paths)
+            if with_meta:
+                # greedy .*/ anchors on the LAST data/ segment → the
+                # table-relative path, independent of URI scheme/root
+                df = df.withColumns({
+                    "__file": F.regexp_extract(
+                        F.col("_metadata.file_path"), r".*/(data/.*)$", 1
+                    ),
+                    "__pos": F.col("_metadata.row_index"),
+                })
+                seq_map = F.create_map(
+                    *[x for p in paths for x in (
+                        F.lit(os.path.relpath(p, self.root)),
+                        F.lit(seq_by_path[os.path.relpath(p, self.root)]),
+                    )]
+                )
+                df = df.withColumn("__seq", seq_map[F.col("__file")].cast("long"))
+            return df
+
         if not partition_by:
-            return self.spark.read.parquet(*[os.path.join(self.root, f.path) for f in refs])
+            return _load([os.path.join(self.root, f.path) for f in refs])
         groups: dict[tuple, list[str]] = {}
         for f in refs:
             groups.setdefault(f.partition, []).append(os.path.join(self.root, f.path))
         out = None
         for part, paths in sorted(groups.items()):
-            df = self.spark.read.parquet(*paths)
+            df = _load(paths)
             for col, raw in part:
                 typ = ptypes.get(col, "string")
                 lit = (
@@ -613,9 +676,44 @@ class HyTable:
             snap = self.current_snapshot()
             if snap is None:
                 raise NoSuchSnapshot("table has no visible snapshot")
-        refs = self.prune_files(preds, snap) if preds else list(snap.manifest)
-        df = self._read_refs(snap, refs)
+        refs = self.prune_files(preds, snap) if preds else self.data_files(snap)
+        eq_dels = self.delete_files(snap, "equality_delete")
+        pos_dels = self.delete_files(snap, "position_delete")
+        df = self._read_refs(snap, refs, with_meta=bool(eq_dels or pos_dels))
+        df = self._apply_mor_deletes(snap, df, eq_dels, pos_dels)
         return df.filter(self._preds_to_column(preds)) if preds else df
+
+    def _apply_mor_deletes(
+        self,
+        snap: Snapshot,
+        df: DataFrame,
+        eq_dels: list[DataFileRef],
+        pos_dels: list[DataFileRef],
+    ) -> DataFrame:
+        """Merge-on-read: subtract delete-file rows from the scan.
+
+        Equality deletes anti-join on their identity columns; position
+        deletes anti-join on (file, row-position).  Both honor the
+        sequence rule: a delete applies only to data files added at or
+        before the delete (``__seq <= delete.added_seq``), so re-inserted
+        keys survive.  Delete files are small → broadcast anti-joins.
+        """
+        if not eq_dels and not pos_dels:
+            return df
+        for ref in eq_dels:
+            cols = list(ref.delete_cols)
+            del_rows = self.spark.read.parquet(os.path.join(self.root, ref.path))
+            applies = F.col("__seq") <= F.lit(ref.added_seq)
+            old = df.filter(applies)
+            new = df.filter(~applies)
+            old = old.join(F.broadcast(del_rows.select(cols).distinct()), cols, "left_anti")
+            df = old.unionByName(new)
+        if pos_dels:
+            del_rows = self.spark.read.parquet(
+                *[os.path.join(self.root, r.path) for r in pos_dels]
+            ).selectExpr("file_path AS __file", "pos AS __pos").distinct()
+            df = df.join(F.broadcast(del_rows), ["__file", "__pos"], "left_anti")
+        return df.drop("__file", "__pos", "__seq")
 
     # ---- row-level operations (copy-on-write) ------------------------------
 
@@ -804,6 +902,73 @@ class HyTable:
             SPARK_T.StructField("change", SPARK_T.StringType()),
         ])
         return self.spark.createDataFrame(rows, schema)
+
+    # ---- merge-on-read deletes (≙ ContentType POSITION/EQUALITY_DELETE) ----
+
+    def _write_delete_file(
+        self, rows: DataFrame, content: str, delete_cols: tuple[str, ...]
+    ) -> DataFileRef | None:
+        import dataclasses
+
+        refs = self._write_data_files(rows)
+        if not refs:
+            return None
+        if len(refs) > 1:  # tiny files; keep one ref per delete commit
+            refs = self._write_data_files(rows.coalesce(1))
+        return dataclasses.replace(
+            refs[0], content=content, delete_cols=delete_cols, added_seq=0
+        )
+
+    def delete_where_mor(
+        self, preds: list[tuple[str, str, object]], delete_cols: list[str]
+    ) -> Snapshot:
+        """Merge-on-read DELETE via an EQUALITY delete file: write the
+        identity values of matching rows; scans subtract them until
+        compaction materializes the delete.  O(matching keys) write
+        instead of rewriting data files — the streaming-upsert-friendly
+        path (≙ FileRef.ContentType EQUALITY_DELETE)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise NoSuchSnapshot("table is empty")
+        matching = self.read(preds=preds).select(delete_cols).distinct().coalesce(1)
+        ref = self._write_delete_file(matching, "equality_delete", tuple(delete_cols))
+        if ref is None or ref.row_count == 0:
+            return cur
+
+        def build():
+            head = self.current_snapshot()
+            return self._make_snapshot(
+                "delete_mor", head.manifest + (ref,), head.schema_ddl,
+                summary={**head.summary, "delete_rows": ref.row_count},
+            )
+
+        return self._retrying_commit(build)
+
+    def delete_positions_mor(self, preds: list[tuple[str, str, object]]) -> Snapshot:
+        """Merge-on-read DELETE via a POSITION delete file: (file, row
+        position) pairs of matching rows (≙ POSITION_DELETE)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise NoSuchSnapshot("table is empty")
+        affected = self.prune_files(preds, cur)
+        rows = (
+            self._read_refs(cur, affected, with_meta=True)
+            .filter(self._preds_to_column(preds))
+            .selectExpr("__file AS file_path", "__pos AS pos")
+            .coalesce(1)
+        )
+        ref = self._write_delete_file(rows, "position_delete", ())
+        if ref is None or ref.row_count == 0:
+            return cur
+
+        def build():
+            head = self.current_snapshot()
+            return self._make_snapshot(
+                "delete_mor", head.manifest + (ref,), head.schema_ddl,
+                summary={**head.summary, "delete_rows": ref.row_count},
+            )
+
+        return self._retrying_commit(build)
 
     # ---- branches (≙ promote_to_regional_branch, doc :287-311) -------------
 

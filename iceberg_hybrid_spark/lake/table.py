@@ -398,6 +398,15 @@ class HyTable:
         }
         return {"partition_by": list(partition_by), "partition_types": types}
 
+    _CARRY_KEYS = ("partition_by", "partition_types", "table_schema", "renames")
+
+    def _carry_summary(self, head: "Snapshot | None") -> dict:
+        """Metadata every commit must carry forward from its parent:
+        partition spec + evolved schema + rename history."""
+        if head is None:
+            return {}
+        return {k: head.summary[k] for k in self._CARRY_KEYS if k in head.summary}
+
     def partition_spec(self) -> tuple[list[str], dict[str, str]]:
         """The table's partition columns + types (from the latest summary)."""
         cur = self.current_snapshot()
@@ -426,7 +435,7 @@ class HyTable:
         def build():
             cur = self.current_snapshot()
             manifest = (cur.manifest if cur else ()) + tuple(files)
-            summary = {"added_files": len(files)}
+            summary = {**self._carry_summary(cur), "added_files": len(files)}
             summary.update(self._partition_summary(df, partition_by))
             return self._make_snapshot(
                 "append", manifest, df.schema.simpleString(), staged=staged,
@@ -444,7 +453,8 @@ class HyTable:
         files = self._write_data_files(df, partition_by)
 
         def build():
-            summary = {"added_files": len(files)}
+            head = self.current_snapshot()
+            summary = {**self._carry_summary(head), "added_files": len(files)}
             summary.update(self._partition_summary(df, partition_by))
             return self._make_snapshot(
                 "overwrite", tuple(files), df.schema.simpleString(), staged=staged,
@@ -469,6 +479,7 @@ class HyTable:
                 f for f in (cur.manifest if cur else ()) if f.partition not in replaced
             )
             summary = {
+                **self._carry_summary(cur),
                 "added_files": len(new_files),
                 "replaced_partitions": sorted(str(dict(p)) for p in replaced),
             }
@@ -496,7 +507,7 @@ class HyTable:
         def build():
             return self._make_snapshot(
                 "publish", staged.manifest, staged.schema_ddl,
-                summary={"published_from": snapshot_id},
+                summary={**self._carry_summary(staged), "published_from": snapshot_id},
             )
 
         return self._retrying_commit(build)
@@ -516,7 +527,8 @@ class HyTable:
         def build():
             return self._make_snapshot(
                 "replace", tuple(files), cur.schema_ddl,
-                summary={"compacted_from": len(cur.manifest), "to": len(files)},
+                summary={**self._carry_summary(cur),
+                         "compacted_from": len(cur.manifest), "to": len(files)},
             )
 
         return self._retrying_commit(build)
@@ -639,13 +651,20 @@ class HyTable:
                 df = df.withColumn("__seq", seq_map[F.col("__file")].cast("long"))
             return df
 
-        if not partition_by:
+        has_evolution = bool(snap.summary.get("table_schema"))
+        if not partition_by and not has_evolution:
             return _load([os.path.join(self.root, f.path) for f in refs])
+        # group by (partition values, schema epoch): files written under
+        # different schemas or partitions load separately, get adapted to
+        # the target schema, then union
         groups: dict[tuple, list[str]] = {}
         for f in refs:
-            groups.setdefault(f.partition, []).append(os.path.join(self.root, f.path))
+            epoch = f.added_seq if has_evolution else 0
+            groups.setdefault((f.partition, epoch), []).append(
+                os.path.join(self.root, f.path)
+            )
         out = None
-        for part, paths in sorted(groups.items()):
+        for (part, epoch), paths in sorted(groups.items()):
             df = _load(paths)
             for col, raw in part:
                 typ = ptypes.get(col, "string")
@@ -653,6 +672,8 @@ class HyTable:
                     F.lit(None) if raw == "__HIVE_DEFAULT_PARTITION__" else F.lit(raw)
                 )
                 df = df.withColumn(col, lit.cast(typ))
+            if has_evolution:
+                df = self._adapt_to_schema(df, snap, epoch)
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -743,7 +764,7 @@ class HyTable:
             untouched = tuple(f for f in head.manifest if f.path not in affected_set)
             return self._make_snapshot(
                 "delete", untouched + tuple(new_files), head.schema_ddl,
-                summary={**{k: head.summary[k] for k in ("partition_by", "partition_types") if k in head.summary},
+                summary={**self._carry_summary(head),
                          "rewritten_files": len(affected), "new_files": len(new_files)},
             )
 
@@ -773,7 +794,7 @@ class HyTable:
             untouched = tuple(f for f in head.manifest if f.path not in affected_set)
             return self._make_snapshot(
                 "update", untouched + tuple(new_files), head.schema_ddl,
-                summary={**{k: head.summary[k] for k in ("partition_by", "partition_types") if k in head.summary},
+                summary={**self._carry_summary(head),
                          "rewritten_files": len(affected), "new_files": len(new_files)},
             )
 
@@ -811,7 +832,7 @@ class HyTable:
             untouched = tuple(f for f in head.manifest if f.path not in affected_set)
             return self._make_snapshot(
                 "merge", untouched + tuple(new_files), head.schema_ddl,
-                summary={**{k: head.summary[k] for k in ("partition_by", "partition_types") if k in head.summary},
+                summary={**self._carry_summary(head),
                          "rewritten_files": len(affected), "new_files": len(new_files)},
             )
 
@@ -902,6 +923,108 @@ class HyTable:
             SPARK_T.StructField("change", SPARK_T.StringType()),
         ])
         return self.spark.createDataFrame(rows, schema)
+
+    # ---- schema evolution (≙ schema travels with each TableMetadata) -------
+    #
+    # The reference attaches a schema string to every commit
+    # (TableMetadata.scala:15); evolution here is metadata-only commits:
+    # summary["table_schema"] is the ordered (name, type) target and
+    # summary["renames"] the history [(effective_seq, old, new), ...].
+    # Old data files are adapted at read time (rename mapping + null-fill
+    # for added columns) — no data rewrite, like Iceberg's field-id
+    # evolution.
+
+    def table_schema(self, snap: Snapshot | None = None) -> list[tuple[str, str]]:
+        snap = snap or self.current_snapshot()
+        if snap is None:
+            raise NoSuchSnapshot("table is empty")
+        cols = snap.summary.get("table_schema")
+        if cols:
+            return [(c, t) for c, t in cols]
+        # derive from a data file footer via Spark schema
+        refs = self.data_files(snap)
+        if not refs:
+            return []
+        df = self.spark.read.parquet(os.path.join(self.root, refs[0].path))
+        out = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        for col in snap.summary.get("partition_by", []):
+            if col not in [c for c, _ in out]:
+                out.append((col, snap.summary.get("partition_types", {}).get(col, "string")))
+        return out
+
+    def _schema_change(self, mutate, op_detail: str) -> Snapshot:
+        cur = self.current_snapshot()
+        if cur is None:
+            raise NoSuchSnapshot("table is empty")
+        schema = self.table_schema(cur)
+        renames = [tuple(r) for r in cur.summary.get("renames", [])]
+
+        def build():
+            head = self.current_snapshot()
+            new_schema, new_renames = mutate(
+                list(schema), list(renames), head.sequence_number + 1
+            )
+            summary = {
+                **head.summary,
+                "table_schema": [[c, t] for c, t in new_schema],
+                "renames": [list(r) for r in new_renames],
+                "change": op_detail,
+            }
+            return self._make_snapshot(
+                "schema_change", head.manifest,
+                "struct<" + ",".join(f"{c}:{t}" for c, t in new_schema) + ">",
+                summary=summary,
+            )
+
+        return self._retrying_commit(build)
+
+    def add_column(self, name: str, ddl_type: str) -> Snapshot:
+        def mutate(schema, renames, _seq):
+            if any(c == name for c, _ in schema):
+                raise ValueError(f"column {name!r} already exists")
+            schema.append((name, ddl_type))
+            return schema, renames
+
+        return self._schema_change(mutate, f"add:{name}")
+
+    def drop_column(self, name: str) -> Snapshot:
+        def mutate(schema, renames, _seq):
+            if not any(c == name for c, _ in schema):
+                raise ValueError(f"no column {name!r}")
+            return [(c, t) for c, t in schema if c != name], renames
+
+        return self._schema_change(mutate, f"drop:{name}")
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        partition_by, _ = self.partition_spec()
+        if old in partition_by:
+            raise ValueError("renaming partition columns is not supported")
+
+        def mutate(schema, renames, seq):
+            if not any(c == old for c, _ in schema):
+                raise ValueError(f"no column {old!r}")
+            schema = [(new if c == old else c, t) for c, t in schema]
+            renames.append((seq, old, new))
+            return schema, renames
+
+        return self._schema_change(mutate, f"rename:{old}->{new}")
+
+    def _adapt_to_schema(self, df: DataFrame, snap: Snapshot, added_seq: int) -> DataFrame:
+        """Adapt a file-epoch DataFrame to the snapshot's target schema:
+        apply renames that became effective after the file was written,
+        then null-fill added columns and project the target order."""
+        target = self.table_schema(snap)
+        if not target:
+            return df
+        for eff_seq, old, new in [tuple(r) for r in snap.summary.get("renames", [])]:
+            if eff_seq > added_seq and old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        keep_meta = [c for c in ("__file", "__pos", "__seq") if c in df.columns]
+        cols = [
+            F.col(c).cast(t).alias(c) if c in df.columns else F.lit(None).cast(t).alias(c)
+            for c, t in target
+        ]
+        return df.select(*cols, *[F.col(m) for m in keep_meta])
 
     # ---- merge-on-read deletes (≙ ContentType POSITION/EQUALITY_DELETE) ----
 

@@ -76,6 +76,87 @@ def brute_force_topk(
     )
 
 
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    centroid_col: str = "ivf_centroid",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF index build: KMeans (pyspark.ml, seeded) partitions the corpus
+    into k inverted lists.  Returns (corpus with centroid assignment,
+    centroid vectors).  At 100 TB: train on a sample, assign with one
+    map-only pass, and write the corpus bucketed by the centroid id so
+    probes become partition-pruned scans."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    assembled = df.withColumn("_v", array_to_vector(as_double_array(vec_col)))
+    model = KMeans(
+        k=k, seed=seed, featuresCol="_v", predictionCol=centroid_col
+    ).fit(assembled)
+    assigned = model.transform(assembled).drop("_v")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "ivf_centroid",
+    query_id_col: str = "q_vec_id",
+) -> DataFrame:
+    """ANN search over the IVF index: each query probes its ``nprobe``
+    nearest centroids' lists only — candidate generation is an equi-join
+    on the centroid id (hash-partitioned), never a cross join.
+
+    The query set is small (serving batch): nearest centroids per query
+    are computed driver-side; everything corpus-sized stays distributed.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    q_rows = queries.select(
+        F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("_qv")
+    ).collect()
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb) if na and nb else 0.0
+
+    probe_pairs = []
+    for row in q_rows:
+        ranked = sorted(
+            range(len(centers)),
+            key=lambda c: (-cos(row["_qv"], centers[c]), c),
+        )
+        for c in ranked[:nprobe]:
+            probe_pairs.append((row[query_id_col], c, row["_qv"]))
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        probe_pairs, f"{query_id_col} long, {centroid_col} int, _qv array<double>"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), centroid_col)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine_sim", cosine(as_double_array(vec_col), F.col("_qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

@@ -339,7 +339,21 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded-KMeans inverted lists, nprobe=4 probes per query —
+    the trained-index scale path next to the LSH one (rows-only; recall
+    vs brute force pinned in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return S.ivf_topk(assigned, centers, queries, k=5, nprobe=3).orderBy(
+        "q_vec_id", "rank"
+    )
+
+
 SPECS = [
+    QuerySpec("embedding_ivf_ann", embedding_ivf_ann, None,
+              "IVF (KMeans inverted lists) ANN top-k (rows-only)"),
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,
               "token counting per language"),
     QuerySpec("doc_quality_scores", doc_quality_scores, DOC_QUALITY_SQL,

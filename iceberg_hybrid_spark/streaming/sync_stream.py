@@ -151,6 +151,56 @@ def status_transition_tracker(events: DataFrame) -> DataFrame:
     )
 
 
+# ---- streaming replication worker ------------------------------------------
+
+COMMIT_NOTIFICATION_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("table_name", SPARK_T.StringType()),
+    SPARK_T.StructField("target_seq", SPARK_T.LongType()),
+])
+
+
+def start_replication_stream(
+    spark: SparkSession,
+    notifications_dir: str,
+    resolve: Callable[[str], tuple],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """The streaming form of SyncOrchestrator.processPendingEvents
+    (SURVEY §3.2's prescribed translation): commit notifications arrive as
+    a file stream; each micro-batch drains them by running the replication
+    pipeline (plan → copy → verify → promote) per notified commit.
+
+    ``resolve(table_name) -> (src HyTable, dst HyTable)``.  Exactly-once:
+    the checkpoint tracks consumed notification files, and replication
+    itself is idempotent (skip-if-exists + staged promote).
+    """
+    from ..lake.replication import replicate
+
+    stream = spark.readStream.schema(COMMIT_NOTIFICATION_SCHEMA).parquet(
+        notifications_dir
+    )
+
+    def drain(batch_df: DataFrame, _batch_id: int) -> None:
+        # newest target_seq per table wins (fast-forward: intermediate
+        # versions are skipped — iceberg-arch-hybrid-replica-dr.md:140-142)
+        work = (
+            batch_df.groupBy("table_name")
+            .agg(F.max("target_seq").alias("target_seq"))
+            .collect()
+        )
+        for row in work:
+            src, dst = resolve(row.table_name)
+            replicate(spark, src, dst, target_seq=row.target_seq)
+
+    writer = stream.writeStream.foreachBatch(drain).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---- foreachBatch orchestration --------------------------------------------
 
 def sync_events_foreach_batch(

@@ -724,7 +724,9 @@ class HyTable:
         for ref in eq_dels:
             cols = list(ref.delete_cols)
             del_rows = self.spark.read.parquet(os.path.join(self.root, ref.path))
-            applies = F.col("__seq") <= F.lit(ref.added_seq)
+            # STRICTLY smaller sequence (Iceberg rule): a same-commit
+            # upsert's new data file is not hidden by its own delete file
+            applies = F.col("__seq") < F.lit(ref.added_seq)
             old = df.filter(applies)
             new = df.filter(~applies)
             old = old.join(F.broadcast(del_rows.select(cols).distinct()), cols, "left_anti")
@@ -1089,6 +1091,35 @@ class HyTable:
             return self._make_snapshot(
                 "delete_mor", head.manifest + (ref,), head.schema_ddl,
                 summary={**head.summary, "delete_rows": ref.row_count},
+            )
+
+        return self._retrying_commit(build)
+
+    def upsert_mor(self, source: DataFrame, key_cols: list[str]) -> Snapshot:
+        """Streaming-friendly MOR upsert (the Flink-CDC / equality-delete
+        write pattern): ONE commit adds the source rows as a data file plus
+        an equality-delete file of the source keys.  The delete (added at
+        the same sequence) hides older versions of those keys while the
+        new data file (same sequence, not "older") survives — no target
+        file is read or rewritten, O(source) work regardless of table
+        size."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return self.create(source)
+        partition_by, _ = self.partition_spec()
+        data_files = self._write_data_files(source, partition_by or None)
+        keys = source.select(key_cols).distinct().coalesce(1)
+        del_ref = self._write_delete_file(keys, "equality_delete", tuple(key_cols))
+
+        def build():
+            head = self.current_snapshot()
+            return self._make_snapshot(
+                "upsert_mor",
+                head.manifest + tuple(data_files) + ((del_ref,) if del_ref else ()),
+                source.schema.simpleString(),
+                summary={**self._carry_summary(head),
+                         "added_files": len(data_files),
+                         "delete_rows": del_ref.row_count if del_ref else 0},
             )
 
         return self._retrying_commit(build)

@@ -170,12 +170,16 @@ def near_dup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
+    )
+    # The pair rows are byte-small but compute-heavy (set intersection per
+    # row); AQE would coalesce them onto a couple of cores — spread the
+    # jaccard stage across the cluster explicitly.
+    scored = pairs.repartition(32).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         D.ngram_jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
     )
-    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+    return scored.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
 
 
 NEAR_DUP_SQL = f"""

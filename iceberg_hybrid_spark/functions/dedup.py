@@ -144,6 +144,66 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
     return fp
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Dedup clustering: connected components over near-dup pairs via
+    min-label propagation to a fixpoint.
+
+    Each iteration is one shuffle (groupBy min over neighbor labels);
+    iterations ≤ graph diameter — near-dup clusters are tiny and dense,
+    so a handful of rounds suffices even at corpus scale.  Returns
+    (node_id, component_id) with component_id = min member id.
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # self-edges keep isolated-in-batch nodes and their own label in play
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over its own and neighbors' labels
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("component"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per near-dup cluster (the min id) plus all
+    unclustered documents — the end step of the near-dup pipeline."""
+    from pyspark.sql import functions as F
+
+    victims = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(victims), id_col, "left_anti")
+
+
 def ngram_jaccard(a: Column, b: Column) -> Column:
     """Jaccard over two distinct-shingle arrays, rounded to 4dp
     (boundary-stable: see functions.text.ROUND_EPS)."""

@@ -220,6 +220,53 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity search ------------------------------------------------------
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup pipeline: MinHash-LSH candidates → exact
+    Jaccard verification → connected components → surviving corpus size
+    per cluster decision.  Iterative (non-SQL) → rows-only check;
+    cluster correctness pinned in tests with planted duplicate groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    verified = minhash_near_dup(spark, sf_dir)
+    comps = D.connected_components(verified, "id_a", "id_b")
+    kept = D.dedup_keep_canonical(docs, comps)
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("surviving_docs")))
+        .orderBy("component")
+    )
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: all pairs above a similarity
+    threshold (0.8), exact over the full pair space — the brute-force
+    verifier the LSH path approximates.  Deterministic rounded cutoff."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), S.as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), S.as_double_array("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors of vec_id=0 (brute-force baseline).
 
@@ -372,6 +419,10 @@ SPECS = [
               "blocked n-gram Jaccard near-dup pairs"),
     QuerySpec("minhash_near_dup", minhash_near_dup, None,
               "MinHash-LSH near-dup (rows-only; engine-specific hashes)"),
+    QuerySpec("near_dup_clusters", near_dup_clusters, None,
+              "LSH → verify → connected-components dedup (rows-only)"),
+    QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs,
+              EMBEDDING_NEAR_DUP_SQL, "embedding-cosine near-dup pairs"),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_SQL,
               "brute-force cosine top-k"),
     QuerySpec("embedding_multi_query_topk", embedding_multi_query_topk,

@@ -1,0 +1,53 @@
+"""Connected-components dedup clustering with planted duplicate groups."""
+
+import pytest
+
+from iceberg_hybrid_spark.functions import dedup as D
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    # two clusters: {1,2,3} (chain), {10,11}; isolated pair member 20-20 none
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+
+
+def test_connected_components(spark, pairs):
+    comps = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+
+
+def test_chain_longer_than_one_hop(spark):
+    # a 6-node path — takes several propagation rounds
+    edges = [(i, i + 1) for i in range(1, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    comps = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert set(comps.values()) == {1}
+
+
+def test_dedup_keep_canonical(spark, pairs):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    comps = D.connected_components(pairs)
+    kept = sorted(r.doc_id for r in D.dedup_keep_canonical(docs, comps).collect())
+    # one representative per cluster (min id) + untouched doc 99
+    assert kept == [1, 10, 99]
+
+
+def test_end_to_end_with_planted_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("lazy", "sleepy")),
+        (4, "totally different content about query engines and shuffles here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = D.minhash_lsh_candidates(docs, num_hashes=16, bands=8)
+    comps = D.connected_components(cands)
+    kept = sorted(r.doc_id for r in D.dedup_keep_canonical(docs, comps).collect())
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept  # exact dup removed

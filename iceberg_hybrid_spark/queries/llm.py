@@ -245,8 +245,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("id_a"), S.as_double_array("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), S.as_double_array("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    # byte-small but compute-heavy rows: spread cosines across cores
     return (
-        pairs.select(
+        pairs.repartition(32).select(
             "id_a", "id_b",
             S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
         )

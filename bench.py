@@ -65,11 +65,17 @@ def main() -> None:
 
     specs = all_specs()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = specs[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Two passes, min per query: the first pass can run in a degraded
+    # environment (page cache evicted / CPU busy from whatever the host
+    # ran just before bench); min-of-2 reports steady-state latency.
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = specs[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(

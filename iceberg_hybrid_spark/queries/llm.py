@@ -59,8 +59,8 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.token_count("text").alias("token_count"),
-        T.distinct_token_count("text").alias("distinct_tokens"),
+        T.token_count("text").cast("bigint").alias("token_count"),
+        T.distinct_token_count("text").cast("bigint").alias("distinct_tokens"),
         T.lexical_diversity("text").alias("lexical_diversity"),
         T.stopword_ratio("text").alias("stopword_ratio"),
         T.quality_score("text").alias("quality_score"),

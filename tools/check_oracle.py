@@ -45,7 +45,21 @@ def _table(rows, cols):
     return [cols[i] for i in order], out
 
 
-def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
+# physical-width families: if the driver compares pandas dtypes, int32 vs
+# int64 (Spark INT vs DuckDB BIGINT) would mismatch even when values agree
+_SPARK_WIDTH = {
+    "int": "i32", "bigint": "i64", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+_DUCK_WIDTH = {
+    "INTEGER": "i32", "BIGINT": "i64", "SMALLINT": "i16", "TINYINT": "i8",
+    "HUGEINT": "i128", "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str",
+    "BOOLEAN": "bool", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "DATE": "date",
+}
+
+
+def compare(name: str, spark_df, duck_rows, duck_cols, duck_types=None) -> list[str]:
     problems = []
     srows = [tuple(r) for r in spark_df.collect()]
     scols = [c.lower() for c in spark_df.columns]
@@ -53,6 +67,17 @@ def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
     if sorted(scols) != sorted(dcols):
         problems.append(f"schema mismatch: spark={sorted(scols)} duck={sorted(dcols)}")
         return problems
+    if duck_types is not None:
+        stypes = dict(zip(scols, [t for _, t in spark_df.dtypes]))
+        for col, dt in zip(dcols, duck_types):
+            sw = _SPARK_WIDTH.get(stypes.get(col, ""), stypes.get(col, ""))
+            dw = _DUCK_WIDTH.get(dt, dt)
+            if sw != dw and {sw, dw} & {"i8", "i16", "i32", "i64", "i128",
+                                        "f32", "f64", "str", "bool", "ts", "date"}:
+                problems.append(
+                    f"type width mismatch on {col!r}: spark={stypes.get(col)} "
+                    f"duck={dt}"
+                )
     if len(srows) != len(duck_rows):
         problems.append(f"row count: spark={len(srows)} duck={len(duck_rows)}")
     _, st = _table(srows, scols)
@@ -91,10 +116,11 @@ def main():
                 print(f"  ~ {name}: rows-only ({n} rows) [{time.time()-t0:.1f}s]")
                 rows_only += 1
                 continue
-            rel = con.execute(oracles[name])
-            duck_cols = [d[0] for d in rel.description]
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_types = [str(t) for t in rel.types]
             duck_rows = rel.fetchall()
-            problems = compare(name, df, duck_rows, duck_cols)
+            problems = compare(name, df, duck_rows, duck_cols, duck_types)
         except Exception as e:
             problems = [f"EXCEPTION: {type(e).__name__}: {str(e)[:500]}"]
         dt = time.time() - t0

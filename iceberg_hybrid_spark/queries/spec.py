@@ -20,13 +20,16 @@ def all_specs() -> dict[str, QuerySpec]:
     """Assemble the full registry (imported lazily to keep startup light)."""
     from . import advanced as _advanced
     from . import events as _events
+    from . import functions_showcase as _showcase
     from . import lake_ops as _lake_ops
     from . import llm as _llm
     from . import multimodal as _multimodal
     from . import relational as _relational
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (_relational, _events, _llm, _advanced, _multimodal, _lake_ops):
+    for mod in (
+        _relational, _events, _llm, _advanced, _multimodal, _lake_ops, _showcase
+    ):
         for spec in mod.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name!r}")

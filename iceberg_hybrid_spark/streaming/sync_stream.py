@@ -94,6 +94,34 @@ def session_window_counts(
     )
 
 
+def clicks_to_purchases_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to same-user
+    clicks in the preceding ``within`` window.  Watermarks on both sides
+    bound the join state (late rows beyond the watermark are dropped and
+    state for closed intervals is evicted)."""
+    c = (
+        clicks.withWatermark("ts", within)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 # ---- stateful status tracking (applyInPandasWithState) ---------------------
 
 TRACKER_OUTPUT_SCHEMA = SPARK_T.StructType([

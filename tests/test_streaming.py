@@ -153,3 +153,23 @@ def test_late_data_dropped_past_watermark(spark, events_dir, tmp_path):
     _write_events(spark, events_dir, [(3, _ts(30, hour=10), 1, "click", 99.0)])
     run_once()
     assert not any(r.window_start.hour == 10 for r in collected)
+
+
+def test_stream_stream_interval_join(spark, events_dir, tmp_path):
+    """Purchases joined to same-user clicks within the preceding hour —
+    stream-stream join with watermark-bounded state."""
+    from iceberg_hybrid_spark.streaming.sync_stream import clicks_to_purchases_join
+
+    _write_events(spark, events_dir, [
+        (1, _ts(0), 7, "click", 1.0),
+        (2, _ts(30), 7, "purchase", 9.0),   # matches click 1 (30 min gap)
+        (3, _ts(0, hour=13), 7, "purchase", 5.0),  # no click within 1h
+        (4, _ts(10), 8, "click", 1.0),      # other user
+    ])
+    stream = ST.read_event_stream(spark, events_dir)
+    clicks = stream.filter("event_type = 'click'")
+    purchases = stream.filter("event_type = 'purchase'")
+    joined = clicks_to_purchases_join(clicks, purchases, "1 hour")
+    out = _run_to_memory(spark, joined, "ssjoin", str(tmp_path / "cp6"), "append").collect()
+    assert len(out) == 1
+    assert out[0].purchase_id == 2 and out[0].click_id == 1

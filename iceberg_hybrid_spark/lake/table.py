@@ -512,26 +512,104 @@ class HyTable:
 
         return self._retrying_commit(build)
 
-    def rewrite_data_files(self, target_file_size_bytes: int = 256 * 1024 * 1024) -> Snapshot:
+    def rewrite_data_files(
+        self,
+        target_file_size_bytes: int = 256 * 1024 * 1024,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> Snapshot:
         """Compaction (≙ rewrite_data_files; doc :1111-1115): rewrite the
         current snapshot's data into ~target-sized files, commit as
-        'replace' (same rows, new layout)."""
+        'replace' (same rows, new layout).
+
+        ``sort_by`` range-clusters on the given columns (each output file
+        owns a contiguous key range → tight min/max footer stats → manifest
+        pruning on those columns skips all but ~1/n files).
+
+        ``zorder_by`` interleaves the bits of 2+ columns into a single
+        Z-value and range-clusters on that — every listed column gets
+        partial locality, so single-column predicates on ANY of them prune
+        (the multi-dimensional clustering Iceberg's zorder rewrite
+        strategy provides).
+        """
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         cur = self.current_snapshot()
         if cur is None:
             raise NoSuchSnapshot("table is empty")
         total = sum(f.size_bytes for f in cur.manifest)
-        n_files = max(1, round(total / target_file_size_bytes))
-        df = self.read().coalesce(n_files)
+        if n_files is None:
+            n_files = max(1, round(total / target_file_size_bytes))
+        df = self.read()
+        layout: dict = {}
+        if sort_by:
+            df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+            layout = {"sort_by": list(sort_by)}
+        elif zorder_by:
+            zval = self._zvalue_column(df, zorder_by)
+            df = (
+                df.withColumn("__zval", zval)
+                .repartitionByRange(n_files, "__zval")
+                .sortWithinPartitions("__zval")
+                .drop("__zval")
+            )
+            layout = {"zorder_by": list(zorder_by)}
+        else:
+            df = df.coalesce(n_files)
         files = self._write_data_files(df)
 
         def build():
             return self._make_snapshot(
                 "replace", tuple(files), cur.schema_ddl,
-                summary={**self._carry_summary(cur),
+                summary={**self._carry_summary(cur), **layout,
                          "compacted_from": len(cur.manifest), "to": len(files)},
             )
 
         return self._retrying_commit(build)
+
+    def _zvalue_column(self, df: DataFrame, cols: list[str]):
+        """Morton (Z-order) value: scale each column to 16 bits against its
+        global min/max, then interleave the bits.  One tiny agg job fetches
+        the bounds; the interleave itself is a pure JVM column expression
+        (whole-stage codegen — no UDF)."""
+        numeric = set()
+        for name in cols:
+            dt = df.schema[name].dataType
+            if isinstance(dt, (SPARK_T.DateType, SPARK_T.TimestampType)):
+                continue
+            if isinstance(dt, SPARK_T.NumericType):
+                numeric.add(name)
+                continue
+            raise ValueError(
+                f"zorder_by supports numeric/date/timestamp columns, got {name}: {dt}"
+            )
+
+        def as_double(name: str):
+            c = F.col(name)
+            return c.cast("double") if name in numeric else c.cast("timestamp").cast("double")
+
+        bounds = df.select(
+            *[F.min(as_double(c)).alias(f"mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(as_double(c)).alias(f"mx_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        scaled = []
+        for i, name in enumerate(cols):
+            mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+            if mn is None or mx is None or mx == mn:
+                scaled.append(F.lit(0).cast("long"))
+            else:
+                frac = (as_double(name) - F.lit(float(mn))) / F.lit(float(mx - mn))
+                scaled.append(
+                    F.coalesce(F.floor(frac * 65535.0), F.lit(0)).cast("long")
+                )
+        z = F.lit(0).cast("long")
+        for bit in range(15, -1, -1):
+            for c in scaled:
+                z = F.shiftleft(z, 1).bitwiseOR(
+                    F.shiftrightunsigned(c, bit).bitwiseAND(F.lit(1))
+                )
+        return z
 
     # ---- read operations + pruning -----------------------------------------
 

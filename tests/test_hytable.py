@@ -200,3 +200,51 @@ def test_read_empty_table_raises(spark, tmp_table_root):
     t = HyTable(spark, tmp_table_root)
     with pytest.raises(NoSuchSnapshot):
         t.read()
+
+
+def _files_matching(t, preds):
+    return len(t.prune_files(preds))
+
+
+def test_rewrite_sort_by_clusters_for_pruning(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    # shuffled ids: every unsorted file spans nearly the full id range
+    df = spark.range(0, 4000).selectExpr("id", "hash(id) AS h").orderBy("h").repartition(8)
+    t.create(df)
+    assert _files_matching(t, [("id", "<", 100)]) == 8  # no file prunable
+    t.rewrite_data_files(n_files=8, sort_by=["id"])
+    snap = t.current_snapshot()
+    assert snap.summary["sort_by"] == ["id"]
+    n = len(snap.manifest)
+    assert n == 8
+    # range clustering → a narrow id predicate hits ~1 file
+    assert _files_matching(t, [("id", "<", 100)]) <= 2
+    assert t.read().count() == 4000
+
+
+def test_rewrite_zorder_prunes_on_both_dims(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    # x and y independent: 64x64 grid, shuffled
+    df = spark.sql("""
+        SELECT id % 64 AS x, CAST(id / 64 AS BIGINT) AS y, hash(id) AS h
+        FROM range(4096)
+    """).orderBy("h").drop("h").repartition(8)
+    t.create(df)
+    assert _files_matching(t, [("x", "<", 8)]) == 8
+    t.rewrite_data_files(n_files=16, zorder_by=["x", "y"])
+    snap = t.current_snapshot()
+    assert snap.summary["zorder_by"] == ["x", "y"]
+    n = len(snap.manifest)
+    assert n == 16
+    # Z-order: a 1/8-selectivity predicate on EITHER dimension prunes
+    # at least half the files
+    assert _files_matching(t, [("x", "<", 8)]) <= n // 2
+    assert _files_matching(t, [("y", "<", 8)]) <= n // 2
+    assert t.read().count() == 4096
+
+
+def test_rewrite_sort_and_zorder_exclusive(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 10))
+    with pytest.raises(ValueError):
+        t.rewrite_data_files(sort_by=["id"], zorder_by=["id", "doubled"])

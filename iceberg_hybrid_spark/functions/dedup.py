@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingles
+from .text import shingle_hashes, shingles
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -33,22 +33,29 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def minhash_signature(text_col: Column | str, num_hashes: int = 32, k: int = 3) -> Column:
-    """MinHash signature: for seed i, min over shingles of xxhash64(i, s)."""
-    return minhash_from_shingles(shingles(text_col, k), num_hashes)
+    """MinHash signature: for seed i, min over shingle hashes of the
+    derived hash family."""
+    return minhash_from_hashes(shingle_hashes(text_col, k), num_hashes)
 
 
 def minhash_from_shingles(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """Signature from a shingle array in ONE pass: hash each shingle once
-    (xxhash64), then fold over the hashes keeping an elementwise running
-    min of the derived hash family h_i = h*(2i+1) + i*φ (64-bit wrap).
+    """Signature from a STRING shingle array (hashes each shingle first)."""
+    return minhash_from_hashes(
+        F.transform(shingle_col, lambda s: F.xxhash64(s)), num_hashes
+    )
+
+
+def minhash_from_hashes(hash_col: Column, num_hashes: int = 32) -> Column:
+    """Signature from pre-hashed shingles in ONE pass: fold over the long
+    array keeping an elementwise running min of the derived hash family
+    h_i = h*(2i+1) + i*φ (64-bit wrap).
 
     A single ``aggregate`` traversal — no per-seed re-tokenization, no
     duplicated subtrees for common-subexpression elimination to miss."""
-    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
     phi = F.lit(0x9E3779B9).cast("long")
     return F.aggregate(
-        base,
+        hash_col,
         init,
         lambda acc, h: F.transform(
             acc,
@@ -77,9 +84,9 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = df.select(
-        F.col(id_col), shingles(F.col(text_col), k).alias("_sh")
+        F.col(id_col), shingle_hashes(F.col(text_col), k).alias("_sh")
     ).select(
-        F.col(id_col), minhash_from_shingles(F.col("_sh"), num_hashes).alias("_sig")
+        F.col(id_col), minhash_from_hashes(F.col("_sh"), num_hashes).alias("_sig")
     )
     band_rows = sig.select(
         id_col,
@@ -125,8 +132,7 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
     JVM-side by summing ±1 contributions per bit via aggregate over the
     shingle hashes.  Returns a bigint fingerprint.
     """
-    sh = shingles(text_col, k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = shingle_hashes(text_col, k)
     # For each of 64 bits: sum(+1 if bit set else -1) over shingle hashes,
     # fingerprint bit = 1 iff vote > 0.
     bit_votes = [

@@ -58,14 +58,47 @@ def stopword_ratio(text: Column | str) -> Column:
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (word n-grams) — the unit set for
     Jaccard/MinHash near-dup detection.  Documents shorter than k tokens
-    yield an empty set."""
+    yield an empty set.
+
+    Built by zipping k shifted slices of the token array, NOT by indexing
+    ``element_at(tokens(text), i)`` inside a ``transform`` lambda: an
+    array-valued expression referenced inside a lambda is re-evaluated per
+    ELEMENT (O(n²) per document — measured 7× slower on the near-dup
+    bench).  The slice children are plain per-row expressions, and the
+    repeated ``tokens(text)`` subtree is deduplicated by codegen
+    subexpression elimination."""
     words = tokens(text)
     n = F.size(words)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    parts = lambda i: [F.element_at(words, i + j) for j in range(k)]  # noqa: E731
-    grams = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
-    # Spark's sequence(1, x) counts DOWN when x < 1 — guard short docs.
-    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    m = n - (k - 1)  # number of shingles
+    acc = F.slice(words, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(words, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    # when() evaluates lazily — the negative-length slice never runs for
+    # short docs.
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles as 64-bit hashes: each token is xxhash64ed
+    once, then k shifted slices fold into one long per shingle.
+
+    Set semantics match ``shingles()`` up to xxhash64 collisions
+    (≈ n²/2⁶⁴ — vanishing at any corpus size), so Jaccard / MinHash over
+    these is equivalent while shuffle rows carry 8-byte longs instead of
+    k-word strings and set intersections compare longs, not strings."""
+    wh = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    n = F.size(wh)
+    m = n - (k - 1)
+    acc = F.slice(wh, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(wh, j + 1, m), lambda x, y: F.xxhash64(x, y))
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<bigint>")
+    )
 
 
 def shingle_fingerprint(text: Column | str, k: int = 3) -> Column:

@@ -156,25 +156,29 @@ def near_dup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / 16).cast("bigint").alias("bucket"),
-        T.shingles("text").alias("sh"),
-    ).repartition(F.col("lang"), F.col("bucket"))
-    # The explicit hash-repartition materializes the shingle arrays once
-    # behind a shuffle boundary (instead of re-deriving them per joined
-    # pair) and co-locates the self-join: both sides reuse one exchange.
+        # 64-bit hashed shingles: 8-byte longs through the shuffle instead
+        # of k-word strings; jaccard equal up to ~n²/2⁶⁴ collisions.
+        T.shingle_hashes("text").alias("sh"),
+    ).repartition(32, F.col("lang"), F.col("bucket"))
+    # The explicit 32-way hash-repartition materializes the shingle arrays
+    # once behind a shuffle boundary and co-locates the self-join.
     # Blocking on (lang, length-bucket) keeps candidate generation
     # near-linear — near-duplicates share language and similar length.
     a = d.alias("a")
-    b = d.alias("b")
+    # shuffle_hash (not broadcast): a broadcast build side would be a
+    # SECOND copy of the shingle-computation subtree, while the shuffle
+    # join's build side is a ReusedExchange — shingles computed once.
+    b = d.alias("b").hint("shuffle_hash")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    # The pair rows are byte-small but compute-heavy (set intersection per
-    # row); AQE would coalesce them onto a couple of cores — spread the
-    # jaccard stage across the cluster explicitly.
-    scored = pairs.repartition(32).select(
+    # jaccard is computed inside the join stage (arrays never shuffle
+    # again) and top-k runs as TakeOrderedAndProject — per-partition heaps
+    # + driver merge of 20 rows, no global sort.
+    scored = pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         D.ngram_jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
@@ -208,7 +212,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs, num_hashes=16, bands=16)
-    d = docs.select("doc_id", T.shingles("text").alias("sh"))
+    d = docs.select("doc_id", T.shingle_hashes("text").alias("sh"))
     verified = (
         cands.join(d.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(d.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -40,16 +40,102 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
+import zlib
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as SPARK_T
 
 _META = "_meta"
 _DATA = "data"
+
+# ---- hidden partitioning (Iceberg partition transforms) --------------------
+#
+# A partition spec entry is either a plain column name (identity) or a
+# transform: bucket(N, col), truncate(W, col), years(col), months(col),
+# days(col), hours(col).  Data files are laid out by the TRANSFORMED value;
+# queries only ever reference the source column, and pruning maps source
+# predicates through the transform (Iceberg "hidden partitioning" — the
+# reference's FileRef.partition strings are exactly these dir values).
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_PARAM_RE = re.compile(r"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+_TIME_RE = re.compile(r"^(years?|months?|days?|hours?)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$")
+
+_TIME_SPARK_FMT = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH"}
+_TIME_PY_FMT = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d", "hour": "%Y-%m-%d-%H"}
+
+
+def parse_partition_spec(
+    specs: list[str] | None,
+) -> tuple[list[str], list[dict]]:
+    """Split a partition spec into identity columns and transform dicts
+    ({name, source, kind, param})."""
+    identity: list[str] = []
+    transforms: list[dict] = []
+    for s in specs or []:
+        if _IDENT_RE.match(s):
+            identity.append(s)
+            continue
+        m = _PARAM_RE.match(s)
+        if m:
+            kind, param, src = m.group(1), int(m.group(2)), m.group(3)
+            transforms.append(
+                {"name": f"{src}_{kind}", "source": src, "kind": kind, "param": param}
+            )
+            continue
+        m = _TIME_RE.match(s)
+        if m:
+            kind, src = m.group(1).rstrip("s"), m.group(2)
+            transforms.append(
+                {"name": f"{src}_{kind}", "source": src, "kind": kind, "param": None}
+            )
+            continue
+        raise ValueError(f"bad partition spec entry: {s!r}")
+    return identity, transforms
+
+
+def transform_column(tr: dict, dtype) -> Column:
+    """The transform as a JVM column expression (write path)."""
+    c = F.col(tr["source"])
+    kind = tr["kind"]
+    if kind == "bucket":
+        # crc32-of-utf8 so the driver can recompute the same bucket for
+        # pruning without a Spark job (zlib.crc32 mirror below)
+        return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(tr["param"])).cast("int")
+    if kind == "truncate":
+        if isinstance(dtype, SPARK_T.StringType):
+            return F.substring(c, 1, tr["param"])
+        return (c - F.pmod(c, F.lit(tr["param"]))).cast("long")
+    return F.date_format(c, _TIME_SPARK_FMT[kind])
+
+
+def transform_value(tr: dict, val: object) -> object | None:
+    """Driver-side mirror of ``transform_column`` for manifest pruning.
+    Returns None when the value can't be transformed (⇒ no pruning)."""
+    import datetime as _dt
+
+    kind = tr["kind"]
+    if kind == "bucket":
+        return zlib.crc32(str(val).encode("utf-8")) % tr["param"]
+    if kind == "truncate":
+        if isinstance(val, str):
+            return val[: tr["param"]]
+        if isinstance(val, int):
+            return val - (val % tr["param"])
+        return None
+    if isinstance(val, str):
+        try:
+            val = _dt.datetime.fromisoformat(val)
+        except ValueError:
+            return None
+    if isinstance(val, (_dt.datetime, _dt.date)):
+        return val.strftime(_TIME_PY_FMT[kind])
+    return None
 
 
 class CommitConflict(Exception):
@@ -313,9 +399,18 @@ class HyTable:
     ) -> list[DataFileRef]:
         commit_dir = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_dir)
+        identity, transforms = parse_partition_spec(partition_by)
+        pcols = list(identity)
+        for tr in transforms:
+            # hidden partition column: derived for layout, stripped by
+            # partitionBy; the SOURCE column stays in the data files
+            df = df.withColumn(
+                tr["name"], transform_column(tr, df.schema[tr["source"]].dataType)
+            )
+            pcols.append(tr["name"])
         writer = df.write.mode("error")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(out_dir)
         refs = []
         for dirpath, _, files in os.walk(out_dir):
@@ -391,14 +486,25 @@ class HyTable:
     def _partition_summary(self, df: DataFrame, partition_by: list[str] | None) -> dict:
         if not partition_by:
             return {}
+        identity, transforms = parse_partition_spec(partition_by)
         types = {
             f.name: f.dataType.simpleString()
             for f in df.schema.fields
-            if f.name in partition_by
+            if f.name in identity
         }
-        return {"partition_by": list(partition_by), "partition_types": types}
+        out = {
+            "partition_by": identity,
+            "partition_types": types,
+            "partition_spec": list(partition_by),
+        }
+        if transforms:
+            out["partition_transforms"] = transforms
+        return out
 
-    _CARRY_KEYS = ("partition_by", "partition_types", "table_schema", "renames")
+    _CARRY_KEYS = (
+        "partition_by", "partition_types", "partition_spec",
+        "partition_transforms", "table_schema", "renames",
+    )
 
     def _carry_summary(self, head: "Snapshot | None") -> dict:
         """Metadata every commit must carry forward from its parent:
@@ -408,14 +514,13 @@ class HyTable:
         return {k: head.summary[k] for k in self._CARRY_KEYS if k in head.summary}
 
     def partition_spec(self) -> tuple[list[str], dict[str, str]]:
-        """The table's partition columns + types (from the latest summary)."""
+        """The table's partition spec (identity columns and/or transform
+        strings) + identity-column types, from the latest summary."""
         cur = self.current_snapshot()
         if cur is None:
             return [], {}
-        return (
-            list(cur.summary.get("partition_by", [])),
-            dict(cur.summary.get("partition_types", {})),
-        )
+        spec = cur.summary.get("partition_spec", cur.summary.get("partition_by", []))
+        return list(spec), dict(cur.summary.get("partition_types", {}))
 
     def create(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
         if self.exists():
@@ -617,14 +722,52 @@ class HyTable:
         return [os.path.join(self.root, f.path) for f in snap.manifest]
 
     @staticmethod
+    def _transform_excludes(tr: dict, raw: str, op: str, val: object) -> bool:
+        """True iff a transformed partition value PROVES the file has no
+        row matching ``col op val``.  Bucket prunes equality only; the
+        order-preserving transforms (truncate, year/month/day/hour) prune
+        ranges: col < v ⇒ t(col) <= t(v), col > v ⇒ t(col) >= t(v)."""
+        tval = transform_value(tr, val)
+        if tval is None:
+            return False
+        if tr["kind"] == "bucket":
+            return op == "=" and int(raw) != tval
+        pv: object = raw
+        if not isinstance(tval, str):
+            try:
+                pv = int(raw)
+            except ValueError:
+                return False
+        if op == "=" and pv != tval:
+            return True
+        if op in ("<", "<=") and not (pv <= tval):
+            return True
+        if op in (">", ">=") and not (pv >= tval):
+            return True
+        return False
+
+    @staticmethod
     def _file_may_match(
-        f: DataFileRef, preds: list[tuple[str, str, object]]
+        f: DataFileRef,
+        preds: list[tuple[str, str, object]],
+        transforms: list[dict] | tuple = (),
     ) -> bool:
         """Manifest-level pruning: False only when the file PROVABLY has no
-        matching row (partition value or footer min/max excludes the
-        predicate).  Missing stats ⇒ keep the file (safe)."""
+        matching row (partition value — identity or transformed — or
+        footer min/max excludes the predicate).  Missing stats ⇒ keep the
+        file (safe)."""
         part = dict(f.partition)
+        by_source = {t["source"]: t for t in transforms}
         for col, op, val in preds:
+            tr = by_source.get(col)
+            if tr is not None and tr["name"] in part:
+                raw = part[tr["name"]]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    return False
+                if HyTable._transform_excludes(tr, raw, op, val):
+                    return False
+                # fall through: footer min/max of the source column (kept
+                # in the data files) can prune further
             if col in part:
                 raw = part[col]
                 if raw == "__HIVE_DEFAULT_PARTITION__":
@@ -672,7 +815,12 @@ class HyTable:
         snap = snap or self.current_snapshot()
         if snap is None:
             return []
-        return [f for f in self.data_files(snap) if self._file_may_match(f, preds)]
+        transforms = list(snap.summary.get("partition_transforms", []))
+        return [
+            f
+            for f in self.data_files(snap)
+            if self._file_may_match(f, preds, transforms)
+        ]
 
     @staticmethod
     def _preds_to_column(preds: list[tuple[str, str, object]]):
@@ -745,7 +893,9 @@ class HyTable:
         for (part, epoch), paths in sorted(groups.items()):
             df = _load(paths)
             for col, raw in part:
-                typ = ptypes.get(col, "string")
+                if col not in ptypes:
+                    continue  # transform partition: source col is in the data
+                typ = ptypes[col]
                 lit = (
                     F.lit(None) if raw == "__HIVE_DEFAULT_PARTITION__" else F.lit(raw)
                 )
@@ -1247,7 +1397,8 @@ class HyTable:
         reads) and the branch pointer advances — the regional-branch write
         of the geo design (writers never touch main directly)."""
         head = self.branch_head(name)
-        files = self._write_data_files(df, list(head.summary.get("partition_by", [])) or None)
+        spec = head.summary.get("partition_spec", head.summary.get("partition_by", []))
+        files = self._write_data_files(df, list(spec) or None)
 
         def build():
             return self._make_snapshot(

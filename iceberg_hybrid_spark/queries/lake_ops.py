@@ -112,9 +112,46 @@ ORDER BY k
 """
 
 
+def hidden_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg transforms): write orders into a
+    months(o_orderdate)-partitioned HyTable, read back with a source-column
+    predicate — file pruning maps the predicate through the transform
+    (queries never mention the partition layout)."""
+    import datetime as dt
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = HyTable(spark, _scratch("hiddenpart"))
+    t.create(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .coalesce(1),
+        partition_by=["months(o_orderdate)"],
+    )
+    df = t.read(preds=[("o_orderdate", ">=", dt.datetime(1997, 1, 1))])
+    return (
+        df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("month")
+    )
+
+
+HIDDEN_PARTITION_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS order_count,
+       CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY month
+"""
+
+
 SPECS = [
     QuerySpec("snapshot_lifecycle", snapshot_lifecycle, SNAPSHOT_LIFECYCLE_SQL,
               "commit log: create/append/delete history"),
+    QuerySpec("hidden_partition_read", hidden_partition_read, HIDDEN_PARTITION_SQL,
+              "hidden-partitioning (months transform) write + pruned read"),
     QuerySpec("snapshot_diff_rows", snapshot_diff_rows, SNAPSHOT_DIFF_SQL,
               "incremental read between snapshots (ReplicationPlanner diff)"),
     QuerySpec("time_travel_read", time_travel_read, TIME_TRAVEL_SQL,

@@ -248,3 +248,76 @@ def test_rewrite_sort_and_zorder_exclusive(spark, tmp_table_root):
     t.create(make_df(spark, 0, 10))
     with pytest.raises(ValueError):
         t.rewrite_data_files(sort_by=["id"], zorder_by=["id", "doubled"])
+
+
+# ---- hidden partitioning (Iceberg partition transforms) --------------------
+
+def test_partition_transform_days_prunes_and_reads(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    df = spark.sql("""
+        SELECT id, timestamp'2021-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id*6 AS INT),0,0) AS ts
+        FROM range(40)
+    """)  # 40 rows, 6h apart → 10 distinct days
+    t.create(df, partition_by=["days(ts)"])
+    snap = t.current_snapshot()
+    days = {dict(f.partition)["ts_day"] for f in snap.manifest}
+    assert len(days) == 10 and "2021-01-01" in days
+    # source column survives in the data (hidden partitioning)
+    assert t.read().columns == ["id", "ts"]
+    assert t.read().count() == 40
+    # range pruning through the transform
+    import datetime as dt
+    pruned = t.prune_files([("ts", "<", dt.datetime(2021, 1, 3))])
+    assert {dict(f.partition)["ts_day"] for f in pruned} == {"2021-01-01", "2021-01-02", "2021-01-03"}
+    got = t.read(preds=[("ts", "<", dt.datetime(2021, 1, 3))])
+    assert got.count() == 8  # 2 full days * 4 rows
+    # equality pruning hits exactly one day's files
+    eq = t.prune_files([("ts", "=", dt.datetime(2021, 1, 5, 6))])
+    assert eq and {dict(f.partition)["ts_day"] for f in eq} == {"2021-01-05"}
+
+
+def test_partition_transform_bucket_prunes_equality(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(spark.range(0, 1000).selectExpr("id", "id % 7 AS v"),
+             partition_by=["bucket(8, id)"])
+    snap = t.current_snapshot()
+    assert len({dict(f.partition)["id_bucket"] for f in snap.manifest}) == 8
+    # equality on the source column prunes to ONE bucket
+    pruned = t.prune_files([("id", "=", 123)])
+    assert len(pruned) == 1
+    assert t.read(preds=[("id", "=", 123)]).collect()[0].id == 123
+    # range predicates cannot prune through a hash bucket (all files kept)
+    assert len(t.prune_files([("id", "<", 10)])) == 8
+    assert t.read().count() == 1000
+
+
+def test_partition_transform_truncate_int_and_append(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(spark.range(0, 50).selectExpr("id", "id AS k"),
+             partition_by=["truncate(10, k)"])
+    # append inherits the transform spec from the summary
+    t.append(spark.range(50, 100).selectExpr("id", "id AS k"))
+    snap = t.current_snapshot()
+    parts = {dict(f.partition)["k_truncate"] for f in snap.manifest}
+    assert parts == {"0", "10", "20", "30", "40", "50", "60", "70", "80", "90"}
+    pruned = t.prune_files([("k", ">=", 85)])
+    assert {dict(f.partition)["k_truncate"] for f in pruned} == {"80", "90"}
+    assert t.read(preds=[("k", ">=", 85)]).count() == 15
+
+
+def test_partition_transform_dynamic_overwrite(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    base = spark.sql("""
+        SELECT id, timestamp'2021-03-01' + make_interval(0,0,0,CAST(id/2 AS INT),0,0,0) AS ts,
+               'old' AS tag FROM range(6)
+    """)
+    t.create(base, partition_by=["days(ts)"])
+    # overwrite only day 2021-03-02 (ids 2,3)
+    newday = spark.sql("""
+        SELECT CAST(99 AS BIGINT) AS id, timestamp'2021-03-02 12:00:00' AS ts, 'new' AS tag
+    """)
+    t.overwrite_partitions(newday)
+    rows = {(r.id, r.tag) for r in t.read().collect()}
+    assert (99, "new") in rows
+    assert not any(tag == "old" and i in (2, 3) for i, tag in rows)
+    assert len(rows) == 5  # 4 surviving old rows + 1 new

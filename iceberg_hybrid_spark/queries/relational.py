@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import round_stable
 from ..sources.tables import load_table
 from .spec import QuerySpec
 
@@ -829,7 +830,157 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --- q6: forecast revenue (selective filter fully pushed to the scan) -------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 adaptation: pure scan+filter+agg — every predicate reaches
+    the parquet reader (PushedFilters), no join, no shuffle beyond the
+    single-row final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+       AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --- q14: promo revenue ratio -----------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adaptation: conditional aggregation ratio over a
+    fact⋈dim join (part broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), disc.cast("decimal(18,6)"))
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+    ).cast("double")
+    den = F.sum(disc.cast("decimal(18,6)")).cast("double")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(round_stable(F.lit(100.0) * num / den, 4).alias("promo_revenue"))
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0
+         * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         - 0.000000001, 4) + 0.0 AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+# --- q9-style: profit by supplier nation × year -----------------------------
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adaptation (no ps_supplycost in the testdata): revenue by
+    SUPPLIER nation and ship year — joins the fact through l_suppkey
+    (a different lineage than the customer-side star queries)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+# --- q18: large-volume orders (HAVING → semi join back to the fact) ---------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adaptation: groupBy-HAVING subquery identifies big
+    orders, then joins back through orders⋈customer for the report —
+    top-100 by quantity with deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING ROUND(SUM(l_quantity), 2) > 180
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 SPECS = [
+    QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL,
+              "pure pushdown filter + single-row agg"),
+    QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_SQL,
+              "conditional-aggregation ratio over fact⋈dim"),
+    QuerySpec("q9_profit_by_nation_year", q9_profit_by_nation_year, Q9_SQL,
+              "supplier-lineage star join + year bucketing"),
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_SQL,
+              "HAVING subquery joined back to the fact (top-k)"),
     QuerySpec("order_value_percentiles", order_value_percentiles,
               ORDER_PERCENTILES_SQL, "exact interpolated percentiles per group"),
     QuerySpec("nation_pair_volume", nation_pair_volume, NATION_PAIR_VOLUME_SQL,

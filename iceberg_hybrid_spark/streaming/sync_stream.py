@@ -247,3 +247,96 @@ def sync_events_foreach_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---- streaming multi-region coordinator ------------------------------------
+
+def persist_events(store, events_dir: str, events: Iterable | None = None) -> int:
+    """Publish sync events to the durable file bus (append-only parquet
+    dir) — the cross-region hop of WriteCoordinator's fan-out
+    (WriteCoordinator.scala:62-69; in production a Kafka/DB bus).
+
+    Defaults to the store's current PENDING events; re-publishing an
+    already-consumed event is harmless (consumers dedup by event_id).
+    Returns the number of rows published.
+    """
+    from ..control.sync import PENDING
+
+    evs = list(events) if events is not None else [
+        e for e in store._sorted(lambda e: e.status == PENDING)
+    ]
+    if not evs:
+        return 0
+    rows = [
+        (
+            e.event_id, e.event_type, e.table, e.commit_id, e.source_region,
+            e.target_region, e.status, e.created_at_ms, e.updated_at_ms,
+        )
+        for e in evs
+    ]
+    df = store.spark.createDataFrame(rows, store._SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(events_dir)
+    return len(rows)
+
+
+def start_coordinator_stream(
+    spark: SparkSession,
+    events_dir: str,
+    coordinator,
+    region: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """A region's streaming sync worker: tail the durable event bus and
+    drain this region's queue per micro-batch — the streaming form of
+    the full MultiRegionCoordinator write→sync pipeline (SURVEY §3.2).
+
+    Each coordinator instance models ONE region's worker: it shares
+    nothing with the writer but the bus directory and the (global)
+    object store — the deployment shape of the geo design
+    (iceberg-arch-geo-distributed-ha.md:131-171).
+
+    Delivery is exactly-once per FILE (checkpointed source) and
+    at-least-once per event across republishes; the drain dedups by
+    event_id and replication itself is idempotent (skip-if-exists +
+    staged promote), so duplicates are no-ops.
+    """
+    from ..control.sync import PENDING, SyncEvent
+
+    store = coordinator.events
+    stream = spark.readStream.schema(store._SCHEMA).parquet(events_dir)
+
+    def drain(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = (
+            batch_df.filter(
+                (F.col("target_region") == region) & (F.col("status") == PENDING)
+            )
+            # event rows are manifest-scale metadata.  Within one
+            # timestamp, type DESC = MetadataSync → DataSync →
+            # CommitCompleted: placement registration always lands before
+            # the data copy that needs it.
+            .orderBy(F.col("created_at_ms").asc(), F.col("event_type").desc())
+            .collect()
+        )
+        for r in rows:
+            if r.event_id in store._events:  # already consumed (republish)
+                continue
+            store.publish(SyncEvent(
+                event_id=r.event_id,
+                event_type=r.event_type,
+                table=r.table_name,
+                commit_id=r.commit_id,
+                source_region=r.source_region,
+                target_region=r.target_region,
+                status=PENDING,
+                created_at_ms=r.created_at_ms,
+                updated_at_ms=r.updated_at_ms,
+            ))
+        coordinator.process_pending_events(region)
+
+    writer = stream.writeStream.foreachBatch(drain).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

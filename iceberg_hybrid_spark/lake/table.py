@@ -257,6 +257,8 @@ def _parquet_column_stats(path: str) -> tuple[tuple[str, object, object], ...]:
     footer — no data read.  Only JSON-safe primitive stats are kept."""
     import pyarrow.parquet as pq
 
+    import datetime as _dt
+
     md = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
@@ -273,6 +275,19 @@ def _parquet_column_stats(path: str) -> tuple[tuple[str, object, object], ...]:
                     lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
                 except UnicodeDecodeError:
                     continue
+            if isinstance(lo, _dt.datetime):
+                # ISO "YYYY-MM-DD HH:MM:SS[.ffffff]" — JSON-safe AND
+                # lexicographic order = chronological order, so the
+                # string min/max below and pruning comparisons stay exact.
+                # Normalize tz-aware stats (TIMESTAMP_MICROS is
+                # UTC-adjusted) to naive UTC — the session runs in UTC, so
+                # predicate values arrive naive.
+                if lo.tzinfo is not None:
+                    lo = lo.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    hi = hi.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
+            elif isinstance(lo, _dt.date):
+                lo, hi = lo.isoformat(), hi.isoformat()
             if not isinstance(lo, _STATS_OK_TYPES):
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
@@ -782,7 +797,17 @@ class HyTable:
                 if b is None:
                     continue
                 lo, hi = b
-                if not isinstance(val, type(lo)) and not (
+                import datetime as _dt
+
+                if isinstance(val, (_dt.datetime, _dt.date)) and isinstance(lo, str):
+                    # timestamp/date stats are stored as ISO strings
+                    # (lexicographic = chronological); compare in that form
+                    val = (
+                        val.isoformat(sep=" ")
+                        if isinstance(val, _dt.datetime)
+                        else val.isoformat()
+                    )
+                elif not isinstance(val, type(lo)) and not (
                     isinstance(val, (int, float)) and isinstance(lo, (int, float))
                 ):
                     continue

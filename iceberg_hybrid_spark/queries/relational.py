@@ -972,7 +972,90 @@ LIMIT 100
 """
 
 
+# --- q13: customer order-count distribution (outer join + re-aggregation) --
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 adaptation: LEFT OUTER join keeps zero-order customers,
+    then a second aggregation builds the histogram of customers per
+    order count."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count ignores nulls
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) pc
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q19: disjunctive multi-attribute predicate join ------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adaptation: OR-of-ANDs join predicate (brand × size ×
+    quantity bands) — exercises disjunctive filter handling where only
+    the shared l_partkey = p_partkey conjunct drives the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS matched_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 SPECS = [
+    QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL,
+              "LEFT OUTER join + two-level aggregation histogram"),
+    QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL,
+              "OR-of-ANDs predicate join"),
     QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL,
               "pure pushdown filter + single-row agg"),
     QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_SQL,

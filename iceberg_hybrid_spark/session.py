@@ -50,6 +50,10 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
         # natively; read as int64 nanos and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT64 µs timestamps (not legacy INT96): INT96 columns get no
+        # parquet min/max statistics, which would blind the manifest
+        # pruning HyTable builds from footers.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]")

@@ -267,8 +267,10 @@ def test_partition_transform_days_prunes_and_reads(spark, tmp_table_root):
     assert t.read().count() == 40
     # range pruning through the transform
     import datetime as dt
+    # day transform keeps the boundary day 2021-01-03; its files' footer
+    # ts min (= 00:00, not < the cutoff) prunes it right back out
     pruned = t.prune_files([("ts", "<", dt.datetime(2021, 1, 3))])
-    assert {dict(f.partition)["ts_day"] for f in pruned} == {"2021-01-01", "2021-01-02", "2021-01-03"}
+    assert {dict(f.partition)["ts_day"] for f in pruned} == {"2021-01-01", "2021-01-02"}
     got = t.read(preds=[("ts", "<", dt.datetime(2021, 1, 3))])
     assert got.count() == 8  # 2 full days * 4 rows
     # equality pruning hits exactly one day's files
@@ -321,3 +323,21 @@ def test_partition_transform_dynamic_overwrite(spark, tmp_table_root):
     assert (99, "new") in rows
     assert not any(tag == "old" and i in (2, 3) for i, tag in rows)
     assert len(rows) == 5  # 4 surviving old rows + 1 new
+
+
+def test_timestamp_footer_stats_prune(spark, tmp_table_root):
+    import datetime as dt
+
+    t = HyTable(spark, tmp_table_root)
+    df = spark.sql("""
+        SELECT id, timestamp'2022-01-01' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts
+        FROM range(240)
+    """)  # 10 days of hourly rows
+    t.create(df.orderBy("id").repartition(6))
+    # unsorted: every file spans most of the range → nothing prunable
+    assert len(t.prune_files([("ts", "<", dt.datetime(2022, 1, 2))])) == 6
+    t.rewrite_data_files(n_files=6, sort_by=["ts"])
+    pruned = t.prune_files([("ts", "<", dt.datetime(2022, 1, 2))])
+    # 1 day of 10 → at most 2 of 6 range-clustered files may contain it
+    assert 1 <= len(pruned) <= 2
+    assert t.read(preds=[("ts", "<", dt.datetime(2022, 1, 2))]).count() == 24

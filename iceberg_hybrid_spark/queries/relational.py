@@ -1051,7 +1051,147 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+# --- q2-style: cheapest supplier per part (min-per-group correlation) -------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adaptation (no partsupp in the testdata): per part brand,
+    the supplier with the minimum account balance — the correlated
+    min-subquery pattern expressed as a window rank (one shuffle, no
+    re-join against the aggregate)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name")
+    )
+
+
+Q2_SQL = """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM (
+  SELECT n_name, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+) x WHERE rn = 1 ORDER BY n_name
+"""
+
+
+# --- q15-style: top revenue supplier(s) (argmax against an aggregate) -------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 adaptation: revenue per supplier over a quarter, then
+    the supplier(s) achieving the global maximum — the view + scalar-max
+    correlation, expressed with a window max over the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    return (
+        top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- q22-style: above-average idle customers (scalar subquery + anti join) --
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adaptation: customers with above-average positive
+    balance and NO orders — scalar-aggregate subquery (broadcast as a
+    1-row cross join) + LEFT ANTI join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY c_nationkey
+"""
+
+
+# --- explicit GROUPING SETS (beyond rollup/cube) ----------------------------
+
+def segment_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS: totals by (segment), by (priority), and
+    overall — the general form rollup/cube specialize."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+    j.createOrReplaceTempView("_gs_join")
+    return spark.sql("""
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM _gs_join
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        ORDER BY segment NULLS FIRST, priority NULLS FIRST
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+ORDER BY segment NULLS FIRST, priority NULLS FIRST
+"""
+
+
 SPECS = [
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
+              "min-per-group correlation as window rank"),
+    QuerySpec("q15_top_supplier", q15_top_supplier, Q15_SQL,
+              "argmax against an aggregated view"),
+    QuerySpec("q22_idle_rich_customers", q22_idle_rich_customers, Q22_SQL,
+              "scalar-avg subquery + anti join"),
+    QuerySpec("segment_priority_grouping_sets", segment_priority_grouping_sets,
+              GROUPING_SETS_SQL, "explicit GROUPING SETS"),
     QuerySpec("q13_customer_distribution", q13_customer_distribution, Q13_SQL,
               "LEFT OUTER join + two-level aggregation histogram"),
     QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL,

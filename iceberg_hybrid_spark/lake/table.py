@@ -677,7 +677,11 @@ class HyTable:
             layout = {"zorder_by": list(zorder_by)}
         else:
             df = df.coalesce(n_files)
-        files = self._write_data_files(df)
+        # compaction preserves the table's partition layout (hive dirs /
+        # hidden transforms) — pruning by partition value must survive a
+        # rewrite, exactly as Iceberg's rewrite respects the current spec
+        spec, _ = self.partition_spec()
+        files = self._write_data_files(df, spec or None)
 
         def build():
             return self._make_snapshot(

@@ -147,9 +147,44 @@ GROUP BY 1 ORDER BY month
 """
 
 
+def clustered_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustering lifecycle: write lineitem unclustered, compact with
+    ``sort_by(l_shipdate)`` (range clustering → tight per-file bounds),
+    read back through a time predicate that the manifest prunes."""
+    import datetime as dt
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    t = HyTable(spark, _scratch("clustered"))
+    t.create(li.coalesce(4))
+    t.rewrite_data_files(n_files=8, sort_by=["l_shipdate"])
+    df = t.read(preds=[("l_shipdate", "<", dt.datetime(1996, 1, 1))])
+    return (
+        df.groupBy(F.date_format("l_shipdate", "yyyy").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+CLUSTERED_READ_SQL = """
+SELECT strftime(l_shipdate, '%Y') AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS line_count,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY 1 ORDER BY ship_year
+"""
+
+
 SPECS = [
     QuerySpec("snapshot_lifecycle", snapshot_lifecycle, SNAPSHOT_LIFECYCLE_SQL,
               "commit log: create/append/delete history"),
+    QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,
+              "sort-clustering compaction + manifest-pruned time read"),
     QuerySpec("hidden_partition_read", hidden_partition_read, HIDDEN_PARTITION_SQL,
               "hidden-partitioning (months transform) write + pruned read"),
     QuerySpec("snapshot_diff_rows", snapshot_diff_rows, SNAPSHOT_DIFF_SQL,

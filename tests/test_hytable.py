@@ -341,3 +341,21 @@ def test_timestamp_footer_stats_prune(spark, tmp_table_root):
     # 1 day of 10 → at most 2 of 6 range-clustered files may contain it
     assert 1 <= len(pruned) <= 2
     assert t.read(preds=[("ts", "<", dt.datetime(2022, 1, 2))]).count() == 24
+
+
+def test_rewrite_preserves_partition_layout(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    df = spark.range(0, 100).selectExpr("id", "CAST(id % 4 AS STRING) AS grp")
+    t.create(df.repartition(8), partition_by=["grp"])
+    t.rewrite_data_files(n_files=4)
+    snap = t.current_snapshot()
+    # every rewritten file still carries its hive partition value
+    assert all(dict(f.partition).get("grp") is not None for f in snap.manifest)
+    assert len(t.prune_files([("grp", "=", "2")])) < len(snap.manifest)
+    assert t.read().count() == 100
+    # dynamic partition overwrite still works after compaction
+    t.overwrite_partitions(
+        spark.sql("SELECT CAST(777 AS BIGINT) AS id, '2' AS grp")
+    )
+    rows = t.read().groupBy("grp").count().collect()
+    assert {r.grp: r["count"] for r in rows}["2"] == 1

@@ -133,21 +133,34 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
     shingle hashes.  Returns a bigint fingerprint.
     """
     hashes = shingle_hashes(text_col, k)
-    # For each of 64 bits: sum(+1 if bit set else -1) over shingle hashes,
-    # fingerprint bit = 1 iff vote > 0.
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for i in range(64)
-    ]
-    fp = F.lit(0).cast("bigint")
-    for i, vote in enumerate(bit_votes):
-        fp = fp + F.when(vote > 0, F.lit(1).cast("bigint") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return fp
+    # ONE traversal: fold the shingle hashes into a 64-slot vote array
+    # (slot i += ±1 by bit i of h), then collapse votes to the sign bits.
+    # The previous form ran 64 separate aggregate passes — 64× the work.
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.transform(
+            acc,
+            # call_function: the plain wrappers only take int shift amounts
+            lambda a, i: a
+            + F.when(
+                F.call_function("shiftrightunsigned", h, i).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+    # bit i of the fingerprint = (votes[i] > 0); shiftleft(1, 63) wraps to
+    # Long.MIN_VALUE — exactly the two's-complement encoding of bit 63,
+    # and each bit appears once so the sum IS the bitwise OR.
+    bits = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda v, i: F.when(
+            v > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
 
 
 def connected_components(

@@ -407,7 +407,54 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprints, banded into
+    4×16-bit chunks (pigeonhole: any pair within hamming distance 3
+    agrees on ≥1 whole chunk), chunk-equality join, exact hamming verify
+    via bit_count(xor).
+
+    At corpus scale this is the cheapest near-dup modality: one 8-byte
+    fingerprint per document, candidate generation bounded by chunk
+    collisions.  Engine-specific hashes → rows-only check; planted-pair
+    behavior pinned in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", D.simhash64("text").alias("fp"))
+    chunks = d.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("fp", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+
+
 SPECS = [
+    QuerySpec("simhash_near_dup", simhash_near_dup, None,
+              "SimHash banded candidates + hamming verify (rows-only)"),
     QuerySpec("embedding_ivf_ann", embedding_ivf_ann, None,
               "IVF (KMeans inverted lists) ANN top-k (rows-only)"),
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,

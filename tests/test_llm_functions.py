@@ -108,3 +108,22 @@ def test_language_guess(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.g for r in df.select("doc_id", T.language_guess("text").alias("g")).collect()}
     assert out[1] == "en" and out[2] == "other"
+
+
+def test_simhash_banding_finds_planted_near_dup(spark, docs, tmp_path):
+    # run the full banded-candidate query shape over the planted docs
+    import iceberg_hybrid_spark.queries.llm as L
+
+    out = str(tmp_path / "docs.parquet")
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.parquet(out, mode="overwrite")
+
+    # the query loads <sf_dir>/documents.parquet
+    import os
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    os.rename(out, os.path.join(sf_dir, "documents.parquet"))
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in L.simhash_near_dup(spark, sf_dir).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # identical docs
+    assert all(h <= 3 for h in pairs.values())

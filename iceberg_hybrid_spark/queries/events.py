@@ -297,7 +297,63 @@ FROM events GROUP BY 1 ORDER BY day
 """
 
 
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    first view, the first click strictly after it, the first purchase
+    strictly after that; report stage reach counts.  Three aggregate+join
+    rounds — each stage is one shuffle keyed by user (the sessionized
+    funnel pattern of product analytics at any scale)."""
+    ev = _ev(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased")))
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clicked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchased
+"""
+
+
 SPECS = [
+    QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,
+              "ordered view→click→purchase funnel stage counts"),
     QuerySpec("events_by_type", events_by_type, EVENTS_BY_TYPE_SQL,
               "event status breakdown (getPendingEvents family)"),
     QuerySpec("events_hourly_window", events_hourly_window, EVENTS_HOURLY_SQL,

@@ -1183,7 +1183,86 @@ ORDER BY segment NULLS FIRST, priority NULLS FIRST
 """
 
 
+# --- q4: late-shipment priority counts (correlated-condition EXISTS) -------
+
+def q4_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adaptation (no l_commitdate: lateness = shipped after the
+    order date + 30 days): EXISTS with a CORRELATED inequality — the semi
+    join carries a condition referencing both sides."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    in_window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = in_window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+# --- q17: small-quantity revenue vs per-part average ------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 adaptation: lineitems whose quantity is below 0.2× their
+    PART's average quantity — the correlated per-group average, expressed
+    as an aggregate joined back to the fact.  (Integer-valued doubles sum
+    exactly, so the 0.2*avg threshold is engine-identical.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .join(avg_q, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            round_stable(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+             - 0.000000001, 4) + 0.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS matched_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand IN ('Brand#1', 'Brand#2')
+  AND l_quantity < 0.2 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
 SPECS = [
+    QuerySpec("q4_priority_late_orders", q4_priority_late_orders, Q4_SQL,
+              "correlated-inequality EXISTS semi join"),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL,
+              "per-group average correlation joined back to the fact"),
     QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
               "min-per-group correlation as window rank"),
     QuerySpec("q15_top_supplier", q15_top_supplier, Q15_SQL,

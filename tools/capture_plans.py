@@ -13,8 +13,12 @@ from iceberg_hybrid_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "revenue_by_nation",
     "parts_never_ordered",
+    "q4_priority_late_orders",
+    "q13_customer_distribution",
+    "near_dup_shingle_pairs",
     "embedding_topk_cosine",
 ]
 

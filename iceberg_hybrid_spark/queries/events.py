@@ -351,7 +351,47 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed,
 """
 
 
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    each later week they remain active — cohort week × week offset grid.
+    Two shuffles (per-user min, then cohort grid agg) at any scale."""
+    ev = _ev(spark, sf_dir)
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM weeks JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
 SPECS = [
+    QuerySpec("weekly_cohort_retention", weekly_cohort_retention,
+              COHORT_RETENTION_SQL, "first-week cohort × week-offset retention grid"),
     QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,
               "ordered view→click→purchase funnel stage counts"),
     QuerySpec("events_by_type", events_by_type, EVENTS_BY_TYPE_SQL,

@@ -410,11 +410,27 @@ class HyTable:
         return (snaps[-1].sequence_number + 1) if snaps else 1
 
     def _write_data_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        distribute: bool | None = None,
     ) -> list[DataFileRef]:
         commit_dir = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_dir)
         identity, transforms = parse_partition_spec(partition_by)
+        if distribute is None:
+            cur = self.current_snapshot() if self.exists() else None
+            distribute = bool(cur and cur.summary.get("write_distribution") == "hash")
+        if distribute and (identity or transforms):
+            # write.distribution-mode=hash: cluster rows by partition value
+            # BEFORE partitionBy, so each table partition is written by one
+            # task — N tasks × P partitions would otherwise emit N·P tiny
+            # files (the Iceberg hash distribution mode).
+            exprs = [F.col(c) for c in identity] + [
+                transform_column(tr, df.schema[tr["source"]].dataType)
+                for tr in transforms
+            ]
+            df = df.repartition(*exprs)
         pcols = list(identity)
         for tr in transforms:
             # hidden partition column: derived for layout, stripped by
@@ -518,7 +534,7 @@ class HyTable:
 
     _CARRY_KEYS = (
         "partition_by", "partition_types", "partition_spec",
-        "partition_transforms", "table_schema", "renames",
+        "partition_transforms", "write_distribution", "table_schema", "renames",
     )
 
     def _carry_summary(self, head: "Snapshot | None") -> dict:
@@ -537,13 +553,26 @@ class HyTable:
         spec = cur.summary.get("partition_spec", cur.summary.get("partition_by", []))
         return list(spec), dict(cur.summary.get("partition_types", {}))
 
-    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> Snapshot:
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        distribution: str = "none",
+    ) -> Snapshot:
+        """``distribution="hash"`` clusters rows by partition value before
+        every write (carried table property, ≙ write.distribution-mode)."""
         if self.exists():
             raise FileExistsError(f"table already exists at {self.root}")
-        files = self._write_data_files(df, partition_by)
+        if distribution not in ("none", "hash"):
+            raise ValueError(f"unknown distribution mode: {distribution}")
+        files = self._write_data_files(
+            df, partition_by, distribute=(distribution == "hash")
+        )
+        summary = self._partition_summary(df, partition_by)
+        if distribution != "none":
+            summary["write_distribution"] = distribution
         snap = self._make_snapshot(
-            "create", tuple(files), df.schema.simpleString(),
-            summary=self._partition_summary(df, partition_by),
+            "create", tuple(files), df.schema.simpleString(), summary=summary,
         )
         return self._commit(snap)
 
@@ -679,9 +708,11 @@ class HyTable:
             df = df.coalesce(n_files)
         # compaction preserves the table's partition layout (hive dirs /
         # hidden transforms) — pruning by partition value must survive a
-        # rewrite, exactly as Iceberg's rewrite respects the current spec
+        # rewrite, exactly as Iceberg's rewrite respects the current spec.
+        # distribute=False: the compaction's own layout (coalesce / range /
+        # z-order) governs row placement here.
         spec, _ = self.partition_spec()
-        files = self._write_data_files(df, spec or None)
+        files = self._write_data_files(df, spec or None, distribute=False)
 
         def build():
             return self._make_snapshot(

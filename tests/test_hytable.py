@@ -359,3 +359,27 @@ def test_rewrite_preserves_partition_layout(spark, tmp_table_root):
     )
     rows = t.read().groupBy("grp").count().collect()
     assert {r.grp: r["count"] for r in rows}["2"] == 1
+
+
+def test_write_distribution_hash_bounds_file_count(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    df = spark.range(0, 3000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS grp"
+    ).repartition(8)  # 8 tasks × 3 partitions = 24 files without distribution
+    t.create(df, partition_by=["grp"], distribution="hash")
+    assert len(t.current_snapshot().manifest) == 3  # one file per partition
+    # the mode is a carried table property: appends honor it too
+    t.append(spark.range(3000, 6000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS grp"
+    ).repartition(8))
+    added = t.diff_files(1, 2)
+    assert len(added) == 3
+    assert t.read().count() == 6000
+
+
+def test_write_distribution_none_default(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    df = spark.range(0, 300).selectExpr("id", "CAST(id % 3 AS STRING) AS grp").repartition(4)
+    t.create(df, partition_by=["grp"])
+    # without distribution, each task writes each partition it holds
+    assert len(t.current_snapshot().manifest) > 3

@@ -1258,7 +1258,339 @@ WHERE p_brand IN ('Brand#1', 'Brand#2')
 """
 
 
+# --- q8: national market share (share-of-total conditional ratio) -----------
+
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adaptation: of all ECONOMY-part revenue sold to AMERICA
+    customers in 1996-1997, the share supplied by NATION_6, per order
+    year.  The two dimension lineages (customer→nation→region filter,
+    supplier→nation share flag) hang off one fact scan; all five dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = _t(spark, sf_dir, "supplier")
+    cust_nat = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            round_stable(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_6", rev)
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_6'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE)
+             - 0.000000001, 6) + 0.0 AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND p_type = 'ECONOMY' AND r_name = 'AMERICA'
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+# --- q11: important parts (group agg vs global-scalar threshold) ------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adaptation (no partsupp: value = shipped revenue instead
+    of stock value): per-part revenue from NATION_3's suppliers, keeping
+    parts above 0.1% of the nation's total — the aggregate-vs-global-
+    scalar pattern as a broadcast cross join.  The threshold compares
+    exact DECIMAL sums (value·1000 > total), so no float boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(
+            F.broadcast(
+                supp.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ).alias("value_exact")
+        )
+    )
+    total = val.agg(F.sum("value_exact").alias("total_exact"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_exact") * 1000 > F.col("total_exact"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_exact"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS value_exact
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(ROUND(value_exact, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE value_exact * 1000 > (SELECT SUM(value_exact) FROM val)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+# --- q12: late shipments by priority class (conditional two-way counts) -----
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adaptation (no l_shipmode/receiptdate: late = shipped
+    more than 60 days after the order date; classes by ship year):
+    join + CASE-conditional dual counts of critical vs other priority."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q12_SQL = """
+SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1 ORDER BY ship_year
+"""
+
+
+# --- q16: supplier diversity per part attribute (NOT IN + count distinct) ---
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adaptation (supplier relationships observed from
+    lineitem instead of partsupp): distinct suppliers per (p_type,
+    p_size) outside Brand#1, excluding delinquent (negative-balance)
+    suppliers — the NOT IN subquery as a broadcast LEFT ANTI join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 14, 19, 23)
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_type"), F.asc("p_size"))
+    )
+
+
+Q16_SQL = """
+SELECT p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_type ASC, p_size ASC
+"""
+
+
+# --- q20: dominant suppliers of blue parts (nested agg + semi-join chain) ---
+
+def q20_dominant_blue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (no ps_availqty: excess = the supplier moved
+    more than half of a part's 1996 volume): nested aggregation feeding
+    a semi-join chain up to the supplier list.  Quantities are integer-
+    valued doubles, so qty·2 > total is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    blue = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    sp = (
+        li.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    # per-part total via a window keeps the (l_partkey) shuffle from sp
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sp.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, supp_qty,
+           SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM sp
+  ) x WHERE supp_qty * 2 > part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
+# --- q21: suppliers who kept waiting (EXISTS + NOT EXISTS correlation) ------
+
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adaptation (no receipt/commit dates: the 'blocking'
+    supplier is the one whose line shipped strictly last among a
+    finished multi-supplier order): EXISTS(another supplier) AND NOT
+    EXISTS(another supplier shipped later), decorrelated into per-
+    (order, supplier) aggregates + windows — no per-row subqueries, two
+    shuffles on o_orderkey that AQE reuses."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").join(
+        orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_os = (
+        per_os.withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("m1", F.max("s_max").over(w))
+        .withColumn(
+            "cnt_m1",
+            F.sum(F.when(F.col("s_max") == F.col("m1"), 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "m2",
+            F.max(F.when(F.col("s_max") < F.col("m1"), F.col("s_max"))).over(w),
+        )
+        .withColumn(
+            "max_other",
+            F.when(F.col("nsupp") == 1, F.lit(None))
+            .when((F.col("s_max") < F.col("m1")) | (F.col("cnt_m1") > 1), F.col("m1"))
+            .otherwise(F.col("m2")),
+        )
+    )
+    waits = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            per_os.select("l_orderkey", "l_suppkey", "nsupp", "max_other"),
+            ["l_orderkey", "l_suppkey"],
+        )
+        .filter((F.col("nsupp") > 1) & (F.col("l_shipdate") >= F.col("max_other")))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        waits.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""
+
+
 SPECS = [
+    QuerySpec("q8_national_market_share", q8_national_market_share, Q8_SQL,
+              "share-of-total ratio over a dual-lineage star join"),
+    QuerySpec("q11_important_parts", q11_important_parts, Q11_SQL,
+              "aggregate vs global-scalar threshold (exact decimal)"),
+    QuerySpec("q12_late_shipment_priority", q12_late_shipment_priority, Q12_SQL,
+              "CASE-conditional dual counts over a lateness join"),
+    QuerySpec("q16_supplier_diversity", q16_supplier_diversity, Q16_SQL,
+              "NOT IN as broadcast anti join + COUNT(DISTINCT)"),
+    QuerySpec("q20_dominant_blue_suppliers", q20_dominant_blue_suppliers, Q20_SQL,
+              "nested aggregation + semi-join chain"),
+    QuerySpec("q21_last_shipper", q21_last_shipper, Q21_SQL,
+              "EXISTS/NOT-EXISTS decorrelated into windowed aggregates"),
     QuerySpec("q4_priority_late_orders", q4_priority_late_orders, Q4_SQL,
               "correlated-inequality EXISTS semi join"),
     QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL,

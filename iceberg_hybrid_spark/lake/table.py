@@ -1141,6 +1141,11 @@ class HyTable:
         SPARK_T.StructField("size_bytes", SPARK_T.LongType()),
         SPARK_T.StructField("row_count", SPARK_T.LongType()),
         SPARK_T.StructField("snapshot_seq", SPARK_T.LongType()),
+        SPARK_T.StructField("content", SPARK_T.StringType()),
+        SPARK_T.StructField("added_seq", SPARK_T.LongType()),
+        SPARK_T.StructField(
+            "partition", SPARK_T.MapType(SPARK_T.StringType(), SPARK_T.StringType())
+        ),
     ])
 
     def files(self, seq: int | None = None) -> DataFrame:
@@ -1148,10 +1153,78 @@ class HyTable:
         if snap is None:
             return self.spark.createDataFrame([], self._FILES_SCHEMA)
         rows = [
-            (f.path, f.size_bytes, f.row_count, snap.sequence_number)
+            (
+                f.path, f.size_bytes, f.row_count, snap.sequence_number,
+                f.content, f.added_seq, dict(f.partition),
+            )
             for f in snap.manifest
         ]
         return self.spark.createDataFrame(rows, self._FILES_SCHEMA)
+
+    def all_files(self, include_staged: bool = True) -> DataFrame:
+        """Every distinct file referenced by ANY snapshot (≙ Iceberg's
+        ``all_files`` metadata table) — the left operand of the GC
+        reachability diff (``unreachable = all_files − reachable(head)``,
+        iceberg-arch-geo-distributed-ha.md:778-795).  ``snapshot_seq`` is
+        the first snapshot that referenced the file."""
+        seen: dict[str, tuple] = {}
+        for s in self.snapshots(include_staged=include_staged):
+            for f in s.manifest:
+                if f.path not in seen:
+                    seen[f.path] = (
+                        f.path, f.size_bytes, f.row_count, s.sequence_number,
+                        f.content, f.added_seq, dict(f.partition),
+                    )
+        return self.spark.createDataFrame(list(seen.values()), self._FILES_SCHEMA)
+
+    _PARTITIONS_SCHEMA = SPARK_T.StructType([
+        SPARK_T.StructField(
+            "partition", SPARK_T.MapType(SPARK_T.StringType(), SPARK_T.StringType())
+        ),
+        SPARK_T.StructField("file_count", SPARK_T.LongType()),
+        SPARK_T.StructField("total_rows", SPARK_T.LongType()),
+        SPARK_T.StructField("total_bytes", SPARK_T.LongType()),
+    ])
+
+    def partitions(self, seq: int | None = None) -> DataFrame:
+        """Per-partition data-file stats at a snapshot (≙ Iceberg's
+        ``partitions`` metadata table) — the planner's input for sizing
+        compaction and spotting skewed partitions."""
+        snap = self.snapshot_by_seq(seq) if seq is not None else self.current_snapshot()
+        agg: dict[tuple, list] = {}
+        if snap is not None:
+            for f in snap.manifest:
+                if f.content != "data":
+                    continue
+                cur = agg.setdefault(f.partition, [0, 0, 0])
+                cur[0] += 1
+                cur[1] += f.row_count
+                cur[2] += f.size_bytes
+        rows = [(dict(p), c, r, b) for p, (c, r, b) in agg.items()]
+        return self.spark.createDataFrame(rows, self._PARTITIONS_SCHEMA)
+
+    _MANIFESTS_SCHEMA = SPARK_T.StructType([
+        SPARK_T.StructField("snapshot_id", SPARK_T.StringType()),
+        SPARK_T.StructField("sequence_number", SPARK_T.LongType()),
+        SPARK_T.StructField("data_file_count", SPARK_T.LongType()),
+        SPARK_T.StructField("delete_file_count", SPARK_T.LongType()),
+        SPARK_T.StructField("added_file_count", SPARK_T.LongType()),
+        SPARK_T.StructField("total_bytes", SPARK_T.LongType()),
+    ])
+
+    def manifests(self) -> DataFrame:
+        """Per-snapshot manifest summary (≙ Iceberg's ``manifests``
+        metadata table; one manifest list per snapshot in this format)."""
+        rows = []
+        for s in self.snapshots():
+            data = sum(1 for f in s.manifest if f.content == "data")
+            dels = len(s.manifest) - data
+            added = sum(1 for f in s.manifest if f.added_seq == s.sequence_number)
+            rows.append((
+                s.snapshot_id, s.sequence_number, data, dels, added,
+                sum(f.size_bytes for f in s.manifest),
+            ))
+        return self.spark.createDataFrame(rows, self._MANIFESTS_SCHEMA)
 
     _SNAPSHOTS_SCHEMA = SPARK_T.StructType([
         SPARK_T.StructField("snapshot_id", SPARK_T.StringType()),

@@ -383,3 +383,35 @@ def test_write_distribution_none_default(spark, tmp_table_root):
     t.create(df, partition_by=["grp"])
     # without distribution, each task writes each partition it holds
     assert len(t.current_snapshot().manifest) > 3
+
+
+def test_metadata_tables_all_files_partitions_manifests(spark, tmp_table_root):
+    t = HyTable(spark, tmp_table_root)
+    t.create(
+        spark.range(0, 100).selectExpr("id", "CAST(id % 2 AS STRING) AS grp"),
+        partition_by=["grp"], distribution="hash",
+    )
+    t.append(
+        spark.range(100, 160).selectExpr("id", "CAST(id % 2 AS STRING) AS grp")
+    )
+    t.rewrite_data_files()  # rewrites into new files; old ones stay in all_files
+
+    # partitions: per-partition rollup of the CURRENT snapshot only
+    parts = {r.partition["grp"]: r for r in t.partitions().collect()}
+    assert set(parts) == {"0", "1"}
+    assert sum(r.total_rows for r in parts.values()) == 160
+
+    # all_files ⊇ files(head): rewritten-away files remain reachable history
+    head_paths = {r.file_path for r in t.files().collect()}
+    all_paths = {r.file_path for r in t.all_files().collect()}
+    assert head_paths < all_paths
+
+    # files() carries content/partition columns for metadata-level queries
+    f0 = t.files().filter("partition['grp'] = '0'").collect()
+    assert all(r.content == "data" for r in f0)
+
+    # manifests: one row per snapshot; the rewrite added its output files
+    man = {r.sequence_number: r for r in t.manifests().collect()}
+    assert set(man) == {1, 2, 3}
+    assert man[3].added_file_count == man[3].data_file_count
+    assert man[1].delete_file_count == 0

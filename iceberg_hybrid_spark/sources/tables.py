@@ -37,6 +37,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # The events parquet stores ts as INT64 TIMESTAMP(NANOS), which a
+        # vanilla Spark session rejects outright (PARQUET_TYPE_ILLEGAL).
+        # Callers may hand us a SparkSession we didn't build (the harness
+        # does), so set the legacy conf here at runtime — it's a session
+        # conf, idempotent, and safe to flip before every events read.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives

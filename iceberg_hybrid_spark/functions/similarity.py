@@ -49,6 +49,14 @@ def brute_force_topk(
     ``queries`` is expected to be small (it is broadcast); the corpus scan
     is embarrassingly parallel.  Ranking uses the rounded similarity plus
     the neighbor id as tiebreak so results are deterministic.
+
+    Two-phase top-k: phase 1 ranks within ``(scan partition, query)`` so
+    the heavy scored relation is never hash-partitioned on the bare query
+    id — with a 100 TB corpus and a handful of queries that would funnel
+    every scored row into #queries tasks.  Phase 2 merges only the
+    ``partitions x k`` survivors per query, a tiny relation.  The global
+    result is identical: each query's true top-k is a subset of the union
+    of its partition-local top-ks.
     """
     from pyspark.sql import Window
 
@@ -65,14 +73,24 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("cosine_sim", cosine(F.col("_cvec"), F.col("_qvec")))
+        # Captured before any exchange: the id of the scan partition that
+        # produced the row (broadcast join is a narrow map over the scan).
+        .withColumn("_scan_part", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_scan_part", query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    survivors = (
+        scored.withColumn("_local_rank", F.row_number().over(w_local))
+        .filter(F.col("_local_rank") <= k)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .drop("_cvec", "_qvec")
+        .drop("_cvec", "_qvec", "_scan_part", "_local_rank")
     )
 
 
@@ -148,10 +166,21 @@ def ivf_topk(
         assigned.join(F.broadcast(probes), centroid_col)
         .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("cosine_sim", cosine(as_double_array(vec_col), F.col("_qv")))
+        .withColumn("_scan_part", F.spark_partition_id())
+    )
+    # Same two-phase shape as brute_force_topk: rank within (scan
+    # partition, query) first so a huge inverted list never funnels into
+    # #queries tasks, then merge the partitions x k survivors.
+    w_local = Window.partitionBy("_scan_part", query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    survivors = (
+        scored.withColumn("_local_rank", F.row_number().over(w_local))
+        .filter(F.col("_local_rank") <= k)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )

@@ -159,9 +159,11 @@ def near_dup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 64-bit hashed shingles: 8-byte longs through the shuffle instead
         # of k-word strings; jaccard equal up to ~n²/2⁶⁴ collisions.
         T.shingle_hashes("text").alias("sh"),
-    ).repartition(32, F.col("lang"), F.col("bucket"))
-    # The explicit 32-way hash-repartition materializes the shingle arrays
-    # once behind a shuffle boundary and co-locates the self-join.
+    ).repartition(F.col("lang"), F.col("bucket"))
+    # The explicit hash-repartition materializes the shingle arrays once
+    # behind a shuffle boundary and co-locates the self-join; the partition
+    # count is left to spark.sql.shuffle.partitions / AQE so the join
+    # parallelism scales with the cluster, not a literal.
     # Blocking on (lang, length-bucket) keeps candidate generation
     # near-linear — near-duplicates share language and similar length.
     a = d.alias("a")

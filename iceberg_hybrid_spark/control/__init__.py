@@ -1,3 +1,4 @@
+from .event_bus import EventBus
 from .gate import CommitGate, CommitStatus
 from .leases import LeaseStore
 from .registry import Region, Registry, StorageLocation
@@ -10,4 +11,5 @@ __all__ = [
     "CommitGate", "CommitStatus",
     "TokenStore", "ConsistencyToken",
     "LeaseStore",
+    "EventBus",
 ]

@@ -63,8 +63,12 @@ def plan(src: HyTable, dst: HyTable, target_seq: int | None = None) -> list[Data
     todo = []
     for f in src_snap.manifest:
         have = dst_have.get(f.path)
-        if have is not None and have.size_bytes == f.size_bytes:
-            continue  # inventory hit
+        if (
+            have is not None
+            and have.size_bytes == f.size_bytes
+            and (not f.checksum or not have.checksum or have.checksum == f.checksum)
+        ):
+            continue  # inventory hit (size + ETag/md5 when recorded)
         full = os.path.join(dst.root, f.path)
         if os.path.exists(full) and os.path.getsize(full) == f.size_bytes:
             continue  # stat probe hit (skip-if-exists, SyncOrchestrator.scala:114-118)
@@ -73,7 +77,11 @@ def plan(src: HyTable, dst: HyTable, target_seq: int | None = None) -> list[Data
 
 
 def copy_files(
-    spark: SparkSession, src_root: str, dst_root: str, refs: list[DataFileRef]
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    refs: list[DataFileRef],
+    throttle_s: float = 0.0,
 ) -> ReplicationMetrics:
     """Distributed per-file copy — the parallel fan-out of
     SyncOrchestrator.processDataSync (ZIO.foreachPar over files, :111).
@@ -81,6 +89,9 @@ def copy_files(
     Runs on executors via a parallelized task list (per-partition
     imperative IO is the one legitimate RDD use).  On a real cluster each
     task streams bytes region→region; locally it's a filesystem copy.
+    Metrics are reduced per partition executor-side; the collect returns
+    O(partitions) tuples, never per-file rows.  ``throttle_s`` sleeps per
+    file (tests use it to hold a copy in flight for cancellation).
     """
     t0 = time.time()
     if not refs:
@@ -93,6 +104,8 @@ def copy_files(
         copied = 0
         nbytes = 0
         for s, d in it:
+            if throttle_s:
+                time.sleep(throttle_s)
             os.makedirs(os.path.dirname(d), exist_ok=True)
             tmp = d + ".inprogress"
             shutil.copyfile(s, tmp)
@@ -108,30 +121,170 @@ def copy_files(
     return ReplicationMetrics(files, nbytes, len(refs) - files, int((time.time() - t0) * 1000))
 
 
-def verify(dst: HyTable, snap: Snapshot, sample_fraction: float | None = None) -> None:
+class CopyJob:
+    """Cancellable handle over an in-flight distributed copy
+    (≙ StoragePort.copyFileAsync / getCopyJobStatus / cancelCopyJob,
+    StoragePort.scala:58-69).
+
+    The copy runs in a daemon thread under a dedicated Spark job group
+    (interrupt-on-cancel); ``cancel()`` cancels the group, aborting the
+    running stages.  Per-file writes stay atomic (tmp + rename), so a
+    cancelled job leaves no torn files and a re-run is a plain
+    skip-if-exists resync.  States: pending → running → completed |
+    failed | cancelled.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        src_root: str,
+        dst_root: str,
+        refs: list[DataFileRef],
+        throttle_s: float = 0.0,
+    ):
+        import threading
+        import uuid
+
+        self.job_id = f"copy-{uuid.uuid4().hex[:12]}"
+        self._spark = spark
+        self._metrics: ReplicationMetrics | None = None
+        self._error: Exception | None = None
+        self._cancelled = False
+        self._state = "pending"
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(
+            target=self._run, args=(src_root, dst_root, refs, throttle_s), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, src_root, dst_root, refs, throttle_s):
+        with self._lock:
+            if self._cancelled:
+                return
+            self._state = "running"
+        try:
+            # Pinned-thread mode: the job group is scoped to this thread's
+            # submissions only — cancelJobGroup kills just this copy.
+            self._spark.sparkContext.setJobGroup(
+                self.job_id, f"async copy {self.job_id}", interruptOnCancel=True
+            )
+            m = copy_files(self._spark, src_root, dst_root, refs, throttle_s)
+            with self._lock:
+                if not self._cancelled:
+                    self._metrics = m
+                    self._state = "completed"
+        except Exception as exc:  # cancelled stages surface as Py4J errors
+            with self._lock:
+                if not self._cancelled:
+                    self._error = exc
+                    self._state = "failed"
+
+    def status(self) -> str:
+        with self._lock:
+            return self._state
+
+    def cancel(self) -> bool:
+        """Cancel if still pending/running; returns whether anything was
+        cancelled (terminal states are immutable)."""
+        with self._lock:
+            if self._state in ("completed", "failed", "cancelled"):
+                return False
+            self._cancelled = True
+            self._state = "cancelled"
+        try:
+            self._spark.sparkContext.cancelJobGroup(self.job_id)
+        except Exception:
+            pass
+        return True
+
+    def wait(self, timeout: float | None = None) -> ReplicationMetrics | None:
+        """Block until terminal; returns metrics (None if cancelled),
+        raises the copy's error if it failed."""
+        self._thread.join(timeout)
+        with self._lock:
+            if self._state == "failed" and self._error is not None:
+                raise self._error
+            return self._metrics
+
+
+_COPY_JOBS: dict[str, CopyJob] = {}
+
+
+def copy_files_async(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    refs: list[DataFileRef],
+    throttle_s: float = 0.0,
+) -> CopyJob:
+    """≙ StoragePort.copyFileAsync: start a distributed copy, return a
+    pollable/cancellable handle registered for lookup by id."""
+    job = CopyJob(spark, src_root, dst_root, refs, throttle_s)
+    _COPY_JOBS[job.job_id] = job
+    return job
+
+
+def get_copy_job_status(job_id: str) -> str:
+    """≙ StoragePort.getCopyJobStatus."""
+    return _COPY_JOBS[job_id].status()
+
+
+def cancel_copy_job(job_id: str) -> bool:
+    """≙ StoragePort.cancelCopyJob."""
+    return _COPY_JOBS[job_id].cancel()
+
+
+def verify(
+    dst: HyTable,
+    snap: Snapshot,
+    sample_fraction: float | None = None,
+    checksums: bool | None = None,
+) -> None:
     """≙ StateReconciler.verifyAndPromote's verification half
     (legacy StateReconciler.java:65-80): every file of the snapshot must
     exist at the destination with exactly the manifest's size, else raise.
 
     ``sample_fraction`` enables the L0 tier (sampled existence/size check,
     iceberg-arch-hybrid-replica-dr.md:148-158) with clamp(ceil(n*p), 1, n);
-    None = full L1 verification.
+    None = full L1 verification, which also re-hashes file contents
+    against the manifest's md5 (≙ ObjectStorePort ETag integrity,
+    legacy ObjectStorePort.java:36-71) so same-size corruption is caught.
+    Content hashing is distributed over executors — the bytes never
+    funnel through the driver.
     """
     manifest = list(snap.manifest)
+    if checksums is None:
+        checksums = sample_fraction is None  # L1 hashes, L0 stats only
     if sample_fraction is not None:
         import math
 
         k = max(1, min(len(manifest), math.ceil(len(manifest) * sample_fraction)))
         manifest = manifest[:k]
-    for f in manifest:
-        full = os.path.join(dst.root, f.path)
-        if not os.path.exists(full):
-            raise VerificationError(f"missing replicated file: {f.path}")
-        actual = os.path.getsize(full)
-        if actual != f.size_bytes:
-            raise VerificationError(
-                f"size mismatch for {f.path}: expected {f.size_bytes}, got {actual}"
-            )
+    if not manifest:
+        return
+    root = dst.root
+    triples = [(f.path, f.size_bytes, f.checksum if checksums else "") for f in manifest]
+
+    def _check_partition(it):
+        from iceberg_hybrid_spark.lake.table import file_md5
+
+        for rel, size, md5 in it:
+            full = os.path.join(root, rel)
+            if not os.path.exists(full):
+                yield f"missing replicated file: {rel}"
+                continue
+            actual = os.path.getsize(full)
+            if actual != size:
+                yield f"size mismatch for {rel}: expected {size}, got {actual}"
+                continue
+            if md5 and file_md5(full) != md5:
+                yield f"checksum mismatch for {rel}: content differs from manifest md5"
+
+    sc = dst.spark.sparkContext
+    n_slices = min(len(triples), sc.defaultParallelism)
+    errors = sorted(sc.parallelize(triples, n_slices).mapPartitions(_check_partition).collect())
+    if errors:
+        raise VerificationError("; ".join(errors))
 
 
 def replicate(
@@ -157,9 +310,21 @@ def replicate(
     metrics = copy_files(spark, src.root, dst.root, todo)
 
     # Shadow-commit the source manifest at the destination (staged).
+    # The summary must carry the source's partition spec / evolved schema
+    # / rename history (HyTable._CARRY_KEYS): partition columns are
+    # stripped from the files by partitionBy and reconstructed at read
+    # time from the summary, so dropping them would lose those columns at
+    # the destination and misread schema-evolved tables.
+    summary = {
+        k: src_snap.summary[k] for k in HyTable._CARRY_KEYS if k in src_snap.summary
+    }
+    summary.update({
+        "replicated_from": src_snap.snapshot_id,
+        "source_seq": src_snap.sequence_number,
+    })
     staged = dst._make_snapshot(
         "append", src_snap.manifest, src_snap.schema_ddl, staged=True,
-        summary={"replicated_from": src_snap.snapshot_id, "source_seq": src_snap.sequence_number},
+        summary=summary,
     )
     dst._commit(staged)
     verify(dst, staged)  # raises on any missing/mismatched file

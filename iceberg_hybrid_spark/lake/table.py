@@ -172,6 +172,9 @@ class DataFileRef:
     # sequence the file was added at — deletes only apply to data files
     # with added_seq <= the delete's added_seq (Iceberg sequence rule)
     added_seq: int = 0
+    # content checksum (md5 hex) — ≙ the object-store ETag integrity
+    # check (legacy ObjectStorePort.java:36-71); "" = not recorded
+    checksum: str = ""
 
     def to_json(self) -> dict:
         return {
@@ -183,6 +186,7 @@ class DataFileRef:
             "content": self.content,
             "delete_cols": list(self.delete_cols),
             "added_seq": self.added_seq,
+            "checksum": self.checksum,
         }
 
     @staticmethod
@@ -194,6 +198,7 @@ class DataFileRef:
             d.get("content", "data"),
             tuple(d.get("delete_cols", [])),
             d.get("added_seq", 0),
+            d.get("checksum", ""),
         )
 
     def bounds(self, col: str) -> tuple[object, object] | None:
@@ -247,6 +252,18 @@ def _parquet_row_count(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def file_md5(path: str) -> str:
+    """Content checksum recorded in the manifest — the ETag equivalent an
+    object store would return at PUT time."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 _STATS_OK_TYPES = (int, float, str, bool)
@@ -459,6 +476,7 @@ class HyTable:
                         partition=_parse_hive_partition(
                             os.path.relpath(dirpath, out_dir)
                         ),
+                        checksum=file_md5(full),
                     )
                 )
         return sorted(refs, key=lambda r: r.path)
@@ -654,6 +672,18 @@ class HyTable:
             raise ValueError(f"{snapshot_id} is not staged")
 
         def build():
+            # Cherry-pick safety: publish re-commits the STAGED manifest
+            # wholesale, so a commit that landed after the stage would be
+            # silently dropped (lost update).  Refuse unless the current
+            # head is an ancestor of the staged snapshot — the Iceberg
+            # cherry-pick conflict rule.
+            head = self.current_snapshot()
+            if head is not None and not self._is_ancestor(head.snapshot_id, staged):
+                raise CommitConflict(
+                    f"cannot publish {snapshot_id}: head {head.snapshot_id} "
+                    "is not an ancestor of the staged snapshot (a commit "
+                    "landed after staging; re-stage on the new head)"
+                )
             return self._make_snapshot(
                 "publish", staged.manifest, staged.schema_ddl,
                 summary={**self._carry_summary(staged), "published_from": snapshot_id},
@@ -1028,6 +1058,53 @@ class HyTable:
 
     # ---- row-level operations (copy-on-write) ------------------------------
 
+    def _read_live_rows(self, snap: Snapshot, refs: list[DataFileRef]) -> DataFrame:
+        """Read data-file refs with the snapshot's MOR delete files
+        applied — the same row set ``read()`` would produce for those
+        files.  COW rewrites must go through this, not raw ``_read_refs``:
+        rewritten rows get a new, higher ``added_seq``, so any
+        equality/position delete that used to hide them would stop
+        applying and the deleted rows would be resurrected."""
+        eq_dels = self.delete_files(snap, "equality_delete")
+        pos_dels = self.delete_files(snap, "position_delete")
+        df = self._read_refs(snap, refs, with_meta=bool(eq_dels or pos_dels))
+        return self._apply_mor_deletes(snap, df, eq_dels, pos_dels)
+
+    def _position_delete_targets(self, ref: DataFileRef) -> set[str]:
+        """Distinct data-file paths a position-delete file references
+        (tiny single-part parquet — a driver-side column read)."""
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            os.path.join(self.root, ref.path), columns=["file_path"]
+        )
+        return set(table.column("file_path").to_pylist())
+
+    def _prune_dead_deletes(
+        self, files: tuple[DataFileRef, ...]
+    ) -> tuple[DataFileRef, ...]:
+        """Drop delete-file refs that can no longer hide any data file in
+        ``files``: an equality delete applies only to data files added
+        STRICTLY before it, a position delete only to the file paths it
+        names.  Called after a COW rewrite replaced data files (the
+        rewrite materialized those deletes).  Not-yet-stamped new files
+        (``added_seq == 0``) are the rewrite's output — newer than every
+        delete, so they never keep one alive."""
+        data = [f for f in files if f.content == "data"]
+        min_seq = min((f.added_seq for f in data if f.added_seq), default=None)
+        data_paths = {f.path for f in data}
+        kept = []
+        for f in files:
+            if f.content == "equality_delete":
+                if min_seq is not None and min_seq < f.added_seq:
+                    kept.append(f)
+            elif f.content == "position_delete":
+                if data_paths & self._position_delete_targets(f):
+                    kept.append(f)
+            else:
+                kept.append(f)
+        return tuple(kept)
+
     def delete_where(self, preds: list[tuple[str, str, object]]) -> Snapshot:
         """Row-level DELETE as file-granular copy-on-write: only files
         whose stats/partition overlap the predicate are rewritten; all
@@ -1038,7 +1115,7 @@ class HyTable:
         affected = self.prune_files(preds, cur)
         if not affected:
             return cur
-        keep_rows = self._read_refs(cur, affected).filter(
+        keep_rows = self._read_live_rows(cur, affected).filter(
             ~self._preds_to_column(preds)
         )
         partition_by = list(cur.summary.get("partition_by", [])) or None
@@ -1052,8 +1129,9 @@ class HyTable:
         def build():
             head = self.current_snapshot()
             untouched = tuple(f for f in head.manifest if f.path not in affected_set)
+            manifest = self._prune_dead_deletes(untouched + tuple(new_files))
             return self._make_snapshot(
-                "delete", untouched + tuple(new_files), head.schema_ddl,
+                "delete", manifest, head.schema_ddl,
                 summary={**self._carry_summary(head),
                          "rewritten_files": len(affected), "new_files": len(new_files)},
             )
@@ -1072,7 +1150,7 @@ class HyTable:
         if not affected:
             return cur
         match = self._preds_to_column(preds)
-        df = self._read_refs(cur, affected)
+        df = self._read_live_rows(cur, affected)
         for col, expr in assignments.items():
             df = df.withColumn(col, F.when(match, F.expr(expr)).otherwise(F.col(col)))
         partition_by = list(cur.summary.get("partition_by", [])) or None
@@ -1082,8 +1160,9 @@ class HyTable:
         def build():
             head = self.current_snapshot()
             untouched = tuple(f for f in head.manifest if f.path not in affected_set)
+            manifest = self._prune_dead_deletes(untouched + tuple(new_files))
             return self._make_snapshot(
-                "update", untouched + tuple(new_files), head.schema_ddl,
+                "update", manifest, head.schema_ddl,
                 summary={**self._carry_summary(head),
                          "rewritten_files": len(affected), "new_files": len(new_files)},
             )
@@ -1108,8 +1187,11 @@ class HyTable:
             if lo is not None:
                 preds.append((c, ">=", lo))
                 preds.append((c, "<=", hi))
-        affected = self.prune_files(preds, cur) if preds else list(cur.manifest)
-        target_rows = self._read_refs(cur, affected)
+        # No usable key bounds (e.g. empty source): fall back to all DATA
+        # files — never the whole manifest, which would scan delete files
+        # as table rows.
+        affected = self.prune_files(preds, cur) if preds else self.data_files(cur)
+        target_rows = self._read_live_rows(cur, affected)
         merged = target_rows.join(
             source.select(key_cols).distinct(), key_cols, "left_anti"
         ).unionByName(source)
@@ -1120,8 +1202,9 @@ class HyTable:
         def build():
             head = self.current_snapshot()
             untouched = tuple(f for f in head.manifest if f.path not in affected_set)
+            manifest = self._prune_dead_deletes(untouched + tuple(new_files))
             return self._make_snapshot(
-                "merge", untouched + tuple(new_files), head.schema_ddl,
+                "merge", manifest, head.schema_ddl,
                 summary={**self._carry_summary(head),
                          "rewritten_files": len(affected), "new_files": len(new_files)},
             )
@@ -1496,6 +1579,12 @@ class HyTable:
             return []
         return sorted(f for f in os.listdir(d) if f.endswith(".json"))
 
+    def _branch_names(self) -> list[str]:
+        d = os.path.join(self.meta_dir, "branches")
+        if not os.path.isdir(d):
+            return []
+        return sorted(n for n in os.listdir(d) if self._branch_versions(n))
+
     def _advance_branch(self, name: str, snapshot_id: str) -> None:
         """CAS-advance the branch pointer (O_EXCL versioned files — the
         same register as main commits)."""
@@ -1597,6 +1686,16 @@ class HyTable:
         cur = self.current_snapshot()
         if cur:
             keep.add(cur.sequence_number)
+        # Branch pointers are refs: their head snapshots (and so their
+        # files) must survive expiry even when older than the retain
+        # window — Iceberg's ref-protected expire_snapshots.  Expiring a
+        # branch head would unlink its version file and physically delete
+        # its exclusive data files: live branch data loss.
+        for name in self._branch_names():
+            try:
+                keep.add(self.branch_head(name).sequence_number)
+            except NoSuchSnapshot:
+                pass
         expired = [
             s for s in snaps
             if s.sequence_number not in keep

@@ -180,9 +180,45 @@ GROUP BY 1 ORDER BY ship_year
 """
 
 
+def zorder_clustered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction lifecycle: rewrite orders clustered on the
+    interleaved (o_custkey, o_totalprice) z-value — multi-dimensional
+    locality so BOTH dimensions prune at the manifest — then read back
+    through a 2-D predicate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    t = HyTable(spark, _scratch("zorder"))
+    t.create(orders.coalesce(4))
+    t.rewrite_data_files(n_files=8, zorder_by=["o_custkey", "o_totalprice"])
+    df = t.read(
+        preds=[("o_custkey", "<=", 300), ("o_totalprice", ">=", 100000.0)]
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ZORDER_READ_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS order_count,
+       CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey <= 300 AND o_totalprice >= 100000.0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 SPECS = [
     QuerySpec("snapshot_lifecycle", snapshot_lifecycle, SNAPSHOT_LIFECYCLE_SQL,
               "commit log: create/append/delete history"),
+    QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
+              "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,
               "sort-clustering compaction + manifest-pruned time read"),
     QuerySpec("hidden_partition_read", hidden_partition_read, HIDDEN_PARTITION_SQL,

@@ -55,3 +55,26 @@ def test_branch_from_historical_seq(spark, table):
     table.append(spark.range(100, 200).toDF("id"))
     table.create_branch("old", seq=1)
     assert table.read_branch("old").count() == 100
+
+
+def test_expire_snapshots_protects_branch_heads(spark, table):
+    """A branch head referencing an old snapshot must survive expiry —
+    expiring it would unlink its version file and delete its exclusive
+    data files (live branch data loss)."""
+    table.create_branch("eu_replica")
+    table.append_to_branch("eu_replica", spark.range(100, 150).toDF("id"))
+    # advance main well past the branch point
+    for lo in range(3):
+        table.append(spark.range(1000 + lo, 1001 + lo).toDF("id"))
+    table.expire_snapshots(retain_last=1)
+    # the branch is still fully readable, including its exclusive files
+    assert table.read_branch("eu_replica").count() == 150
+
+
+def test_expire_snapshots_still_drops_unreferenced(spark, table):
+    table.create_branch("b")
+    for lo in range(4):
+        table.append(spark.range(200 + lo, 201 + lo).toDF("id"))
+    res = table.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] > 0
+    assert table.read_branch("b").count() == 100

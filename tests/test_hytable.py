@@ -415,3 +415,26 @@ def test_metadata_tables_all_files_partitions_manifests(spark, tmp_table_root):
     assert set(man) == {1, 2, 3}
     assert man[3].added_file_count == man[3].data_file_count
     assert man[1].delete_file_count == 0
+
+
+def test_publish_rejects_conflicting_commit(spark, tmp_table_root):
+    """A commit landing between stage and publish must fail the publish
+    (Iceberg cherry-pick conflict), not be silently dropped."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    staged = t.stage_append(make_df(spark, 100, 150))
+    t.append(make_df(spark, 500, 510))  # intervening commit
+    with pytest.raises(CommitConflict, match="not an ancestor"):
+        t.publish(staged.snapshot_id)
+    assert t.read().count() == 110  # the intervening commit survives
+
+
+def test_publish_ok_after_unrelated_history(spark, tmp_table_root):
+    """Publishing directly on the head it was staged from still works."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(make_df(spark, 0, 100))
+    s1 = t.stage_append(make_df(spark, 100, 150))
+    t.publish(s1.snapshot_id)
+    s2 = t.stage_append(make_df(spark, 150, 160))
+    t.publish(s2.snapshot_id)
+    assert t.read().count() == 160

@@ -69,3 +69,71 @@ def test_mor_on_partitioned_table(spark, tmp_path):
     t.delete_where_mor([("part", "=", 1)], delete_cols=["id"])
     assert t.read().count() == 40
     assert t.read(preds=[("part", "=", 1)]).count() == 0
+
+
+# ---- COW rewrites over MOR deletes (resurrection guard) --------------------
+
+
+def test_cow_delete_preserves_equality_deletes(table):
+    """A COW rewrite re-adds rows at a new higher added_seq, so without a
+    delete-applying read the old equality delete would stop applying and
+    MOR-deleted rows would be resurrected."""
+    table.delete_where_mor([("grp", "=", 2)], delete_cols=["id"])    # -20
+    table.delete_where([("grp", "=", 3)])                            # -20 COW
+    assert table.read().count() == 60
+    assert table.read(preds=[("grp", "=", 2)]).count() == 0
+    # every data file was rewritten -> the equality delete is fully
+    # materialized and its ref dropped from the manifest
+    assert all(f.content == "data" for f in table.current_snapshot().manifest)
+
+
+def test_cow_update_preserves_equality_deletes(table):
+    table.delete_where_mor([("id", "<", 10)], delete_cols=["id"])    # -10
+    table.update_where([("id", ">=", 90)], {"grp": "grp + 100"})
+    assert table.read().count() == 90
+    assert table.read(preds=[("id", "<", 10)]).count() == 0
+    assert table.read(preds=[("id", "=", 95)]).collect()[0].grp == 100
+
+
+def test_cow_merge_preserves_equality_deletes(spark, table):
+    table.delete_where_mor([("id", "<", 10)], delete_cols=["id"])    # -10
+    src = spark.createDataFrame([(50, 999)], "id long, grp long")
+    table.merge(src, ["id"])
+    assert table.read().count() == 90
+    assert table.read(preds=[("id", "=", 50)]).collect()[0].grp == 999
+    assert table.read(preds=[("id", "<", 10)]).count() == 0
+
+
+def test_cow_delete_preserves_position_deletes(table):
+    table.delete_positions_mor([("id", "=", 7)])                     # -1
+    table.delete_where([("grp", "=", 4)])                            # -20 COW
+    assert table.read().count() == 79
+    assert table.read(preds=[("id", "=", 7)]).count() == 0
+    # all referenced files rewritten -> position delete pruned
+    assert all(f.content == "data" for f in table.current_snapshot().manifest)
+
+
+def test_upsert_mor_then_cow_merge(spark, table):
+    """MOR upsert's equality delete must keep hiding the old key version
+    through a later COW merge of the same file."""
+    table.upsert_mor(
+        spark.createDataFrame([(5, 500), (200, 0)], "id long, grp long"), ["id"]
+    )
+    assert table.read().count() == 101
+    table.merge(spark.createDataFrame([(6, 600)], "id long, grp long"), ["id"])
+    assert table.read().count() == 101
+    five = table.read(preds=[("id", "=", 5)]).collect()
+    assert len(five) == 1 and five[0].grp == 500
+    assert table.read(preds=[("id", "=", 6)]).collect()[0].grp == 600
+
+
+def test_partial_cow_keeps_needed_delete_file(spark, table):
+    """A COW rewrite touching only SOME files must keep the equality
+    delete ref alive for the untouched ones."""
+    table.delete_where_mor([("grp", "=", 1)], delete_cols=["id"])    # -20
+    # merge with a tight key range -> only the file containing id=2
+    table.merge(spark.createDataFrame([(2, 700)], "id long, grp long"), ["id"])
+    kinds = [f.content for f in table.current_snapshot().manifest]
+    assert kinds.count("equality_delete") == 1   # still needed elsewhere
+    assert table.read().count() == 80            # grp=1 rows still hidden
+    assert table.read(preds=[("grp", "=", 1)]).count() == 0

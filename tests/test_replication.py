@@ -108,3 +108,100 @@ def test_fast_forward_diff(spark, src_dst):
     # files from the first sync were not re-copied
     assert metrics.files_skipped == 0
     assert metrics.files_copied < len(src.current_snapshot().manifest)
+
+
+def test_replicate_partitioned_table(spark, src_dst):
+    """Partition columns are stripped from the parquet files and rebuilt
+    from the snapshot summary — the shadow commit must carry the spec or
+    the destination loses those columns."""
+    src, dst = src_dst
+    src.create(
+        spark.range(0, 90).selectExpr("id", "id % 3 AS part"),
+        partition_by=["part"],
+    )
+    R.replicate(spark, src, dst)
+    out = dst.read()
+    assert "part" in out.columns
+    assert sorted((r.id, r.part) for r in out.collect()) == sorted(
+        (r.id, r.part) for r in src.read().collect()
+    )
+    # partition pruning still works at the destination
+    assert dst.read(preds=[("part", "=", 1)]).count() == 30
+
+
+def test_replicate_schema_evolved_table(spark, src_dst):
+    """Rename/add history must replicate or old-epoch files are misread."""
+    src, dst = src_dst
+    src.create(make_df(spark, 0, 50))
+    src.rename_column("s", "label")
+    src.append(
+        spark.range(50, 80).selectExpr("id", "CAST(id AS STRING) AS label")
+    )
+    R.replicate(spark, src, dst)
+    out = dst.read()
+    assert "label" in out.columns and "s" not in out.columns
+    assert out.count() == 80
+    assert sorted(r.id for r in out.collect()) == list(range(80))
+
+
+def test_verify_catches_same_size_corruption(spark, src_dst):
+    """Byte flip that preserves file size: size check passes, the md5
+    (ETag) tier must catch it and block promotion."""
+    src, dst = src_dst
+    src.create(make_df(spark, 0, 100))
+    todo = R.plan(src, dst)
+    R.copy_files(spark, src.root, dst.root, todo)
+    victim = os.path.join(dst.root, todo[0].path)
+    data = bytearray(open(victim, "rb").read())
+    data[len(data) // 2] ^= 0xFF  # flip one byte, same size
+    open(victim, "wb").write(bytes(data))
+    staged = dst._make_snapshot(
+        "append", src.current_snapshot().manifest, "id BIGINT", staged=True
+    )
+    dst._commit(staged)
+    with pytest.raises(R.VerificationError, match="checksum mismatch"):
+        R.verify(dst, staged)
+    assert dst.current_snapshot() is None  # promotion blocked
+
+
+def test_async_copy_completes(spark, src_dst):
+    """copyFileAsync happy path: pending/running -> completed, metrics
+    identical to the synchronous copy."""
+    src, dst = src_dst
+    src.create(make_df(spark, 0, 100))
+    todo = R.plan(src, dst)
+    job = R.copy_files_async(spark, src.root, dst.root, todo)
+    assert R.get_copy_job_status(job.job_id) in ("pending", "running", "completed")
+    metrics = job.wait(timeout=120)
+    assert job.status() == "completed"
+    assert metrics.files_copied == len(todo)
+    for f in todo:
+        assert os.path.exists(os.path.join(dst.root, f.path))
+
+
+def test_async_copy_cancel_in_flight(spark, src_dst):
+    """Cancelling a running copy: status transitions to cancelled, the
+    job stops, and no torn files are left behind."""
+    import time as _t
+
+    src, dst = src_dst
+    # enough files + per-file throttle that the copy is reliably in flight
+    src.create(make_df(spark, 0, 2000).repartition(64))
+    todo = R.plan(src, dst)
+    job = R.copy_files_async(spark, src.root, dst.root, todo, throttle_s=0.5)
+    deadline = _t.time() + 30
+    while job.status() == "pending" and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert job.status() == "running"
+    assert R.cancel_copy_job(job.job_id) is True
+    assert R.get_copy_job_status(job.job_id) == "cancelled"
+    job.wait(timeout=120)
+    assert job.status() == "cancelled"
+    assert job.cancel() is False  # terminal states are immutable
+    # atomic per-file writes: every visible parquet is complete
+    for dirpath, _, files in os.walk(dst.root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(dirpath, fn), dst.root)
+                ref = next(f for f in todo if f.path == rel)
+                assert os.path.getsize(os.path.join(dirpath, fn)) == ref.size_bytes

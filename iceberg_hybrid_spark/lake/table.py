@@ -412,14 +412,16 @@ class HyTable:
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(snap.to_json(), fh)
+        # link(2) is the CAS register: it fails with EEXIST exactly like
+        # O_CREAT|O_EXCL, but the version file appears fully-formed — a
+        # concurrent reader (or a streaming JSON source tailing _meta/)
+        # never observes a half-written snapshot.
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
-            os.unlink(tmp)
             raise CommitConflict(f"seq {snap.sequence_number} already committed") from None
-        with os.fdopen(fd, "w") as fh, open(tmp) as src:
-            fh.write(src.read())
-        os.unlink(tmp)
+        finally:
+            os.unlink(tmp)
         return snap
 
     def _next_seq(self) -> int:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as SPARK_T
 
 from ..lake.table import HyTable
 
@@ -44,6 +45,35 @@ def stream_table_appends(spark: SparkSession, table: HyTable) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
         .parquet(os.path.join(table.root, "data"))
+    )
+
+
+_COMMIT_EVENT_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("snapshot_id", SPARK_T.StringType()),
+    SPARK_T.StructField("sequence_number", SPARK_T.LongType()),
+    SPARK_T.StructField("parent_id", SPARK_T.StringType()),
+    SPARK_T.StructField("timestamp_ms", SPARK_T.LongType()),
+    SPARK_T.StructField("operation", SPARK_T.StringType()),
+    SPARK_T.StructField("staged", SPARK_T.BooleanType()),
+])
+
+
+def stream_commit_history(spark: SparkSession, table: HyTable) -> DataFrame:
+    """True ``readStream`` over the table's commit log
+    (≙ CatalogPort.getCommitHistoryStream, CatalogPort.scala — the
+    streaming overload of getCommitHistory).
+
+    Each version file under ``_meta/`` is one commit event; new commits
+    arrive as micro-batches with exactly-once delivery via the stream
+    checkpoint.  Safe because ``_commit`` publishes version files with
+    link(2) — they appear fully-formed, never half-written.  The schema
+    projects the snapshot header only (the manifest array is skipped by
+    the JSON reader), so a batch row stays O(1) regardless of table size.
+    """
+    return (
+        spark.readStream.schema(_COMMIT_EVENT_SCHEMA)
+        .option("pathGlobFilter", "v*.json")
+        .json(table.meta_dir)
     )
 
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from iceberg_hybrid_spark.lake.table import HyTable
 from iceberg_hybrid_spark.streaming.table_stream import (
     IncrementalTableReader,
+    stream_commit_history,
     stream_table_appends,
 )
 
@@ -59,6 +60,41 @@ def test_incremental_reader_tails_snapshots(spark, tmp_table_root):
     b2 = reader.next_batch()  # both commits in one fast-forward batch
     assert b2.count() == 150
     assert reader.next_batch() is None
+
+
+def test_stream_commit_history_delivers_commits(spark, tmp_table_root, tmp_path):
+    t = HyTable(spark, tmp_table_root)
+    t.create(_mk(spark, 0, 10))
+    t.append(_mk(spark, 10, 20))
+    rows: list = []
+
+    def sink(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    ckpt = str(tmp_path / "ckpt-hist")
+
+    def drain():
+        q = (
+            stream_commit_history(spark, t)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r.sequence_number for r in rows) == [1, 2]
+    assert [r.operation for r in sorted(rows, key=lambda r: r.sequence_number)] == [
+        "create", "append",
+    ]
+    # a new commit arrives as a NEW micro-batch only (exactly-once)
+    t.append(_mk(spark, 20, 25))
+    drain()
+    assert sorted(r.sequence_number for r in rows) == [1, 2, 3]
+    by_seq = {r.sequence_number: r for r in rows}
+    assert by_seq[3].parent_id == by_seq[2].snapshot_id
+    assert by_seq[3].staged is False
 
 
 def test_incremental_reader_defaults_to_head(spark, tmp_table_root):

@@ -1,0 +1,451 @@
+"""Training-data pipeline operators: the corpus-preparation stages a
+large-scale LLM data pipeline runs between raw crawl and tokenizer —
+quality gating, repetition/boilerplate analysis, contamination checks,
+PII masking, chunking, packing, mix sampling, and embedding quantization.
+
+Every operator is a pure DataFrame expression (JVM codegen, no Python
+UDFs): map-only where possible, shuffle-bounded (one groupBy / one
+equi-join) otherwise, so the identical plan runs over a 100 TB documents
+table.  Each has a DuckDB oracle twin with bit-identical arithmetic
+(same operand order, ``round_stable`` on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.tables import load_table
+from .spec import QuerySpec
+
+# DuckDB fragment: distinct k-token shingles from pre-split words `w`.
+def _duck_shingles(k: int) -> str:
+    join = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(w) - {k - 1}, 0)), i -> {join}))"
+    )
+
+
+# --- repetition analysis ----------------------------------------------------
+
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-5-gram fraction per document (the Gopher/MassiveText
+    repetition signal): 1 - distinct/total 5-grams.  Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    n = F.size(w)
+    total = n - 4  # number of (overlapping) 5-grams
+    k = 5
+    m = n - (k - 1)
+    acc = F.slice(w, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(w, j + 1, m), lambda x, y: F.concat_ws(" ", x, y))
+    distinct = F.size(F.array_distinct(acc))
+    return (
+        docs.filter(n >= 5)
+        .select(
+            "doc_id",
+            total.cast("bigint").alias("total_5grams"),
+            distinct.cast("bigint").alias("distinct_5grams"),
+            T.round_stable(1.0 - distinct / total, 4).alias("rep_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = """
+SELECT doc_id,
+       CAST(len(w) - 4 AS BIGINT) AS total_5grams,
+       CAST(len(list_distinct(g)) AS BIGINT) AS distinct_5grams,
+       ROUND(1.0 - len(list_distinct(g)) / (len(w) - 4) - 0.000000001, 4) + 0.0
+           AS rep_frac
+FROM (
+  SELECT doc_id, w,
+         list_transform(generate_series(1, len(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+  WHERE len(w) >= 5
+) d
+ORDER BY doc_id
+"""
+
+
+# --- quality gating ---------------------------------------------------------
+
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate, aggregated per language: how many docs pass
+    each rule (word count, mean word length, stopword density, lexical
+    diversity) and the full gate.  Map-only + one partial-agg groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    wc = F.size(w)
+    # text is single-space separated: total chars = sum(len) + (wc - 1)
+    mwl = (F.length("text") - (wc - 1)) / wc
+    stop = F.size(F.filter(w, lambda t: t.isin(*T.STOPWORDS))) / wc
+    diversity = F.size(F.array_distinct(w)) / wc
+    r_wc = (wc >= 10) & (wc <= 100000)
+    r_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    r_stop = stop >= 0.02
+    r_div = diversity >= 0.2
+    flags = docs.select(
+        "lang",
+        r_wc.cast("int").alias("p_wc"),
+        r_mwl.cast("int").alias("p_mwl"),
+        r_stop.cast("int").alias("p_stop"),
+        r_div.cast("int").alias("p_div"),
+        (r_wc & r_mwl & r_stop & r_div).cast("int").alias("p_all"),
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("p_wc").alias("pass_word_count"),
+            F.sum("p_mwl").alias("pass_mean_word_len"),
+            F.sum("p_stop").alias("pass_stopword"),
+            F.sum("p_div").alias("pass_diversity"),
+            F.sum("p_all").alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
+GOPHER_GATE_SQL = """
+SELECT lang,
+       COUNT(*) AS doc_count,
+       CAST(SUM(CASE WHEN wc BETWEEN 10 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+       CAST(SUM(CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_word_len,
+       CAST(SUM(CASE WHEN stop >= 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+       CAST(SUM(CASE WHEN div >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_diversity,
+       CAST(SUM(CASE WHEN wc BETWEEN 10 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                 AND stop >= 0.02 AND div >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM (
+  SELECT lang, len(w) AS wc,
+         (length(text) - (len(w) - 1)) / len(w) AS mwl,
+         len(list_filter(w, x -> x IN ('the', 'a'))) / len(w) AS stop,
+         len(list_distinct(w)) / len(w) AS div
+  FROM (SELECT lang, text, string_split(text, ' ') AS w FROM documents) x
+) d
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --- PII masking ------------------------------------------------------------
+
+def pii_digit_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-style masking over the customer table: digits in
+    the identifier are starred except the last 3 (the card-number /
+    phone-tail masking shape), plus a digit census.  Map-only — the same
+    expression redacts a 100 TB column scan with zero shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    ln = F.length(name)
+    masked = F.concat(
+        F.regexp_replace(F.substring(name, 1, ln - 3), "[0-9]", "*"),
+        F.substring(name, ln - 2, 3),
+    )
+    n_digits = ln - F.length(F.regexp_replace(name, "[0-9]", ""))
+    return (
+        cust.filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            masked.alias("masked_name"),
+            n_digits.cast("bigint").alias("n_digits"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+PII_MASKING_SQL = """
+SELECT c_custkey,
+       concat(regexp_replace(substr(c_name, 1, length(c_name) - 3), '[0-9]', '*', 'g'),
+              substr(c_name, length(c_name) - 2, 3)) AS masked_name,
+       CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+           AS n_digits
+FROM customer WHERE c_custkey < 100 ORDER BY c_custkey
+"""
+
+
+# --- benchmark contamination ------------------------------------------------
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: fraction of a corpus document's
+    distinct bigrams that also appear in a held-out benchmark document
+    (here: every 50th doc).  Shape: explode n-grams on both sides, one
+    equi-join on the n-gram, count matches per pair — at 100 TB the join
+    key becomes the 8-byte shingle hash and the benchmark side (tiny) is
+    broadcast, so the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", T.shingles("text", k=2).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s"))
+    )
+    corp = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "n", F.explode("sh").alias("s"))
+    )
+    return (
+        corp.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("matching_ngrams"),
+            F.first("n").cast("bigint").alias("doc_ngrams"),
+        )
+        .filter(F.col("matching_ngrams") >= 0.2 * F.col("doc_ngrams"))
+        .select(
+            "doc_id",
+            "bench_id",
+            "matching_ngrams",
+            "doc_ngrams",
+            T.round_stable(F.col("matching_ngrams") / F.col("doc_ngrams"), 4)
+            .alias("overlap_frac"),
+        )
+        .orderBy(F.desc("overlap_frac"), "doc_id", "bench_id")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_duck_shingles(2)} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+),
+bench AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d WHERE doc_id % 50 <> 0)
+SELECT doc_id, bench_id,
+       COUNT(*) AS matching_ngrams,
+       CAST(ANY_VALUE(n) AS BIGINT) AS doc_ngrams,
+       ROUND(COUNT(*) / ANY_VALUE(n) - 0.000000001, 4) + 0.0 AS overlap_frac
+FROM corp JOIN bench ON corp.s = bench.s
+GROUP BY doc_id, bench_id
+HAVING COUNT(*) >= 0.2 * ANY_VALUE(n)
+ORDER BY overlap_frac DESC, doc_id, bench_id
+"""
+
+
+# --- chunking ---------------------------------------------------------------
+
+def token_window_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-length prep): 40-token
+    chunks, stride 30, each fingerprinted.  explode(sequence) + slice —
+    one narrow explode, no shuffle; chunk rows inherit the scan's
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    wc = F.size(w)
+    size, stride = 40, 30
+    n_chunks = F.lit(1) + F.floor(F.greatest(wc - size, F.lit(0)) / stride)
+    chunked = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.slice("w", F.col("chunk_idx") * stride + 1, size).alias("cw"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("cw").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join("cw", " ").cast("binary")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNKING_SQL = """
+SELECT doc_id, chunk_idx,
+       CAST(len(cw) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(cw, ' ')) AS chunk_md5
+FROM (
+  SELECT doc_id, i AS chunk_idx,
+         list_slice(w, i * 30 + 1, i * 30 + 40) AS cw
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x,
+       LATERAL unnest(generate_series(0,
+           CAST(floor(greatest(len(w) - 40, 0) / 30) AS BIGINT))) AS t(i)
+) c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- mix sampling -----------------------------------------------------------
+
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based mix sampling: downsample English to ~50%
+    while keeping other languages, by comparing an md5 prefix of the doc
+    id against a per-language threshold — reproducible across engines and
+    runs, no RNG state, embarrassingly parallel (the standard trick for
+    re-weighting domain mixes at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", F.lit("7f")).otherwise(F.lit("ff"))
+    kept = (bucket <= thresh).cast("int")
+    tc = T.token_count("text")
+    return (
+        docs.select("lang", kept.alias("kept"), tc.alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum("kept").alias("kept_docs"),
+            F.sum("tc").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("kept") * F.col("tc")).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOMAIN_MIX_SQL = """
+SELECT lang,
+       COUNT(*) AS total_docs,
+       CAST(SUM(kept) AS BIGINT) AS kept_docs,
+       CAST(SUM(tc) AS BIGINT) AS total_tokens,
+       CAST(SUM(kept * tc) AS BIGINT) AS kept_tokens
+FROM (
+  SELECT lang,
+         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2)
+                   <= (CASE WHEN lang = 'en' THEN '7f' ELSE 'ff' END)
+              THEN 1 ELSE 0 END AS kept,
+         len(string_split(text, ' ')) AS tc
+  FROM documents
+) d
+GROUP BY lang ORDER BY lang
+"""
+
+
+# --- boilerplate detection --------------------------------------------------
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent n-grams (C4-style boilerplate detection): the 20
+    trigrams appearing in the most distinct documents.  explode + one
+    counting groupBy (map-side partial agg) + TakeOrdered — the classic
+    frequent-pattern sweep that stays one shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(T.shingles("text", k=3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+BOILERPLATE_SQL = f"""
+SELECT ngram, COUNT(*) AS doc_count
+FROM (
+  SELECT doc_id, unnest({_duck_shingles(3)}) AS ngram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+) g
+GROUP BY ngram ORDER BY doc_count DESC, ngram ASC LIMIT 20
+"""
+
+
+# --- sequence packing -------------------------------------------------------
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: docs (in doc_id order, per
+    language) are packed into 512-token training bins by cumulative token
+    count; reports per-bin document count, token total and fill ratio.
+    One window (partitioned by lang — bounded cardinality) + one groupBy;
+    at scale the window key gains a shard component, same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.token_count("text")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    binned = docs.select("lang", "doc_id", tc.alias("tc")).withColumn(
+        "bin",
+        F.floor((F.sum("tc").over(w) - F.col("tc")) / 512).cast("bigint"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("tc").cast("bigint").alias("bin_tokens"),
+            T.round_stable(F.sum("tc") / 512.0, 4).alias("fill_ratio"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+PACKING_SQL = """
+SELECT lang, bin,
+       COUNT(*) AS doc_count,
+       CAST(SUM(tc) AS BIGINT) AS bin_tokens,
+       ROUND(SUM(tc) / 512.0 - 0.000000001, 4) + 0.0 AS fill_ratio
+FROM (
+  SELECT lang, doc_id, tc,
+         CAST(floor((SUM(tc) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - tc) / 512) AS BIGINT)
+             AS bin
+  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS tc FROM documents) d
+) b
+GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+
+# --- embedding quantization -------------------------------------------------
+
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with per-vector
+    max-abs scaling, reporting reconstruction RMSE per label — the
+    compression-loss audit run before shipping a quantized ANN index.
+    Pure array expressions (aggregate/transform), map-only + one tiny
+    groupBy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.transform(v, lambda x: F.round(x * 127.0 / scale - T.ROUND_EPS, 0))
+    err = F.zip_with(v, q, lambda x, qx: F.pow(x - qx * scale / 127.0, F.lit(2.0)))
+    rmse = F.sqrt(F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / F.size("embedding"))
+    return (
+        emb.select("label", rmse.alias("rmse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_count"),
+            T.round_stable(F.avg("rmse") * 1000.0, 4).alias("avg_rmse_x1000"),
+            T.round_stable(F.max("rmse") * 1000.0, 4).alias("max_rmse_x1000"),
+        )
+        .orderBy("label")
+    )
+
+
+QUANTIZATION_SQL = """
+SELECT label,
+       COUNT(*) AS vec_count,
+       ROUND(AVG(rmse) * 1000.0 - 0.000000001, 4) + 0.0 AS avg_rmse_x1000,
+       ROUND(MAX(rmse) * 1000.0 - 0.000000001, 4) + 0.0 AS max_rmse_x1000
+FROM (
+  SELECT label,
+         sqrt(list_sum(list_transform(
+             list_zip(v, list_transform(v, x -> round(x * 127.0 / scale - 0.000000001, 0))),
+             p -> (p[1] - p[2] * scale / 127.0) ** 2)) / len(v)) AS rmse
+  FROM (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+    FROM embeddings
+  ) e
+) r
+GROUP BY label ORDER BY label
+"""
+
+
+SPECS = [
+    QuerySpec("doc_repetition_scores", doc_repetition_scores, DOC_REPETITION_SQL,
+              "duplicate-5-gram repetition fraction per document"),
+    QuerySpec("gopher_quality_gate", gopher_quality_gate, GOPHER_GATE_SQL,
+              "Gopher-style quality rule gate, per-language pass counts"),
+    QuerySpec("pii_digit_masking", pii_digit_masking, PII_MASKING_SQL,
+              "deterministic digit masking + digit census"),
+    QuerySpec("benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL,
+              "train/test n-gram contamination scan"),
+    QuerySpec("token_window_chunking", token_window_chunking, CHUNKING_SQL,
+              "sliding token-window chunking with fingerprints"),
+    QuerySpec("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_SQL,
+              "deterministic hash-based domain mix sampling"),
+    QuerySpec("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_SQL,
+              "corpus-frequent n-gram boilerplate detection"),
+    QuerySpec("sequence_packing", sequence_packing, PACKING_SQL,
+              "greedy contiguous 512-token sequence packing"),
+    QuerySpec("embedding_quantization_error", embedding_quantization_error,
+              QUANTIZATION_SQL, "int8 quantization reconstruction RMSE"),
+]

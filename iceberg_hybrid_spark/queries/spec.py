@@ -24,13 +24,15 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import lake_ops as _lake_ops
     from . import llm as _llm
     from . import multimodal as _multimodal
+    from . import pipeline as _pipeline
     from . import relational as _relational
 
     # Interleave families round-robin rather than concatenating whole
     # modules: if a harness caps the number of queries it checks per run,
     # every operator family still lands inside the first N entries.
     modules = (
-        _relational, _events, _llm, _advanced, _multimodal, _lake_ops, _showcase
+        _relational, _events, _llm, _pipeline, _advanced, _multimodal,
+        _lake_ops, _showcase,
     )
     specs: dict[str, QuerySpec] = {}
     queues = [list(mod.SPECS) for mod in modules]

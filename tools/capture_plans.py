@@ -20,6 +20,10 @@ QUERIES = [
     "q13_customer_distribution",
     "near_dup_shingle_pairs",
     "embedding_topk_cosine",
+    "benchmark_contamination",
+    "boilerplate_ngrams",
+    "sequence_packing",
+    "domain_mix_sample",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

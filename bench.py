@@ -40,6 +40,10 @@ HEADLINE = [
     "near_dup_shingle_pairs",
     "embedding_topk_cosine",
     "embedding_multi_query_topk",
+    "benchmark_contamination",
+    "boilerplate_ngrams",
+    "sequence_packing",
+    "token_window_chunking",
 ]
 
 

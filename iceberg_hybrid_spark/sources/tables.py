@@ -10,6 +10,7 @@ by callers push down into the scan (Catalyst → parquet footer min/max).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,9 +35,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Per-session DataFrame cache.  The testdata lake is immutable and a
+# DataFrame is just an analyzed plan, so re-handing the same object out
+# skips the file listing + footer schema read (several py4j round trips
+# per call — measured ~0.2-0.5 s of plan-build time per multi-table
+# query).  Keyed weakly on the session so a stopped session's plans
+# never leak into its successor.
+_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    per_session = _CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # The events parquet stores ts as INT64 TIMESTAMP(NANOS), which a
         # vanilla Spark session rejects outright (PARQUET_TYPE_ILLEGAL).
@@ -55,6 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    per_session[key] = df
     return df
 
 

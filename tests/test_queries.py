@@ -28,3 +28,15 @@ def test_entry_contract(spark):
     df = m.entry(spark)
     assert df.count() > 0
     assert set(m.oracle_sql()) <= set(m.queries())
+
+
+def test_load_table_caches_per_session_and_sf(spark):
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    a = load_table(spark, SF_DIR, "orders")
+    assert load_table(spark, SF_DIR, "orders") is a
+    assert load_table(spark, "/root/testdata/sf0.01", "orders") is not a
+    # the events nanos→µs conversion must survive caching
+    ev = load_table(spark, SF_DIR, "events")
+    assert load_table(spark, SF_DIR, "events") is ev
+    assert str(ev.schema["ts"].dataType) == "TimestampType()"

@@ -83,6 +83,69 @@ def test_failed_event_retry(spark, coordinator):
     assert coordinator.events._events[ev.event_id].status == PENDING
 
 
+def test_ten_table_concurrent_load(spark, tmp_path):
+    """≙ WriteSyncReadWorkflowE2ESpec:113-181 — 10 tables written
+    concurrently, all synced to the mirror region (≥20 completed syncs),
+    every mirror byte-identical to its source."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    reg = Registry(spark)
+    for rid in ("us-east-1", "eu-west-1"):
+        reg.register_region(
+            Region(rid, rid), StorageLocation(rid, f"https://{rid}", str(tmp_path / rid), "wh")
+        )
+    tables = [f"load.t{i}" for i in range(10)]
+    catalogs = {
+        rid: {t: HyTable(spark, str(tmp_path / rid / "wh" / t)) for t in tables}
+        for rid in ("us-east-1", "eu-west-1")
+    }
+    for t in tables:
+        reg.register_table_location(t, "us-east-1", str(tmp_path / "us-east-1" / "wh" / t))
+    coord = MultiRegionCoordinator(spark, reg, CommitGate(spark), SyncEventStore(spark), catalogs)
+
+    def write_one(i):
+        df = spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS k"
+        )
+        job, snap = coord.coordinate_write(tables[i], df, "us-east-1")
+        return job.status
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        statuses = list(pool.map(write_one, range(10)))
+    assert statuses == ["Completed"] * 10
+
+    progress = coord.process_pending_events("eu-west-1")
+    assert progress.successful >= 20 and progress.failed == 0
+    completed = [
+        e for e in coord.events.events_df().collect() if e.status == COMPLETED
+    ]
+    assert len(completed) >= 20
+    for i, t in enumerate(tables):
+        src = sorted(coord.catalogs["us-east-1"][t].read().collect())
+        dst = sorted(coord.catalogs["eu-west-1"][t].read().collect())
+        assert src == dst and len(src) == 100
+
+
+def test_concurrent_registrations(spark, tmp_path):
+    """≙ InMemoryRegistryAdapterSpec:172-216 — registrations racing from
+    many threads all land; lookups agree afterwards."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    reg = Registry(spark)
+    reg.register_region(
+        Region("r1", "r1"), StorageLocation("r1", "https://r1", str(tmp_path), "wh")
+    )
+
+    def register(i):
+        reg.register_table_location(f"ns.t{i}", "r1", f"/data/t{i}")
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(register, range(200)))
+    assert len(reg.get_region_tables("r1")) == 200
+    for i in (0, 99, 199):
+        assert reg.get_table_data_path(f"ns.t{i}", "r1") == f"/data/t{i}"
+
+
 def test_event_store_pagination_and_cap(spark):
     store = SyncEventStore(spark)
     for i in range(25):

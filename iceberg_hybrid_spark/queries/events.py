@@ -151,7 +151,10 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new_session",
         F.when(
             F.col("prev_ts").isNull()
-            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            # interval comparison works for TIMESTAMP and TIMESTAMP_NTZ
+            # alike (a cast to long is illegal for NTZ) and matches the
+            # oracle's fractional-seconds epoch() diff exactly
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 1800 SECONDS")),
             1,
         ).otherwise(0),
     )

@@ -214,9 +214,88 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def mor_delete_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle through the oracle: an equality-delete file
+    (delete_where_mor) plus a streaming-style upsert (upsert_mor — one
+    commit, no target file rewritten), then a plain read that applies the
+    delete files at scan time.  ≙ FileRef EQUALITY_DELETE + the Flink-CDC
+    write pattern (FileRef.ContentType, modules/core/.../FileRef.scala)."""
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    t = HyTable(spark, _scratch("mor"))
+    t.create(nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")))
+    t.delete_where_mor([("k", "<", 5)], ["k"])
+    source = spark.createDataFrame(
+        [(10, "NATION_TEN_V2"), (200, "NEW_NATION")], "k int, name string"
+    )
+    t.upsert_mor(source, ["k"])
+    return t.read().orderBy("k")
+
+
+MOR_DELETE_UPSERT_SQL = """
+SELECT * FROM (
+  SELECT n_nationkey AS k, n_name AS name FROM nation
+  WHERE n_nationkey >= 5 AND n_nationkey <> 10
+  UNION ALL
+  SELECT * FROM (VALUES (10, 'NATION_TEN_V2'), (200, 'NEW_NATION')) v(k, name)
+) m
+ORDER BY k
+"""
+
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup — the daily-crawl pattern: batch 2
+    re-ships some already-ingested documents; dedup ONLY the newly-appended
+    rows (incremental read) against the historical fingerprint set, never
+    re-scanning the full corpus.  The anti-join hash-partitions on the
+    16-byte fingerprint, so at 100 TB the history side streams through the
+    shuffle once and no task ever holds more than its hash bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1).unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0)  # re-shipped duplicates
+    )
+    t = HyTable(spark, _scratch("incdedup"))
+    t.create(batch1.coalesce(1))
+    t.append(batch2.coalesce(1))
+    hist = (
+        t.read(seq=1)
+        .select(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .distinct()
+    )
+    fresh = (
+        t.incremental_read(1, 2)
+        .withColumn("fingerprint", F.md5(F.col("text").cast("binary")))
+        .join(hist, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("new_doc_id"))
+    )
+    return fresh.orderBy("new_doc_id")
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id % 2 = 0
+), newb AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT * FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS new_doc_id
+FROM newb
+WHERE md5(text) NOT IN (SELECT fingerprint FROM hist)
+GROUP BY 1
+ORDER BY new_doc_id
+"""
+
+
 SPECS = [
     QuerySpec("snapshot_lifecycle", snapshot_lifecycle, SNAPSHOT_LIFECYCLE_SQL,
               "commit log: create/append/delete history"),
+    QuerySpec("mor_delete_upsert_read", mor_delete_upsert_read, MOR_DELETE_UPSERT_SQL,
+              "MOR equality-delete + streaming upsert, delete-applying read"),
+    QuerySpec("incremental_dedup_new_docs", incremental_dedup_new_docs,
+              INCREMENTAL_DEDUP_SQL,
+              "incremental cross-snapshot dedup of newly-appended docs"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
               "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -68,18 +69,23 @@ def main() -> None:
     ).agg({"d": "sum"}).collect()
 
     specs = all_specs()
-    timings: dict[str, float] = {}
-    # Two passes, min per query: the first pass can run in a degraded
-    # environment (page cache evicted / CPU busy from whatever the host
-    # ran just before bench); min-of-2 reports steady-state latency.
-    for _pass in range(2):
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Median of `runs` passes per query: the first pass can run in a
+    # degraded environment (page cache evicted / CPU busy from whatever
+    # the host ran just before bench) and any single pass can catch a GC
+    # or compaction hiccup — the median is robust to one outlier in
+    # either direction, so round-over-round comparisons track plan
+    # changes, not scheduler noise.
+    for _pass in range(runs):
         for name in HEADLINE:
             fn = specs[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +94,7 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                "runs": runs,
                 "queries": timings,
                 "sf": sf,
             }

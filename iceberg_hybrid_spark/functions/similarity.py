@@ -186,6 +186,65 @@ def ivf_topk(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded random-hyperplane LSH candidate pairs for cosine near-dup
+    detection: the sign bits over ``planes`` split into ``bands`` bands
+    of ``len(planes)//bands`` bits; two vectors are candidates iff they
+    agree on every bit of at least one band (the classic OR-of-ANDs LSH
+    amplification).
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.  The plan is
+    an explode to ``bands`` rows per vector (ids + short signatures only
+    — vectors never fan out) followed by an equi-join on
+    ``(band, signature)``: a hash-partitioned self-join whose candidate
+    count tracks true near-dup density, never the n²/2 pair space.  For
+    a pair at cosine θ the per-band match probability is
+    ``(1 - θ/π)^bits``; miss probability decays as
+    ``(1 - p_band)^bands`` — size bands/bits to the target threshold.
+    """
+    n = len(planes)
+    if n % bands:
+        raise ValueError(f"{n} planes not divisible into {bands} bands")
+    r = n // bands
+    v = as_double_array(vec_col)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, "1").otherwise("0")
+        for p in planes
+    ]
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat(*bits[j * r : (j + 1) * r]).alias("sig"),
+            )
+            for j in range(bands)
+        ]
+    )
+    keyed = df.select(F.col(id_col), F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],

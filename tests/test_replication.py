@@ -205,3 +205,67 @@ def test_async_copy_cancel_in_flight(spark, src_dst):
                 rel = os.path.relpath(os.path.join(dirpath, fn), dst.root)
                 ref = next(f for f in todo if f.path == rel)
                 assert os.path.getsize(os.path.join(dirpath, fn)) == ref.size_bytes
+
+
+def test_audit_closure_clean_report(spark, tmp_path):
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    t.create(make_df(spark, 0, 50))
+    t.append(make_df(spark, 50, 80))
+    rep = R.audit_closure(t)
+    assert rep["snapshots_audited"] == 2
+    assert rep["files_checked"] >= len(t.current_snapshot().manifest)
+    assert rep["checksums"] is True
+
+
+def test_audit_closure_catches_old_snapshot_corruption(spark, tmp_path):
+    """L2's reason to exist: a same-size bit flip in a file referenced
+    only by an OLDER retained snapshot passes the head-scoped L0 and L1
+    tiers (the head manifest no longer names the file) but must fail the
+    full-closure audit, attributed to the snapshot that references it."""
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    t.create(make_df(spark, 0, 50))
+    old_manifest = list(t.current_snapshot().manifest)
+    t.overwrite(make_df(spark, 50, 80))
+    head = t.current_snapshot()
+    head_paths = {f.path for f in head.manifest}
+    victim = next(f for f in old_manifest if f.path not in head_paths)
+    full = os.path.join(t.root, victim.path)
+    size_before = os.path.getsize(full)
+    with open(full, "r+b") as f:
+        data = f.read()
+        mid = len(data) // 2
+        f.seek(mid)
+        f.write(bytes([data[mid] ^ 0xFF]))
+    assert os.path.getsize(full) == size_before  # same-size corruption
+    R.verify(t, head, sample_fraction=0.5)  # L0: head-only sampled stats — blind
+    R.verify(t, head)                       # L1: head-only full checksum — blind
+    with pytest.raises(R.VerificationError, match="checksum mismatch.*seq 1"):
+        R.audit_closure(t)
+
+
+def test_copy_job_live_byte_progress(spark, src_dst):
+    """≙ CopyJob.scala bytesToCopy/bytesCopied: polling a throttled
+    in-flight job observes monotonically increasing progress with at
+    least one reading strictly between 0 and 100%."""
+    import time
+
+    src, dst = src_dst
+    # > defaultParallelism files so tasks carry >=2 files each and
+    # completions spread over time
+    src.create(make_df(spark, 0, 2000).repartition(40))
+    refs = R.plan(src, dst)
+    assert len(refs) >= 40
+    job = R.copy_files_async(spark, src.root, dst.root, refs, throttle_s=0.4)
+    seen = []
+    deadline = time.time() + 120
+    while job.status() in ("pending", "running") and time.time() < deadline:
+        seen.append(job.progress()["progress_pct"])
+        time.sleep(0.03)
+    assert job.wait(60) is not None
+    final = job.progress()
+    assert final["state"] == "completed"
+    assert final["progress_pct"] == 100.0
+    assert final["bytes_copied"] == final["bytes_to_copy"] > 0
+    assert final["files_copied"] == len(refs)
+    assert seen == sorted(seen)  # monotone
+    assert any(0.0 < p < 100.0 for p in seen), seen  # live partial progress

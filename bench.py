@@ -45,6 +45,7 @@ HEADLINE = [
     "boilerplate_ngrams",
     "sequence_packing",
     "token_window_chunking",
+    "unigram_logprob_quality",
 ]
 
 

@@ -15,10 +15,14 @@ Scale posture (100 TB corpus):
   is independent of corpus size) pass ``broadcast_benchmark=True`` and
   the corpus never shuffles: one map-side hash join.  When the benchmark
   relation is derived from the corpus itself (so it grows with the
-  data), keep the default ``False`` — the plan is a plain equi-join on
-  the hash key and AQE chooses broadcast/shuffle-hash/sort-merge from
-  the sizes it actually observes, instead of a hint forcing an
-  executor-OOM broadcast of a corpus-proportional relation.
+  data), keep the default ``False`` — the join is pinned to a shuffled
+  hash join on the 8-byte key (both sides exchange on the hash; AQE
+  still splits skewed partitions).  It is pinned rather than left to
+  the static planner because Catalyst's size estimate for a
+  filter+explode subtree derives from the file size and badly
+  undershoots the n-gram blowup — at test scale it would happily
+  broadcast a relation that at 100 TB is terabytes of exploded
+  shingles (executor OOM).  Never broadcast a corpus-derived side.
 """
 
 from __future__ import annotations
@@ -58,8 +62,10 @@ def ngram_contamination(
     bench = benchmark.select(
         F.col(bench_id_col).alias("bench_id"), F.explode(sh).alias("h")
     )
-    if broadcast_benchmark:
-        bench = F.broadcast(bench)
+    # Bounded-by-contract benchmark → broadcast (corpus never shuffles);
+    # corpus-derived benchmark → shuffled hash join with the benchmark
+    # side as build (smaller of the two by construction).
+    bench = F.broadcast(bench) if broadcast_benchmark else bench.hint("shuffle_hash")
     return (
         corp.join(bench, "h")
         .groupBy("doc_id", "bench_id")

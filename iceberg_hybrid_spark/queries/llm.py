@@ -256,8 +256,11 @@ ORDER BY id_a, id_b
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup pipeline: MinHash-LSH candidates → exact
     Jaccard verification → connected components → surviving corpus size
-    per cluster decision.  Iterative (non-SQL) → rows-only check;
-    cluster correctness pinned in tests with planted duplicate groups."""
+    per cluster decision.  Oracle: DuckDB recomputes the components with
+    a recursive min-label-reachability CTE over the exact-Jaccard edge
+    relation (valid for the same recall-1.0 reason as
+    MINHASH_NEAR_DUP_SQL); cluster correctness additionally pinned in
+    tests with planted duplicate groups."""
     docs = load_table(spark, sf_dir, "documents")
     verified = minhash_near_dup(spark, sf_dir)
     comps = D.connected_components(verified, "id_a", "id_b")
@@ -268,6 +271,38 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(kept.agg(F.count(F.lit(1)).alias("surviving_docs")))
         .orderBy("component")
     )
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+              - 0.000000001, 4) + 0.0 >= 0.3
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT component,
+       COUNT(*) AS cluster_size,
+       (SELECT COUNT(*) FROM documents)
+         - (SELECT COUNT(*) FROM comp WHERE node <> component) AS surviving_docs
+FROM comp
+GROUP BY component
+ORDER BY component
+"""
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,8 +583,8 @@ SPECS = [
               "blocked n-gram Jaccard near-dup pairs"),
     QuerySpec("minhash_near_dup", minhash_near_dup, MINHASH_NEAR_DUP_SQL,
               "MinHash-LSH near-dup pairs vs exact-Jaccard oracle"),
-    QuerySpec("near_dup_clusters", near_dup_clusters, None,
-              "LSH → verify → connected-components dedup (rows-only)"),
+    QuerySpec("near_dup_clusters", near_dup_clusters, NEAR_DUP_CLUSTERS_SQL,
+              "LSH → verify → connected components vs recursive-CTE oracle"),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs,
               EMBEDDING_NEAR_DUP_SQL, "embedding-cosine near-dup pairs"),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_SQL,

@@ -95,9 +95,38 @@ ORDER BY media_id
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Arrow-batched decode pipeline (fake codec) — rows-only check;
-    byte-exact behavior pinned in tests/test_multimodal.py."""
+    """The Arrow-batched decode pipeline (fake codec).  The fake decoder
+    is pure byte math (md5-derived dims, Shannon byte entropy), so the
+    oracle recomputes it in SQL: the ASCII payloads make per-character
+    frequencies equal byte frequencies, and the md5 digest bytes come
+    back via hex-pair casts.  Byte-exact behavior also pinned in
+    tests/test_multimodal.py."""
     return decode_media(_media(spark, sf_dir), fake=True).orderBy("media_id")
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH chars AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM documents, LATERAL unnest(generate_series(1, length(text))) AS t(i)
+), freq AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM chars GROUP BY doc_id, ch
+), ent AS (
+  SELECT doc_id, ROUND(-SUM((c / n) * log2(c / n)), 6) AS byte_entropy
+  FROM (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM freq) f
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CASE CAST(d.doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       md5(d.text) AS fingerprint,
+       CAST(16 + ('0x' || substr(md5(d.text), 1, 2))::INT % 64 AS INTEGER) AS width,
+       CAST(16 + ('0x' || substr(md5(d.text), 3, 2))::INT % 64 AS INTEGER) AS height,
+       e.byte_entropy
+FROM documents d JOIN ent e ON d.doc_id = e.doc_id
+ORDER BY media_id
+"""
 
 
 SPECS = [
@@ -107,6 +136,7 @@ SPECS = [
               "per-media-type byte statistics"),
     QuerySpec("video_frame_counts", video_frame_counts, VIDEO_FRAME_COUNTS_SQL,
               "frame-sampling fan-out + re-aggregation"),
-    QuerySpec("multimodal_decode_features", multimodal_decode_features, None,
-              "mapInPandas decode pipeline (rows-only; fake codec)"),
+    QuerySpec("multimodal_decode_features", multimodal_decode_features,
+              MULTIMODAL_DECODE_SQL,
+              "mapInPandas decode pipeline vs SQL byte-math oracle"),
 ]

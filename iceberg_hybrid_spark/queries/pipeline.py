@@ -174,12 +174,12 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination scan: fraction of a corpus document's
     distinct bigrams that also appear in a held-out benchmark document
     (here: every 50th doc).  Both sides shingle-hash to 8-byte longs and
-    meet in a plain equi-join on the hash — no broadcast hint, because
-    this query's "benchmark" is carved out of the corpus itself and so
-    grows with it; AQE picks the join strategy from observed sizes.  A
-    genuinely bounded benchmark set (fixed eval suites) goes through the
-    library form with ``broadcast_benchmark=True`` instead
-    (`functions/contamination.py`)."""
+    meet in a shuffled hash join on the hash key — never a broadcast,
+    because this query's "benchmark" is carved out of the corpus itself
+    and grows with it (and the static planner's post-explode size
+    estimate undershoots).  A genuinely bounded benchmark set (fixed
+    eval suites) goes through the library form with
+    ``broadcast_benchmark=True`` instead (`functions/contamination.py`)."""
     docs = load_table(spark, sf_dir, "documents")
     res = C.ngram_contamination(
         docs.filter(F.col("doc_id") % 50 != 0),
@@ -393,6 +393,69 @@ GROUP BY lang, bin ORDER BY lang, bin
 """
 
 
+# --- unigram LM quality scoring ---------------------------------------------
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: train a per-language unigram model
+    on the corpus itself (one counting shuffle), score each document by
+    its average per-token cross-entropy in bits, and report the
+    per-language histogram over integer-bit buckets (the head/middle/
+    tail split CCNet derives from exactly this score).
+
+    Scale shape: token explode → partial-agg count shuffle for the model;
+    scoring joins tokens to the model on (lang, token) — a plain hash
+    join, because the vocabulary is corpus-derived and must never be
+    broadcast; per-doc agg shuffles on (lang, doc_id); the final
+    histogram is a tiny agg.  No window over a low-cardinality key."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", "doc_id", F.explode(T.tokens("text")).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("n"))  # ~#langs rows
+    probs = counts.join(F.broadcast(totals), "lang").select(
+        "lang", "w", F.log2(F.col("c") / F.col("n")).alias("logp")
+    )
+    doc_bits = (
+        tok.join(probs, ["lang", "w"])
+        .groupBy("lang", "doc_id")
+        .agg(T.round_stable(-F.avg("logp"), 4).alias("bits"))
+    )
+    return (
+        doc_bits.groupBy(
+            "lang", F.floor("bits").cast("bigint").alias("bits_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            T.round_stable(F.avg("bits"), 4).alias("avg_bits"),
+        )
+        .orderBy("lang", "bits_bucket")
+    )
+
+
+UNIGRAM_QUALITY_SQL = """
+WITH tok AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+  SELECT lang, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY lang, w
+), totals AS (
+  SELECT lang, SUM(c) AS n FROM counts GROUP BY lang
+), probs AS (
+  SELECT counts.lang AS lang, w, log2(c / n) AS logp
+  FROM counts JOIN totals ON counts.lang = totals.lang
+), doc_bits AS (
+  SELECT t.lang, t.doc_id,
+         ROUND(-AVG(p.logp) - 0.000000001, 4) + 0.0 AS bits
+  FROM tok t JOIN probs p ON t.lang = p.lang AND t.w = p.w
+  GROUP BY t.lang, t.doc_id
+)
+SELECT lang, CAST(floor(bits) AS BIGINT) AS bits_bucket,
+       COUNT(*) AS doc_count,
+       ROUND(AVG(bits) - 0.000000001, 4) + 0.0 AS avg_bits
+FROM doc_bits GROUP BY lang, bits_bucket ORDER BY lang, bits_bucket
+"""
+
+
 # --- embedding quantization -------------------------------------------------
 
 def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +519,9 @@ SPECS = [
               "corpus-frequent n-gram boilerplate detection"),
     QuerySpec("sequence_packing", sequence_packing, PACKING_SQL,
               "greedy contiguous 512-token sequence packing"),
+    QuerySpec("unigram_logprob_quality", unigram_logprob_quality,
+              UNIGRAM_QUALITY_SQL,
+              "CCNet-style per-language unigram cross-entropy histogram"),
     QuerySpec("embedding_quantization_error", embedding_quantization_error,
               QUANTIZATION_SQL, "int8 quantization reconstruction RMSE"),
 ]

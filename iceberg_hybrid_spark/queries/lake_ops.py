@@ -242,6 +242,70 @@ ORDER BY k
 """
 
 
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-distributed write + exchange-free co-located join — the
+    query-side payoff of write.distribution-mode=hash (HyTable's
+    ``distribution="hash"`` write property): orders and lineitem are
+    written ``bucketBy(8)`` on the order key with an in-bucket sort, so
+    the sort-merge join runs with NO Exchange on either side — at 100 TB
+    the entire fact-fact join shuffle (the dominant cost of repeated
+    joins on the same key) disappears; bucket count scales to thousands
+    on a real cluster.  The oracle joins the raw tables: physical layout
+    must never change results.  Plan pinned by
+    tests/test_plan_shapes.py."""
+    import hashlib
+
+    from .relational import money_sum
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    names = {}
+    for tbl, key, cols in (
+        ("orders", "o_orderkey", ("o_orderkey", "o_orderpriority")),
+        ("lineitem", "l_orderkey", ("l_orderkey", "l_extendedprice", "l_discount")),
+    ):
+        name = f"ihs_bkt_{tbl}_{tag}"
+        path = os.path.join(
+            tempfile.gettempdir(), "ihs_lake_ops", f"bkt_{tbl}_{tag}"
+        )
+        if not spark.catalog.tableExists(name):
+            shutil.rmtree(path, ignore_errors=True)
+            (
+                load_table(spark, sf_dir, tbl)
+                .select(*cols)
+                .write.format("parquet")
+                .mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(name)
+            )
+        names[tbl] = name
+    o = spark.table(names["orders"]).hint("merge")
+    li = spark.table(names["lineitem"])
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("lineitem_count"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS lineitem_count,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot incremental dedup — the daily-crawl pattern: batch 2
     re-ships some already-ingested documents; dedup ONLY the newly-appended
@@ -303,6 +367,9 @@ SPECS = [
     QuerySpec("incremental_dedup_new_docs", incremental_dedup_new_docs,
               INCREMENTAL_DEDUP_SQL,
               "incremental cross-snapshot dedup of newly-appended docs"),
+    QuerySpec("bucketed_colocated_join", bucketed_colocated_join,
+              BUCKETED_JOIN_SQL,
+              "bucketBy(8) hash-distributed write + exchange-free join"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
               "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,

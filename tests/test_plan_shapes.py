@@ -61,3 +61,14 @@ def test_no_integer_repartition_literals():
                 if re.search(r"repartition\(\s*\d", line):
                     offenders.append(f"{path}:{lineno}")
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    from iceberg_hybrid_spark.queries.lake_ops import bucketed_colocated_join
+
+    plan = _plan(bucketed_colocated_join(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    # the join subtree (printed below the SortMergeJoin node) must contain
+    # no Exchange: both bucketed scans feed it co-located
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree

@@ -354,18 +354,27 @@ def sequence_packing(
     binned = d.withColumn(
         "local_bin", F.floor((F.sum("tc").over(w) - F.col("tc")) / bin_size)
     )
-    # Dense global bin ids: shard s's bins start after all lower shards'
-    # bins within the language.  langs x shards rows — broadcast-joined.
-    shard_bins = binned.groupBy("lang", "shard").agg(
-        (F.max("local_bin") + 1).alias("n_bins")
-    )
-    w_off = Window.partitionBy("lang").orderBy("shard")
-    offsets = shard_bins.withColumn(
-        "offset", F.sum("n_bins").over(w_off) - F.col("n_bins")
-    )
-    binned = binned.join(
-        F.broadcast(offsets.select("lang", "shard", "offset")), ["lang", "shard"]
-    ).withColumn("bin", (F.col("local_bin") + F.col("offset")).cast("bigint"))
+    if shards == 1:
+        # Degenerate single-shard case: every offset is identically 0 —
+        # skip the renumbering join rather than pay two stages for a
+        # no-op.  (shard ≡ 0, so the window itself already matches the
+        # unsharded global greedy pack bit-for-bit.)
+        binned = binned.withColumn("bin", F.col("local_bin").cast("bigint"))
+    else:
+        # Dense global bin ids: shard s's bins start after all lower
+        # shards' bins within the language.  langs x shards rows —
+        # broadcast-joined.
+        shard_bins = binned.groupBy("lang", "shard").agg(
+            (F.max("local_bin") + 1).alias("n_bins")
+        )
+        w_off = Window.partitionBy("lang").orderBy("shard")
+        offsets = shard_bins.withColumn(
+            "offset", F.sum("n_bins").over(w_off) - F.col("n_bins")
+        )
+        binned = binned.join(
+            F.broadcast(offsets.select("lang", "shard", "offset")),
+            ["lang", "shard"],
+        ).withColumn("bin", (F.col("local_bin") + F.col("offset")).cast("bigint"))
     return (
         binned.groupBy("lang", "bin")
         .agg(

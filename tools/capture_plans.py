@@ -24,6 +24,9 @@ QUERIES = [
     "boilerplate_ngrams",
     "sequence_packing",
     "domain_mix_sample",
+    "unigram_logprob_quality",
+    "bucketed_colocated_join",
+    "embedding_near_dup_pairs",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

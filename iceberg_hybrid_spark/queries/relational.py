@@ -1060,12 +1060,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-join against the aggregate)."""
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_name").orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    # min_by over a (acctbal, suppkey) struct key, NOT a window ranked on
+    # the ~25-value nation key: the aggregate partial-combines map-side
+    # (each input partition reduces to <=25 rows before the shuffle),
+    # where a window would sort the whole supplier table through 25
+    # tasks.  The struct key keeps the suppkey tiebreak deterministic.
     return (
         supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .groupBy("n_name")
+        .agg(
+            F.min_by(
+                F.struct("s_suppkey", "s_name", "s_acctbal"),
+                F.struct("s_acctbal", "s_suppkey"),
+            ).alias("best")
+        )
+        .select(
+            "n_name", "best.s_suppkey", "best.s_name", "best.s_acctbal"
+        )
         .orderBy("n_name")
     )
 
@@ -1096,9 +1107,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
-    top = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    # Broadcast scalar-max against the aggregate, not a global
+    # (single-partition) window: the empty-key window would funnel every
+    # per-supplier row through one task at scale.
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return (
         top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

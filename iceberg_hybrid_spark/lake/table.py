@@ -1669,6 +1669,77 @@ class HyTable:
 
         return self._retrying_commit(build)
 
+    # ---- tags + refs metadata table (≙ Iceberg refs: BRANCH/TAG) -----------
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, "tags", f"{name}.json")
+
+    def _tag_names(self) -> list[str]:
+        d = os.path.join(self.meta_dir, "tags")
+        if not os.path.isdir(d):
+            return []
+        return sorted(n[: -len(".json")] for n in os.listdir(d) if n.endswith(".json"))
+
+    def create_tag(self, name: str, seq: int | None = None) -> Snapshot:
+        """Immutable named snapshot pointer (≙ ALTER TABLE CREATE TAG —
+        the audit/release-pinning ref).  O_EXCL create: a tag can never
+        be repointed, only dropped."""
+        snap = self.snapshot_by_seq(seq) if seq is not None else self.current_snapshot()
+        if snap is None:
+            raise NoSuchSnapshot("cannot tag an empty table")
+        path = self._tag_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "x") as fh:  # O_EXCL — fails if the tag exists
+            json.dump({"snapshot_id": snap.snapshot_id}, fh)
+        return snap
+
+    def tag_head(self, name: str) -> Snapshot:
+        try:
+            with open(self._tag_path(name)) as fh:
+                return self.snapshot_by_id(json.load(fh)["snapshot_id"])
+        except FileNotFoundError:
+            raise NoSuchSnapshot(f"tag {name!r}") from None
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Time-travel read pinned by tag (≙ VERSION AS OF 'tag')."""
+        head = self.tag_head(name)
+        return self._read_refs(head, list(head.manifest))
+
+    def drop_tag(self, name: str) -> bool:
+        try:
+            os.remove(self._tag_path(name))
+            return True
+        except FileNotFoundError:
+            return False
+
+    _REFS_SCHEMA = SPARK_T.StructType([
+        SPARK_T.StructField("ref_name", SPARK_T.StringType()),
+        SPARK_T.StructField("ref_type", SPARK_T.StringType()),
+        SPARK_T.StructField("snapshot_id", SPARK_T.StringType()),
+        SPARK_T.StructField("sequence_number", SPARK_T.LongType()),
+    ])
+
+    def refs(self) -> DataFrame:
+        """≙ Iceberg's ``refs`` metadata table: main + every branch and
+        tag with the snapshot each points at."""
+        rows = []
+        cur = self.current_snapshot()
+        if cur is not None:
+            rows.append(("main", "BRANCH", cur.snapshot_id, cur.sequence_number))
+        for name in self._branch_names():
+            try:
+                h = self.branch_head(name)
+                rows.append((name, "BRANCH", h.snapshot_id, h.sequence_number))
+            except NoSuchSnapshot:
+                pass
+        for name in self._tag_names():
+            try:
+                h = self.tag_head(name)
+                rows.append((name, "TAG", h.snapshot_id, h.sequence_number))
+            except NoSuchSnapshot:
+                pass
+        return self.spark.createDataFrame(rows, self._REFS_SCHEMA)
+
     # ---- maintenance: expiry + orphans (≙ GC family) -----------------------
 
     def expire_snapshots(
@@ -1696,6 +1767,13 @@ class HyTable:
         for name in self._branch_names():
             try:
                 keep.add(self.branch_head(name).sequence_number)
+            except NoSuchSnapshot:
+                pass
+        # Tags are immutable refs with the same protection: an expired
+        # tag head would break VERSION AS OF 'tag' and delete its files.
+        for name in self._tag_names():
+            try:
+                keep.add(self.tag_head(name).sequence_number)
             except NoSuchSnapshot:
                 pass
         expired = [

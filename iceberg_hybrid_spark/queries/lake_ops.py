@@ -242,6 +242,35 @@ ORDER BY k
 """
 
 
+def refs_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ref system surface (≙ Iceberg's ``refs`` metadata table):
+    main + a regional write branch + an immutable audit tag, listed with
+    the snapshot seq each ref pins.  Tags/branches protect their heads
+    from expiry (ref-protected GC, tested in test_branches)."""
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    region = load_table(spark, sf_dir, "region").coalesce(1)
+    t = HyTable(spark, _scratch("refs"))
+    t.create(nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")))
+    t.create_tag("v1")
+    t.create_branch("eu")
+    t.append_to_branch(
+        "eu", region.select(F.col("r_regionkey").alias("k"), F.col("r_name").alias("name"))
+    )
+    return t.refs().select("ref_name", "ref_type", "sequence_number").orderBy(
+        "ref_name"
+    )
+
+
+REFS_LISTING_SQL = """
+SELECT * FROM (VALUES
+  ('eu', 'BRANCH', CAST(2 AS BIGINT)),
+  ('main', 'BRANCH', CAST(1 AS BIGINT)),
+  ('v1', 'TAG', CAST(1 AS BIGINT))
+) AS t(ref_name, ref_type, sequence_number)
+ORDER BY ref_name
+"""
+
+
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-distributed write + exchange-free co-located join — the
     query-side payoff of write.distribution-mode=hash (HyTable's
@@ -370,6 +399,8 @@ SPECS = [
     QuerySpec("bucketed_colocated_join", bucketed_colocated_join,
               BUCKETED_JOIN_SQL,
               "bucketBy(8) hash-distributed write + exchange-free join"),
+    QuerySpec("refs_listing", refs_listing, REFS_LISTING_SQL,
+              "refs metadata table: main + branch + immutable tag"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
               "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,

@@ -78,3 +78,37 @@ def test_expire_snapshots_still_drops_unreferenced(spark, table):
     res = table.expire_snapshots(retain_last=1)
     assert res["expired_snapshots"] > 0
     assert table.read_branch("b").count() == 100
+
+
+def test_tag_pins_snapshot_and_is_immutable(spark, table):
+    table.create_tag("v1")
+    table.append(spark.range(100, 150).toDF("id"))
+    assert table.read().count() == 150
+    assert table.read_tag("v1").count() == 100  # tag time-travels
+    with pytest.raises(FileExistsError):
+        table.create_tag("v1")  # tags can never be repointed
+    assert table.drop_tag("v1") is True
+    assert table.drop_tag("v1") is False
+    with pytest.raises(NoSuchSnapshot):
+        table.read_tag("v1")
+
+
+def test_refs_metadata_table(spark, table):
+    table.create_tag("v1")
+    table.create_branch("eu_replica")
+    table.append_to_branch("eu_replica", spark.range(100, 120).toDF("id"))
+    refs = {(r.ref_name, r.ref_type, r.sequence_number) for r in table.refs().collect()}
+    assert ("main", "BRANCH", 1) in refs
+    assert ("v1", "TAG", 1) in refs
+    # the branch head is the staged branch_append commit, one seq ahead
+    assert any(n == "eu_replica" and t == "BRANCH" and s > 1 for n, t, s in refs)
+
+
+def test_expire_keeps_tag_head(spark, table):
+    """An old tag's snapshot (and its exclusive files) must survive
+    retain_last expiry — ref-protected expire_snapshots."""
+    table.create_tag("v1")
+    for lo in range(100, 400, 100):
+        table.append(spark.range(lo, lo + 10).toDF("id"))
+    table.expire_snapshots(retain_last=1)
+    assert table.read_tag("v1").count() == 100  # still readable

@@ -1461,7 +1461,10 @@ Q16_SQL = """
 SELECT p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 19, 23)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  -- NOT EXISTS, not NOT IN: matches the Spark side's left_anti null
+  -- semantics if the subquery ever produced a NULL key
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
 GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_type ASC, p_size ASC
 """
 

@@ -1,3 +1,3 @@
-from . import dedup, similarity, text  # noqa: F401
+from . import contamination, dedup, similarity, skew, text  # noqa: F401
 
-__all__ = ["text", "similarity", "dedup"]
+__all__ = ["text", "similarity", "dedup", "contamination", "skew"]

@@ -75,11 +75,11 @@ ORDER BY doc_id
 
 # --- quality gating ---------------------------------------------------------
 
-def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule gate, aggregated per language: how many docs pass
-    each rule (word count, mean word length, stopword density, lexical
-    diversity) and the full gate.  Map-only + one partial-agg groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
+def gopher_gate_flags(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule flags (word count, mean word length,
+    stopword density, lexical diversity, full gate) as 0/1 columns.
+    Pure column expressions — map-only, so the identical projection runs
+    over a batch scan or a streaming micro-batch."""
     w = T.tokens("text")
     wc = F.size(w)
     # text is single-space separated: total chars = sum(len) + (wc - 1)
@@ -90,7 +90,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_mwl = (mwl >= 3.0) & (mwl <= 10.0)
     r_stop = stop >= 0.02
     r_div = diversity >= 0.2
-    flags = docs.select(
+    return docs.select(
         "lang",
         r_wc.cast("int").alias("p_wc"),
         r_mwl.cast("int").alias("p_mwl"),
@@ -98,6 +98,13 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_div.cast("int").alias("p_div"),
         (r_wc & r_mwl & r_stop & r_div).cast("int").alias("p_all"),
     )
+
+
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate, aggregated per language: how many docs pass
+    each rule (word count, mean word length, stopword density, lexical
+    diversity) and the full gate.  Map-only + one partial-agg groupBy."""
+    flags = gopher_gate_flags(load_table(spark, sf_dir, "documents"))
     return (
         flags.groupBy("lang")
         .agg(

@@ -43,3 +43,28 @@ def test_load_table_caches_per_session_and_sf(spark):
     ev = load_table(spark, SF_DIR, "events")
     assert load_table(spark, SF_DIR, "events") is ev
     assert str(ev.schema["ts"].dataType) in {"TimestampType()", "TimestampNTZType()"}
+
+
+def test_queries_run_on_multi_file_table_dirs(spark, tmp_path):
+    """A real lake table is a directory of many parquet files, not the
+    single file the driver's testdata ships.  load_table takes either;
+    results must be identical."""
+    import os
+
+    from iceberg_hybrid_spark.queries.llm import dedup_exact_documents
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf_dir = str(tmp_path / "sf_multi")
+    os.makedirs(sf_dir)
+    load_table(spark, SF_DIR, "documents").repartition(4).write.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    multi = {
+        (r.fingerprint, r.canonical_id, r.dup_count)
+        for r in dedup_exact_documents(spark, sf_dir).collect()
+    }
+    single = {
+        (r.fingerprint, r.canonical_id, r.dup_count)
+        for r in dedup_exact_documents(spark, SF_DIR).collect()
+    }
+    assert multi == single

@@ -4,6 +4,7 @@ tracking, foreachBatch drain, late-data watermark policy."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from iceberg_hybrid_spark import streaming as ST
 
@@ -173,3 +174,43 @@ def test_stream_stream_interval_join(spark, events_dir, tmp_path):
     out = _run_to_memory(spark, joined, "ssjoin", str(tmp_path / "cp6"), "append").collect()
     assert len(out) == 1
     assert out[0].purchase_id == 2 and out[0].click_id == 1
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
+    """The pipeline quality gate over a stream: the same map-only flag
+    projection runs per micro-batch (maxFilesPerTrigger=1 → multiple
+    batches) and the drained totals equal the batch query's."""
+    import shutil
+
+    from iceberg_hybrid_spark.queries.pipeline import (
+        gopher_gate_flags,
+        gopher_quality_gate,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    # split the documents table into multiple files → multiple triggers
+    src_dir = str(tmp_path / "docs_stream")
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    flags = gopher_gate_flags(stream)
+    out = _run_to_memory(
+        spark, flags, "gate_stream", str(tmp_path / "ckpt"), "append"
+    )
+    got = {
+        (r.lang, r.docs, r.passed)
+        for r in out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("p_all").alias("passed"))
+        .collect()
+    }
+    want = {
+        (r.lang, r.doc_count, r.pass_all)
+        for r in gopher_quality_gate(spark, sf_dir).collect()
+    }
+    assert got == want
+    shutil.rmtree(src_dir, ignore_errors=True)

@@ -328,6 +328,15 @@ class HyTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = os.path.abspath(root)
+        # Parsed-snapshot cache.  Version files are write-once (O_EXCL
+        # CAS create; publish re-commits a NEW snapshot rather than
+        # flipping the staged flag in place) and only ever deleted by
+        # expiry, so caching by filename is safe; concurrent writers in
+        # other processes can only ADD files, which simply miss the
+        # cache.  Without this, every commit/read re-parses the entire
+        # version log including full manifests — O(history²) JSON work
+        # over a table's life.
+        self._snap_cache: dict[str, Snapshot] = {}
 
     # ---- paths -------------------------------------------------------------
 
@@ -356,10 +365,19 @@ class HyTable:
         )
 
     def snapshots(self, include_staged: bool = True) -> list[Snapshot]:
+        files = self._version_files()
+        if len(self._snap_cache) > len(files):
+            # expiry deleted version files — drop their cache entries
+            live = set(files)
+            for k in [k for k in self._snap_cache if k not in live]:
+                del self._snap_cache[k]
         out = []
-        for f in self._version_files():
-            with open(os.path.join(self.meta_dir, f)) as fh:
-                s = Snapshot.from_json(json.load(fh))
+        for f in files:
+            s = self._snap_cache.get(f)
+            if s is None:
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    s = Snapshot.from_json(json.load(fh))
+                self._snap_cache[f] = s
             if include_staged or not s.staged:
                 out.append(s)
         return out

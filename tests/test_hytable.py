@@ -438,3 +438,25 @@ def test_publish_ok_after_unrelated_history(spark, tmp_table_root):
     s2 = t.stage_append(make_df(spark, 150, 160))
     t.publish(s2.snapshot_id)
     assert t.read().count() == 160
+
+
+def test_commit_latency_meets_slo(spark, tmp_path):
+    """BASELINE.md headline SLO: primary catalog commit P95 <= 200 ms.
+    The catalog commit is the metadata path only — snapshot build + CAS
+    O_EXCL version-file write (data-file writes are the data plane) —
+    and must clear the SLO with wide margin even with a growing log."""
+    import time as _time
+
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.range(10).toDF("id"))
+    head = t.current_snapshot()
+    lat = []
+    for _ in range(50):
+        t0 = _time.perf_counter()
+        snap = t._make_snapshot("append", head.manifest, head.schema_ddl)
+        t._commit(snap)
+        lat.append(_time.perf_counter() - t0)
+        head = snap
+    lat.sort()
+    p95 = lat[int(len(lat) * 0.95)]
+    assert p95 < 0.2, f"commit P95 {p95 * 1000:.1f} ms breaches the 200 ms SLO"

@@ -591,6 +591,64 @@ class HyTable:
         spec = cur.summary.get("partition_spec", cur.summary.get("partition_by", []))
         return list(spec), dict(cur.summary.get("partition_types", {}))
 
+    def _merged_partition_summary(
+        self, cur: "Snapshot | None", df: DataFrame, partition_by: list[str] | None
+    ) -> dict:
+        """Partition summary for a write, with identity-column types
+        merged over the parent's: after spec evolution the manifest still
+        holds files written under older specs, and reconstructing their
+        stripped columns needs the old types forever."""
+        ps = self._partition_summary(df, partition_by)
+        if cur is not None and "partition_types" in ps:
+            ps["partition_types"] = {
+                **dict(cur.summary.get("partition_types", {})),
+                **ps["partition_types"],
+            }
+        return ps
+
+    def evolve_partition_spec(self, partition_by: list[str]) -> Snapshot:
+        """≙ Iceberg partition spec evolution (ALTER TABLE … ADD/REPLACE
+        PARTITION FIELD): a metadata-only commit that changes the spec
+        for FUTURE writes.  Existing files are untouched — the manifest
+        records each file's own partition tuple, so old files keep
+        reading (column reconstruction) and pruning under the spec they
+        were written with, while new appends lay data out under the new
+        spec.  No data rewrite at any table size."""
+        identity, transforms = parse_partition_spec(partition_by)
+
+        def build():
+            cur = self.current_snapshot()
+            if cur is None:
+                raise NoSuchSnapshot("cannot evolve the spec of an empty table")
+            schema = self.spark.createDataFrame([], cur.schema_ddl).schema
+            known = {f.name: f.dataType.simpleString() for f in schema.fields}
+            missing = [c for c in identity if c not in known]
+            if missing:
+                raise ValueError(
+                    f"partition columns not in table schema: {missing}"
+                )
+            summary = {
+                **self._carry_summary(cur),
+                "partition_by": identity,
+                "partition_spec": list(partition_by),
+                "partition_types": {
+                    **dict(cur.summary.get("partition_types", {})),
+                    **{c: known[c] for c in identity},
+                },
+                "evolved_from": list(
+                    cur.summary.get("partition_spec", cur.summary.get("partition_by", []))
+                ),
+            }
+            if transforms:
+                summary["partition_transforms"] = transforms
+            else:
+                summary.pop("partition_transforms", None)
+            return self._make_snapshot(
+                "evolve_spec", cur.manifest, cur.schema_ddl, summary=summary
+            )
+
+        return self._retrying_commit(build)
+
     def create(
         self,
         df: DataFrame,
@@ -623,7 +681,7 @@ class HyTable:
             cur = self.current_snapshot()
             manifest = (cur.manifest if cur else ()) + tuple(files)
             summary = {**self._carry_summary(cur), "added_files": len(files)}
-            summary.update(self._partition_summary(df, partition_by))
+            summary.update(self._merged_partition_summary(cur, df, partition_by))
             return self._make_snapshot(
                 "append", manifest, df.schema.simpleString(), staged=staged,
                 summary=summary,
@@ -642,7 +700,7 @@ class HyTable:
         def build():
             head = self.current_snapshot()
             summary = {**self._carry_summary(head), "added_files": len(files)}
-            summary.update(self._partition_summary(df, partition_by))
+            summary.update(self._merged_partition_summary(head, df, partition_by))
             return self._make_snapshot(
                 "overwrite", tuple(files), df.schema.simpleString(), staged=staged,
                 summary=summary,
@@ -670,7 +728,7 @@ class HyTable:
                 "added_files": len(new_files),
                 "replaced_partitions": sorted(str(dict(p)) for p in replaced),
             }
-            summary.update(self._partition_summary(df, partition_by))
+            summary.update(self._merged_partition_summary(cur, df, partition_by))
             return self._make_snapshot(
                 "overwrite_partitions", kept + tuple(new_files),
                 df.schema.simpleString(), summary=summary,
@@ -988,7 +1046,15 @@ class HyTable:
             return df
 
         has_evolution = bool(snap.summary.get("table_schema"))
-        if not partition_by and not has_evolution:
+        # The per-FILE partition tuple decides whether reconstruction is
+        # needed, not the current spec: after partition-spec evolution
+        # the manifest can hold files stripped under an older spec even
+        # when the current spec is empty.
+        if (
+            not partition_by
+            and not has_evolution
+            and not any(f.partition for f in refs)
+        ):
             return _load([os.path.join(self.root, f.path) for f in refs])
         # group by (partition values, schema epoch): files written under
         # different schemas or partitions load separately, get adapted to

@@ -242,6 +242,44 @@ ORDER BY k
 """
 
 
+def spec_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (≙ ALTER TABLE … ADD PARTITION FIELD —
+    a metadata-only commit, no data rewrite): batch 1 lands
+    unpartitioned, the spec evolves to identity-partition on the market
+    segment, batch 2 lands partitioned; one pruned read then spans both
+    layouts.  At 100 TB this is the operation that makes re-layout
+    decisions reversible without rewriting history."""
+    cust = load_table(spark, sf_dir, "customer")
+    cols = ("c_custkey", "c_mktsegment", "c_nationkey")
+    t = HyTable(spark, _scratch("specevo"))
+    t.create(cust.filter(F.col("c_custkey") % 2 == 0).select(*cols).coalesce(1))
+    t.evolve_partition_spec(["c_mktsegment"])
+    t.append(cust.filter(F.col("c_custkey") % 2 == 1).select(*cols).coalesce(1))
+    return (
+        t.read(preds=[("c_mktsegment", "=", "BUILDING")])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+            F.count_distinct("c_nationkey").alias("nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SPEC_EVOLUTION_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS customer_count,
+       MIN(c_custkey) AS min_custkey,
+       MAX(c_custkey) AS max_custkey,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nations
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def refs_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ref system surface (≙ Iceberg's ``refs`` metadata table):
     main + a regional write branch + an immutable audit tag, listed with
@@ -401,6 +439,8 @@ SPECS = [
               "bucketBy(8) hash-distributed write + exchange-free join"),
     QuerySpec("refs_listing", refs_listing, REFS_LISTING_SQL,
               "refs metadata table: main + branch + immutable tag"),
+    QuerySpec("spec_evolution_read", spec_evolution_read, SPEC_EVOLUTION_SQL,
+              "partition-spec evolution + mixed-layout pruned read"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
               "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,

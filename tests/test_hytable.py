@@ -460,3 +460,60 @@ def test_commit_latency_meets_slo(spark, tmp_path):
     lat.sort()
     p95 = lat[int(len(lat) * 0.95)]
     assert p95 < 0.2, f"commit P95 {p95 * 1000:.1f} ms breaches the 200 ms SLO"
+
+
+def test_partition_spec_evolution_unpartitioned_to_partitioned(spark, tmp_path):
+    """≙ Iceberg spec evolution: a metadata-only commit changes the spec
+    for future writes; old files keep reading under their own layout."""
+    from pyspark.sql import functions as F
+
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    df1 = spark.range(0, 40).selectExpr("id", "CAST(id % 4 AS STRING) AS cat")
+    t.create(df1)
+    pre = t.current_snapshot()
+    evo = t.evolve_partition_spec(["cat"])
+    assert evo.operation == "evolve_spec"
+    assert evo.summary["evolved_from"] == []
+    # no data rewrite: manifest identical
+    assert {f.path for f in evo.manifest} == {f.path for f in pre.manifest}
+    t.append(spark.range(40, 80).selectExpr("id", "CAST(id % 4 AS STRING) AS cat"))
+    new_files = [f for f in t.current_snapshot().manifest
+                 if f.added_seq == t.current_snapshot().sequence_number]
+    assert all(dict(f.partition).get("cat") is not None for f in new_files)
+    # reads span both layouts with the column intact everywhere
+    got = t.read()
+    assert got.count() == 80
+    assert got.filter(F.col("cat") == "1").count() == 20
+    # time travel to the pre-evolution snapshot still works
+    assert t.read(seq=pre.sequence_number).count() == 40
+    # partition pruning on the new spec only trims new-spec files;
+    # old-spec files are kept conservatively
+    pruned = t.prune_files([("cat", "=", "1")])
+    pruned_new = [f for f in pruned if dict(f.partition).get("cat")]
+    assert all(dict(f.partition)["cat"] == "1" for f in pruned_new)
+    assert t.read(preds=[("cat", "=", "1")]).count() == 20
+
+
+def test_partition_spec_evolution_to_unpartitioned(spark, tmp_path):
+    """Evolving TO an empty spec: files stripped under the old spec must
+    still reconstruct their partition columns on read."""
+    from pyspark.sql import functions as F
+
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.range(0, 30).selectExpr("id", "CAST(id % 3 AS STRING) AS cat"),
+        partition_by=["cat"],
+    )
+    t.evolve_partition_spec([])
+    t.append(spark.range(30, 60).selectExpr("id", "CAST(id % 3 AS STRING) AS cat"))
+    got = t.read()
+    assert got.count() == 60
+    assert got.filter(F.col("cat").isNull()).count() == 0
+    assert got.filter(F.col("cat") == "2").count() == 20
+
+
+def test_partition_spec_evolution_rejects_unknown_column(spark, tmp_path):
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.range(10).toDF("id"))
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.evolve_partition_spec(["nope"])

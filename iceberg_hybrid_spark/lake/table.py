@@ -451,13 +451,18 @@ class HyTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         distribute: bool | None = None,
+        sort_by: list[str] | None = None,
     ) -> list[DataFileRef]:
         commit_dir = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_dir)
         identity, transforms = parse_partition_spec(partition_by)
-        if distribute is None:
+        cur = None
+        if distribute is None or sort_by is None:
             cur = self.current_snapshot() if self.exists() else None
+        if distribute is None:
             distribute = bool(cur and cur.summary.get("write_distribution") == "hash")
+        if sort_by is None:
+            sort_by = list(cur.summary.get("write_sort_order", [])) if cur else []
         if distribute and (identity or transforms):
             # write.distribution-mode=hash: cluster rows by partition value
             # BEFORE partitionBy, so each table partition is written by one
@@ -476,6 +481,12 @@ class HyTable:
                 tr["name"], transform_column(tr, df.schema[tr["source"]].dataType)
             )
             pcols.append(tr["name"])
+        if sort_by:
+            # write.sort-order: each task's rows land sorted so every
+            # file's footer min/max on the sort columns is tight — the
+            # pruning benefit of clustering applied to EVERY write, not
+            # only after a rewrite_data_files compaction.
+            df = df.sortWithinPartitions(*sort_by)
         writer = df.write.mode("error")
         if pcols:
             writer = writer.partitionBy(*pcols)
@@ -572,7 +583,8 @@ class HyTable:
 
     _CARRY_KEYS = (
         "partition_by", "partition_types", "partition_spec",
-        "partition_transforms", "write_distribution", "table_schema", "renames",
+        "partition_transforms", "write_distribution", "write_sort_order",
+        "table_schema", "renames",
     )
 
     def _carry_summary(self, head: "Snapshot | None") -> dict:
@@ -654,19 +666,27 @@ class HyTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         distribution: str = "none",
+        sort_by: list[str] | None = None,
     ) -> Snapshot:
         """``distribution="hash"`` clusters rows by partition value before
-        every write (carried table property, ≙ write.distribution-mode)."""
+        every write (carried table property, ≙ write.distribution-mode);
+        ``sort_by`` persists a write sort order (≙ write.sort-order /
+        WRITE ORDERED BY): every subsequent append sorts rows within
+        tasks on these columns, keeping footer min/max tight for
+        manifest pruning without waiting for a compaction pass."""
         if self.exists():
             raise FileExistsError(f"table already exists at {self.root}")
         if distribution not in ("none", "hash"):
             raise ValueError(f"unknown distribution mode: {distribution}")
         files = self._write_data_files(
-            df, partition_by, distribute=(distribution == "hash")
+            df, partition_by, distribute=(distribution == "hash"),
+            sort_by=list(sort_by or []),
         )
         summary = self._partition_summary(df, partition_by)
         if distribution != "none":
             summary["write_distribution"] = distribution
+        if sort_by:
+            summary["write_sort_order"] = list(sort_by)
         snap = self._make_snapshot(
             "create", tuple(files), df.schema.simpleString(), summary=summary,
         )

@@ -517,3 +517,36 @@ def test_partition_spec_evolution_rejects_unknown_column(spark, tmp_path):
     t.create(spark.range(10).toDF("id"))
     with pytest.raises(ValueError, match="not in table schema"):
         t.evolve_partition_spec(["nope"])
+
+
+def test_write_sort_order_persists_and_tightens_stats(spark, tmp_path):
+    """write.sort-order parity: the sort order set at create is carried
+    and applied to every append, so each file's footer min/max on the
+    sort column stays tight and manifest pruning can skip files without
+    a compaction pass."""
+    import random
+
+    rng = random.Random(1)
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    rows1 = list(range(0, 100))
+    rng.shuffle(rows1)
+    t.create(
+        spark.createDataFrame([(i,) for i in rows1], "id long").coalesce(1),
+        sort_by=["id"],
+    )
+    assert t.current_snapshot().summary["write_sort_order"] == ["id"]
+    rows2 = list(range(100, 200))
+    rng.shuffle(rows2)
+    # append SHUFFLED data — the carried sort order must apply on write
+    t.append(spark.createDataFrame([(i,) for i in rows2], "id long").coalesce(1))
+    spans = sorted(
+        (mn, mx)
+        for f in t.current_snapshot().manifest
+        for col, mn, mx in f.stats
+        if col == "id"
+    )
+    assert spans == [(0, 99), (100, 199)]  # tight, non-overlapping footers
+    # manifest pruning skips the second file outright
+    pruned = t.prune_files([("id", "<", 50)])
+    assert len(pruned) == 1
+    assert t.read(preds=[("id", "<", 50)]).count() == 50

@@ -280,6 +280,43 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def sorted_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write.sort-order (≙ WRITE ORDERED BY): the table carries a sort
+    order applied to every append, so each commit's files keep tight
+    footer min/max on the order key and a range read prunes whole files
+    from the manifest — clustering maintained at write time, no
+    compaction needed.  Two appends of shuffled halves; the pruned read
+    spans both."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ("o_orderkey", "o_orderpriority", "o_totalprice")
+    t = HyTable(spark, _scratch("sortedwrite"))
+    t.create(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(*cols).coalesce(1),
+        sort_by=["o_orderkey"],
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1).select(*cols).coalesce(1))
+    return (
+        t.read(preds=[("o_orderkey", "<", 1000)])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SORTED_WRITE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS order_count,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey < 1000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def refs_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ref system surface (≙ Iceberg's ``refs`` metadata table):
     main + a regional write branch + an immutable audit tag, listed with
@@ -441,6 +478,9 @@ SPECS = [
               "refs metadata table: main + branch + immutable tag"),
     QuerySpec("spec_evolution_read", spec_evolution_read, SPEC_EVOLUTION_SQL,
               "partition-spec evolution + mixed-layout pruned read"),
+    QuerySpec("sorted_write_pruned_read", sorted_write_pruned_read,
+              SORTED_WRITE_SQL,
+              "write.sort-order: sorted appends + manifest-pruned range read"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
               "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,

@@ -1439,6 +1439,43 @@ class HyTable:
         ]
         return self.spark.createDataFrame(rows, self._SNAPSHOTS_SCHEMA)
 
+    def changelog(self, from_seq: int | None, to_seq: int) -> DataFrame:
+        """Row-level CDC between two snapshots (≙ Iceberg's changelog
+        scan / create_changelog_view): the result carries every column
+        plus ``_change_type`` ∈ {insert, delete}.
+
+        Fast path: when every file of ``from_seq`` survives into
+        ``to_seq`` and every new file is a data file (pure appends), the
+        changelog is exactly the added files scanned directly — map-only
+        at any scale.  General path (overwrite/delete/update/compaction):
+        ``exceptAll`` diffs in both directions — a row-identity diff
+        necessarily shuffles once each way."""
+        to_snap = self.snapshot_by_seq(to_seq)
+        from_snap = None if from_seq is None else self.snapshot_by_seq(from_seq)
+        from_files = {
+            (f.path, f.content) for f in (from_snap.manifest if from_snap else ())
+        }
+        new_files = [
+            f for f in to_snap.manifest if (f.path, f.content) not in from_files
+        ]
+        pure_append = all(f.content == "data" for f in new_files) and from_files <= {
+            (f.path, f.content) for f in to_snap.manifest
+        }
+        if pure_append:
+            added = [f for f in new_files if f.content == "data"]
+            return self._read_refs(to_snap, added).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        after = self.read(seq=to_seq)
+        before = (
+            self.read(seq=from_seq)
+            if from_seq is not None
+            else after.limit(0)
+        )
+        inserts = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
+        deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     # ---- snapshot diff (≙ ReplicationPlanner.plan) -------------------------
 
     def diff_files(self, from_seq: int | None, to_seq: int) -> list[DataFileRef]:

@@ -280,6 +280,32 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def table_changelog_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots (≙ Iceberg changelog scan):
+    create nation rows → append region rows → delete keys < 3; the
+    changelog from seq 1 to seq 3 reports the surviving region rows as
+    inserts and the deleted nation rows as deletes."""
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    region = load_table(spark, sf_dir, "region").coalesce(1)
+    t = HyTable(spark, _scratch("changelog"))
+    t.create(nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")))
+    t.append(region.select(F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")))
+    t.delete_where([("k", "<", 3)])
+    return t.changelog(1, 3).orderBy("_change_type", "k", "name")
+
+
+CHANGELOG_SQL = """
+SELECT k, name, _change_type FROM (
+  SELECT r_regionkey AS k, r_name AS name, 'insert' AS _change_type
+  FROM region WHERE r_regionkey >= 3
+  UNION ALL
+  SELECT n_nationkey AS k, n_name AS name, 'delete' AS _change_type
+  FROM nation WHERE n_nationkey < 3
+) c
+ORDER BY _change_type, k, name
+"""
+
+
 def sorted_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write.sort-order (≙ WRITE ORDERED BY): the table carries a sort
     order applied to every append, so each commit's files keep tight
@@ -481,6 +507,8 @@ SPECS = [
     QuerySpec("sorted_write_pruned_read", sorted_write_pruned_read,
               SORTED_WRITE_SQL,
               "write.sort-order: sorted appends + manifest-pruned range read"),
+    QuerySpec("table_changelog_rows", table_changelog_rows, CHANGELOG_SQL,
+              "row-level CDC changelog between snapshots"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
               "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,

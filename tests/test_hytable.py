@@ -550,3 +550,28 @@ def test_write_sort_order_persists_and_tightens_stats(spark, tmp_path):
     pruned = t.prune_files([("id", "<", 50)])
     assert len(pruned) == 1
     assert t.read(preds=[("id", "<", 50)]).count() == 50
+
+
+def test_changelog_fast_path_and_general_path(spark, tmp_path):
+    """Row-level CDC: pure appends take the map-only added-files path
+    (no Exchange in the plan); destructive commits fall back to the
+    exceptAll diff, reporting inserts AND deletes."""
+    t = HyTable(spark, str(tmp_path / "tbl"))
+    t.create(make_df(spark, 0, 50))      # seq 1
+    t.append(make_df(spark, 50, 70))     # seq 2 — pure append
+    fast = t.changelog(1, 2)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan        # added-files scan, no shuffle
+    rows = fast.collect()
+    assert {r.id for r in rows} == set(range(50, 70))
+    assert all(r._change_type == "insert" for r in rows)
+    t.delete_where([("id", "<", 10)])    # seq 3 — destructive
+    log = t.changelog(1, 3).collect()
+    ins = {r.id for r in log if r._change_type == "insert"}
+    dels = {r.id for r in log if r._change_type == "delete"}
+    assert ins == set(range(50, 70))
+    assert dels == set(range(0, 10))
+    # from_seq=None: everything is an insert
+    full = t.changelog(None, 3).collect()
+    assert {r.id for r in full} == (set(range(50)) | set(range(50, 70))) - set(range(10))
+    assert all(r._change_type == "insert" for r in full)

@@ -27,6 +27,8 @@ QUERIES = [
     "unigram_logprob_quality",
     "bucketed_colocated_join",
     "embedding_near_dup_pairs",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

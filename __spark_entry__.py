@@ -30,11 +30,19 @@ def _round_offset(n: int) -> int:
     """Rotate the (family-interleaved) query order by a per-round offset
     so a harness that checks only the first K entries covers a different
     tail each round while families stay interleaved.  The round index is
-    read off the driver's own CORRECTNESS_r*.json trail; 41 is coprime
-    with any plausible registry size, so successive rounds' windows
-    drift through the whole registry."""
+    read off the driver's own CORRECTNESS_r*.json trail; the stride is
+    the first odd number >= 41 coprime with the registry size, so the
+    offsets walk through every residue no matter how the registry
+    grows."""
+    import math
+
+    if not n:
+        return 0
     rounds = len(glob.glob(os.path.join(os.path.dirname(__file__), "CORRECTNESS_r*.json")))
-    return (rounds * 41) % n if n else 0
+    stride = 41
+    while math.gcd(stride, n) != 1:
+        stride += 2
+    return (rounds * stride) % n
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

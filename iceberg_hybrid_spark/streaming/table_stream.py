@@ -100,3 +100,30 @@ class IncrementalTableReader:
         df = self.table._read_refs(cur, added)
         self.last_seq = cur.sequence_number
         return df
+
+
+class ChangelogTailer:
+    """Pull-based CDC tailing (≙ Iceberg's changelog streaming read):
+    ``next_batch()`` returns the row-level changelog — ``_change_type``
+    insert/delete rows — for all snapshots committed since the previous
+    call (None when caught up).  Pure appends stream through the
+    changelog's map-only added-files fast path; destructive commits pay
+    the two-way row diff.  State is one integer — restartable by
+    persisting ``last_seq`` (the consistency-token pattern of
+    control/tokens.py)."""
+
+    def __init__(self, table: HyTable, from_seq: int | None = None):
+        self.table = table
+        cur = table.current_snapshot()
+        self.last_seq = from_seq if from_seq is not None else (
+            cur.sequence_number if cur else 0
+        )
+
+    def next_batch(self) -> DataFrame | None:
+        cur = self.table.current_snapshot()
+        if cur is None or cur.sequence_number <= self.last_seq:
+            return None
+        frm = self.last_seq if self.last_seq > 0 else None
+        df = self.table.changelog(frm, cur.sequence_number)
+        self.last_seq = cur.sequence_number
+        return df

@@ -104,3 +104,23 @@ def test_incremental_reader_defaults_to_head(spark, tmp_table_root):
     assert reader.next_batch() is None
     t.append(_mk(spark, 50, 60))
     assert reader.next_batch().count() == 10
+
+
+def test_changelog_tailer_streams_inserts_and_deletes(spark, tmp_table_root):
+    from iceberg_hybrid_spark.streaming.table_stream import ChangelogTailer
+
+    t = HyTable(spark, tmp_table_root)
+    t.create(_mk(spark, 0, 50))
+    tailer = ChangelogTailer(t)          # start at head: only future commits
+    assert tailer.next_batch() is None   # caught up
+    t.append(_mk(spark, 50, 70))         # pure append
+    b1 = tailer.next_batch()
+    rows = b1.collect()
+    assert {r.id for r in rows} == set(range(50, 70))
+    assert all(r._change_type == "insert" for r in rows)
+    assert tailer.next_batch() is None
+    t.delete_where([("id", "<", 5)])     # destructive commit
+    b2 = tailer.next_batch().collect()
+    assert {r.id for r in b2 if r._change_type == "delete"} == set(range(0, 5))
+    assert not [r for r in b2 if r._change_type == "insert"]
+    assert tailer.next_batch() is None

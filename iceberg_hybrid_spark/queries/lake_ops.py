@@ -280,6 +280,25 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def tag_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read pinned by an immutable tag (≙ VERSION AS OF 'tag'): the tag
+    is created before an overwrite replaces the table's contents, and
+    reading through it still returns the original rows — the
+    release-pinning / audit-reproducibility use of tags."""
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    region = load_table(spark, sf_dir, "region").coalesce(1)
+    t = HyTable(spark, _scratch("tagread"))
+    t.create(nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")))
+    t.create_tag("audit")
+    t.overwrite(region.select(F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")))
+    return t.read_tag("audit").orderBy("k")
+
+
+TAG_TIME_TRAVEL_SQL = """
+SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k
+"""
+
+
 def table_changelog_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC between snapshots (≙ Iceberg changelog scan):
     create nation rows → append region rows → delete keys < 3; the
@@ -509,6 +528,8 @@ SPECS = [
               "write.sort-order: sorted appends + manifest-pruned range read"),
     QuerySpec("table_changelog_rows", table_changelog_rows, CHANGELOG_SQL,
               "row-level CDC changelog between snapshots"),
+    QuerySpec("tag_time_travel_read", tag_time_travel_read, TAG_TIME_TRAVEL_SQL,
+              "immutable-tag pinned read surviving an overwrite"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,
               "z-order compaction + 2-D manifest-pruned read"),
     QuerySpec("clustered_pruned_read", clustered_pruned_read, CLUSTERED_READ_SQL,

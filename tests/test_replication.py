@@ -269,3 +269,27 @@ def test_copy_job_live_byte_progress(spark, src_dst):
     assert final["files_copied"] == len(refs)
     assert seen == sorted(seen)  # monotone
     assert any(0.0 < p < 100.0 for p in seen), seen  # live partial progress
+
+
+def test_mirror_nightly_audit_and_cdc_tailing(spark, src_dst):
+    """Composite DR scenario: replicate → CDC-tail the mirror →
+    replicate an append → the tailer sees exactly the new rows via the
+    append fast path, and the nightly L2 closure audit walks every
+    retained mirror snapshot clean."""
+    from iceberg_hybrid_spark.streaming.table_stream import ChangelogTailer
+
+    src, dst = src_dst
+    src.create(make_df(spark, 0, 100))
+    R.replicate(spark, src, dst)
+    tailer = ChangelogTailer(dst, from_seq=0)
+    b1 = tailer.next_batch().collect()
+    assert len(b1) == 100 and all(r._change_type == "insert" for r in b1)
+    src.append(make_df(spark, 100, 150))
+    R.replicate(spark, src, dst)
+    b2 = tailer.next_batch().collect()
+    assert {r.id for r in b2} == set(range(100, 150))
+    assert all(r._change_type == "insert" for r in b2)
+    assert tailer.next_batch() is None
+    report = R.audit_closure(dst)  # the nightly tier, on the mirror
+    assert report["snapshots_audited"] >= 2
+    assert report["files_checked"] >= len(dst.current_snapshot().manifest)

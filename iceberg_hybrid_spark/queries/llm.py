@@ -306,14 +306,23 @@ ORDER BY component
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above 0.8: banded hyperplane LSH
-    (16 bands x 4 bits, seeded planes) generates candidate pairs via an
-    equi-join on (band, signature) — never an all-pairs join — then
-    exact cosine verifies candidates only, same two-stage posture as the
-    MinHash near-dup path.  Miss probability for a pair at exactly 0.8
-    is (1 - 0.795^4)^16 ~ 3e-4 and falls steeply above it, so the result
-    equals the exact all-pairs oracle (planted-pair recall pinned in
-    tests; deterministic for fixed seed)."""
+    """Embedding-cosine near-dup pairs above 0.8 — the SCALE path, and
+    an EXPLICITLY APPROXIMATE contract: banded hyperplane LSH (16 bands
+    x 4 bits, seeded planes) generates candidate pairs via an equi-join
+    on (band, signature) — never an all-pairs join — then exact cosine
+    verifies candidates only, same two-stage posture as the MinHash
+    near-dup path.
+
+    Recall bound: miss probability for a pair at exactly 0.8 is
+    (1 - 0.795^4)^16 ~ 3e-4 and falls steeply above the threshold.
+    The approximate contract is pinned two ways in
+    tests/test_llm_functions.py: (a) LSH output == the exact
+    brute-force baseline (``embedding_near_dup_pairs_exact``) on the
+    test corpus at the committed seed, and (b) planted near-identical
+    pairs are always recovered.  The DuckDB oracle is the exact
+    all-pairs scan, so an oracle mismatch at a new scale factor means
+    recall dropped below 1.0 there — a visible signal, not silent
+    under-reporting."""
     import random
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -326,6 +335,32 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
         )
         .join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force near-dup baseline: all-pairs cosine over the
+    embedding table, keep pairs >= 0.8.
+
+    DELIBERATELY quadratic — this is the exact reference/audit path for
+    bounded or sampled corpora (recall-measurement samples, eval sets),
+    mirroring how brute-force top-k is the baseline for ANN.  At corpus
+    scale use ``embedding_near_dup_pairs`` (LSH-banded), whose recall is
+    pinned against this baseline in tests.  The self-join condition is
+    non-equi (vec_id <), so Spark plans a broadcast nested-loop join —
+    whitelisted in tests/test_plan_shapes.py as a bounded-by-contract
+    baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
         )
@@ -586,7 +621,12 @@ SPECS = [
     QuerySpec("near_dup_clusters", near_dup_clusters, NEAR_DUP_CLUSTERS_SQL,
               "LSH → verify → connected components vs recursive-CTE oracle"),
     QuerySpec("embedding_near_dup_pairs", embedding_near_dup_pairs,
-              EMBEDDING_NEAR_DUP_SQL, "embedding-cosine near-dup pairs"),
+              EMBEDDING_NEAR_DUP_SQL,
+              "embedding-cosine near-dup pairs (LSH scale path, "
+              "recall-pinned approximate contract)"),
+    QuerySpec("embedding_near_dup_pairs_exact", embedding_near_dup_pairs_exact,
+              EMBEDDING_NEAR_DUP_SQL,
+              "exact brute-force near-dup baseline (bounded corpora)"),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_SQL,
               "brute-force cosine top-k"),
     QuerySpec("embedding_multi_query_topk", embedding_multi_query_topk,

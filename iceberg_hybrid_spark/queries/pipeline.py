@@ -444,9 +444,19 @@ def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("canonical_id"))
     )
-    retained = staged.filter("passed").join(
-        canon,
-        (staged.fp == canon.fp) & (staged.doc_id == canon.canonical_id),
+    # Alias both sides so the fingerprint predicate binds to distinct
+    # attributes — `canon` derives from `staged`, and without aliases
+    # Spark resolves `staged.fp == canon.fp` to the same attribute
+    # (a trivially-true predicate, correct only by accident).
+    s, c = staged.alias("s"), canon.alias("c")
+    retained = (
+        s.filter("passed")
+        .join(
+            c,
+            (F.col("s.fp") == F.col("c.fp"))
+            & (F.col("s.doc_id") == F.col("c.canonical_id")),
+        )
+        .select("s.lang", "s.tc")
     )
     per_lang_raw = staged.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_raw"),

@@ -174,3 +174,59 @@ def test_sequence_packing_sharded_conserves_totals(spark):
         bins[r.lang].add(r.bin)
     for lang, ids in bins.items():
         assert ids == set(range(len(ids))), lang
+
+
+def test_embedding_near_dup_lsh_matches_exact_baseline(spark):
+    """Pins the approximate contract of embedding_near_dup_pairs two
+    ways: (a) on the committed corpus the LSH scale path returns exactly
+    the brute-force baseline's pairs (both are empty at threshold 0.8 —
+    no false positives slip through the banded candidates), and (b) with
+    planted near-identical vectors appended, every planted pair is
+    recovered by the same seed-7/16-band configuration the query uses
+    (recall 1.0 on above-threshold pairs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions import similarity as S
+    from iceberg_hybrid_spark.queries.llm import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lsh = {(r.id_a, r.id_b, r.cosine_sim)
+           for r in embedding_near_dup_pairs(spark, sf).collect()}
+    exact = {(r.id_a, r.id_b, r.cosine_sim)
+             for r in embedding_near_dup_pairs_exact(spark, sf).collect()}
+    assert lsh == exact
+
+    # plant 5 near-identical pairs (tiny perturbation => cosine ~ 1)
+    rng = random.Random(3)
+    base_rows = []
+    for i in range(5):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        w = [x + rng.gauss(0.0, 0.01) for x in v]
+        base_rows.append((10_000 + 2 * i, v))
+        base_rows.append((10_001 + 2 * i, w))
+    planted = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    corpus = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = corpus.unionByName(planted)
+
+    rng = random.Random(7)  # the query's committed seed
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(64)]
+    cands = S.lsh_candidate_pairs(emb, planes, bands=16)
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+    found = {
+        (r.id_a, r.id_b)
+        for r in cands.join(
+            v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        )
+        .join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    }
+    expected = {(10_000 + 2 * i, 10_001 + 2 * i) for i in range(5)}
+    assert expected <= found

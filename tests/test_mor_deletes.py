@@ -137,3 +137,25 @@ def test_partial_cow_keeps_needed_delete_file(spark, table):
     assert kinds.count("equality_delete") == 1   # still needed elsewhere
     assert table.read().count() == 80            # grp=1 rows still hidden
     assert table.read(preds=[("grp", "=", 1)]).count() == 0
+
+
+def test_read_tag_applies_mor_deletes(table):
+    """A tag pinned after an MOR delete must replay the delete files,
+    not load them as data (regression: read_tag used to pass the full
+    manifest — including delete files — straight to the scan)."""
+    table.delete_where_mor([("grp", "=", 2)], delete_cols=["id"])
+    table.create_tag("after_delete")
+    tagged = table.read_tag("after_delete")
+    assert tagged.count() == 80
+    assert set(tagged.columns) == {"id", "grp"}  # no __file/__pos/__seq leak
+    assert tagged.filter("grp = 2").count() == 0
+
+
+def test_read_branch_applies_mor_deletes(spark, table):
+    table.delete_positions_mor([("id", ">=", 95)])
+    table.create_branch("pinned")
+    # main moves on; the branch stays at the post-delete snapshot
+    table.append(spark.createDataFrame([(500, 0)], "id long, grp long"))
+    branched = table.read_branch("pinned")
+    assert branched.count() == 95
+    assert set(branched.columns) == {"id", "grp"}

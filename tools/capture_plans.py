@@ -25,6 +25,7 @@ QUERIES = [
     "sequence_packing",
     "domain_mix_sample",
     "unigram_logprob_quality",
+    "near_dup_clusters",
     "bucketed_colocated_join",
     "embedding_near_dup_pairs",
     "q2_min_cost_supplier",

@@ -46,6 +46,11 @@ HEADLINE = [
     "sequence_packing",
     "token_window_chunking",
     "unigram_logprob_quality",
+    # lake-ops family: table-format overheads (bucketed co-located join,
+    # changelog scan, MOR delete+upsert read) tracked round-over-round
+    "bucketed_colocated_join",
+    "table_changelog_rows",
+    "mor_delete_upsert_read",
 ]
 
 
@@ -96,6 +101,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "runs": runs,
+                # methodology history — totals are only comparable within
+                # the same method + query set: r1-r2 = min-of-2 over 21
+                # queries, r3 = median-of-3 over 22, r4+ = median-of-3
+                # over 25 (lake-ops family added).  Compare per-query
+                # medians across rounds, not raw totals.
+                "method": "median",
                 "queries": timings,
                 "sf": sf,
             }

@@ -28,6 +28,26 @@ ONPREM_DELAY_S = 86_400
 CLOUD_DELAY_S = 172_800
 GRACE_S = 7 * 86_400
 
+# Tiered orphan grace (iceberg-arch-geo-distributed-ha.md:838-852):
+# orphans are judged more conservatively than unreachable files
+# (grace_period_orphan P14D), except recognized temp/staging prefixes
+# (`_tmp/`, `_staging/`, `compaction/tmp/`), cleaned first under the
+# shorter grace_period_orphan_tmp (P3D).
+ORPHAN_GRACE_S = 14 * 86_400
+ORPHAN_TMP_GRACE_S = 3 * 86_400
+_TMP_PREFIXES = ("_tmp/", "_staging/", "compaction/tmp/")
+
+
+def orphan_grace_s(rel_path: str) -> int:
+    """Grace tier for an orphan: P3D when any path segment starts a
+    temp/staging prefix, else the conservative P14D."""
+    parts = rel_path.split("/")
+    for i in range(len(parts)):
+        tail = "/".join(parts[i:]) + "/"
+        if any(tail.startswith(p) for p in _TMP_PREFIXES):
+            return ORPHAN_TMP_GRACE_S
+    return ORPHAN_GRACE_S
+
 
 @dataclass(frozen=True)
 class GcCandidate:
@@ -80,12 +100,17 @@ def produce_candidates(
     ]
     for rel in table.orphan_files():
         full = os.path.join(table.root, rel)
+        # Tiered, age-based orphan grace (doc :838-852): the clock runs
+        # from the file's last modification, so an orphan already older
+        # than its tier is due immediately — P3D for temp/staging
+        # prefixes, the conservative P14D otherwise.
+        mtime_ms = int(os.path.getmtime(full) * 1000)
         out.append(
             GcCandidate(
                 file_uri=rel,
                 size_bytes=os.path.getsize(full),
                 produced_at_ms=now_ms,
-                delete_after_ms=now_ms + grace_s * 1000,
+                delete_after_ms=mtime_ms + orphan_grace_s(rel) * 1000,
                 reason="orphan",
             )
         )

@@ -155,6 +155,10 @@ class CopyJob:
         self._error: Exception | None = None
         self._cancelled = False
         self._state = "pending"
+        # progress() only trusts destination files written at/after this
+        # instant — stale outputs of a prior failed/cancelled job (same
+        # path, same size) must not count as this job's progress.
+        self._started_at = time.time()
         self._lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._run, args=(src_root, dst_root, refs, throttle_s), daemon=True
@@ -195,13 +199,22 @@ class CopyJob:
         destination paths counts exactly the files whose copy has
         *finished* — monotone, torn-file-free, and identical on a shared
         object store where the driver lists the destination prefix.
+        A size match alone is not trusted: the file must also have been
+        modified at/after this job started, so stale same-sized leftovers
+        of an earlier failed/cancelled job never inflate progress_pct.
         O(files) stats per poll (manifest-sized control-plane traffic,
         no data-plane bytes through the driver)."""
         done_files = 0
         done_bytes = 0
+        # small slack for coarse filesystem timestamp granularity
+        cutoff = self._started_at - 0.01
         for r in self._refs:
             full = os.path.join(self._dst_root, r.path)
-            if os.path.exists(full) and os.path.getsize(full) == r.size_bytes:
+            if (
+                os.path.exists(full)
+                and os.path.getsize(full) == r.size_bytes
+                and os.path.getmtime(full) >= cutoff
+            ):
                 done_files += 1
                 done_bytes += r.size_bytes
         pct = (

@@ -17,6 +17,7 @@ from ..functions import dedup as D
 from ..functions import similarity as S
 from ..functions import text as T
 from ..sources.tables import load_table
+from ._simhash_oracle import SIMHASH_NEAR_DUP_SQL
 from .spec import QuerySpec
 
 # DuckDB fragment computing distinct 3-token shingles from `text`.
@@ -562,8 +563,12 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At corpus scale this is the cheapest near-dup modality: one 8-byte
     fingerprint per document, candidate generation bounded by chunk
-    collisions.  Engine-specific hashes → rows-only check; planted-pair
-    behavior pinned in tests."""
+    collisions.  Oracle: the deterministic per-document fingerprints are
+    pinned as literals (tools/gen_simhash_oracle.py — the plane-literal
+    pattern) and DuckDB independently recomputes the pair relation as an
+    exact all-pairs bit_count(xor) <= 3 scan, which also checks the
+    banding's pigeonhole completeness; planted-pair behavior pinned in
+    tests."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", D.simhash64("text").alias("fp"))
     chunks = d.select(
@@ -600,8 +605,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
-    QuerySpec("simhash_near_dup", simhash_near_dup, None,
-              "SimHash banded candidates + hamming verify (rows-only)"),
+    QuerySpec("simhash_near_dup", simhash_near_dup, SIMHASH_NEAR_DUP_SQL,
+              "SimHash banded candidates + hamming verify vs "
+              "fingerprint-literal all-pairs oracle"),
     QuerySpec("embedding_ivf_ann", embedding_ivf_ann, None,
               "IVF (KMeans inverted lists) ANN top-k (rows-only)"),
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,

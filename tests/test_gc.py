@@ -97,3 +97,40 @@ def test_candidate_and_execution_dfs(spark, tmp_table_root):
     execs = G.apply_delete_plan(plan, safety_delay_s=60, now_ms=now)
     edf = G.executions_df(spark, execs)
     assert edf.filter("result = 'blocked_window'").count() == len(cands)
+
+
+def test_tiered_orphan_grace(spark, tmp_table_root):
+    """Doc :838-852: a 5-day-old `_tmp/` orphan (P3D tier) is deletable
+    while a same-age data orphan (P14D tier) is still protected."""
+    t = setup_table_with_garbage(spark, tmp_table_root)
+    five_days_ago = time.time() - 5 * 86_400
+    tmp_dir = os.path.join(t.data_dir, "_tmp")
+    os.makedirs(tmp_dir)
+    tmp_orphan = os.path.join(tmp_dir, "partial.parquet")
+    data_orphan = os.path.join(t.data_dir, "stray.parquet")
+    for path in (tmp_orphan, data_orphan):
+        with open(path, "wb") as f:
+            f.write(b"junk")
+        os.utime(path, (five_days_ago, five_days_ago))
+
+    now = int(time.time() * 1000)
+    gen = now - 400_000
+    cands = [c for c in G.produce_candidates(t, retain_last=2, now_ms=gen)
+             if c.reason == "orphan"]
+    assert len(cands) == 2
+    plan = G.DeletePlan(t.root, cands, generated_at_ms=gen,
+                        valid_from_ms=gen, valid_until_ms=now + 10**7)
+    by_file = {e.file_uri: e.result
+               for e in G.apply_delete_plan(plan, safety_delay_s=60, now_ms=now)}
+    assert by_file["data/_tmp/partial.parquet"] == "deleted"
+    assert by_file["data/stray.parquet"] == "blocked_window"
+    assert not os.path.exists(tmp_orphan)
+    assert os.path.exists(data_orphan)
+
+
+def test_orphan_grace_tiers():
+    assert G.orphan_grace_s("data/_tmp/x.parquet") == G.ORPHAN_TMP_GRACE_S
+    assert G.orphan_grace_s("data/_staging/y.parquet") == G.ORPHAN_TMP_GRACE_S
+    assert G.orphan_grace_s("data/compaction/tmp/z.parquet") == G.ORPHAN_TMP_GRACE_S
+    assert G.orphan_grace_s("data/part-0.parquet") == G.ORPHAN_GRACE_S
+    assert G.orphan_grace_s("data/tmpish/f.parquet") == G.ORPHAN_GRACE_S

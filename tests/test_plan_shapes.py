@@ -72,3 +72,85 @@ def test_bucketed_join_has_no_exchange_before_join(spark):
     # no Exchange: both bucketed scans feed it co-located
     join_subtree = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_subtree
+
+
+# --- registry-wide sweep (automates the round-2/3 broadcast ban) -----------
+
+# bounded-by-contract all-pairs baselines: a single / literal-batch query
+# side joined against the corpus (embedding_topk, multi-query serving), the
+# deliberately-quadratic exact near-dup baseline, and the single-row-agg
+# crossJoins used to attach corpus totals to tiny reports.
+ALL_PAIRS_WHITELIST = {
+    # ANN serving: single / literal-batch query side vs corpus — the
+    # broadcast side is bounded by the serving contract
+    "embedding_topk_cosine",
+    "embedding_multi_query_topk",
+    # deliberately-quadratic exact baseline for bounded corpora
+    "embedding_near_dup_pairs_exact",
+    # single-row-aggregate crossJoins attaching corpus totals to a
+    # tiny report (scalar-subquery shape)
+    "near_dup_clusters",
+    "conversion_funnel",
+    "doc_tfidf",
+    "q11_important_parts",
+    "q22_idle_rich_customers",
+}
+
+# queries allowed to carry a broadcast HINT over a corpus-derived side:
+# only the ANN serving pair, whose hinted side is the query batch —
+# bounded by the serving contract, filtered from the embeddings table so
+# the lineage looks corpus-derived to the guard
+BROADCAST_HINT_WHITELIST = {
+    "embedding_topk_cosine",
+    "embedding_multi_query_topk",
+}
+
+
+def _registry_plans(spark):
+    from iceberg_hybrid_spark.queries import all_specs
+
+    for name, spec in all_specs().items():
+        yield name, spec.fn(spark, SF_DIR)
+
+
+def test_registry_sweep_no_forced_corpus_broadcasts(spark):
+    from iceberg_hybrid_spark.plans import guard as PG
+
+    offenders = {}
+    for name, df in _registry_plans(spark):
+        if name in BROADCAST_HINT_WHITELIST:
+            continue
+        v = PG.broadcast_hint_violations(df)
+        if v:
+            offenders[name] = v
+    assert not offenders, offenders
+
+
+def test_registry_sweep_no_all_pairs_joins(spark):
+    from iceberg_hybrid_spark.plans import guard as PG
+
+    offenders = {}
+    for name, df in _registry_plans(spark):
+        if name in ALL_PAIRS_WHITELIST:
+            continue
+        v = PG.all_pairs_joins(df)
+        if v:
+            offenders[name] = v
+    assert not offenders, offenders
+
+
+def test_guard_detects_seeded_violations(spark):
+    """The guard itself must stay sharp: red on a forced corpus
+    broadcast and on an all-pairs join, green on the bounded shapes."""
+    from iceberg_hybrid_spark.plans import guard as PG
+
+    docs = load_table(spark, SF_DIR, "documents")
+    seeded = docs.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("d2"))),
+        F.col("doc_id") == F.col("d2"),
+    )
+    assert PG.broadcast_hint_violations(seeded)
+    cross = docs.crossJoin(docs.select(F.col("doc_id").alias("d2")))
+    assert PG.all_pairs_joins(cross)
+    bounded = docs.crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    assert not PG.broadcast_hint_violations(bounded)

@@ -293,3 +293,29 @@ def test_mirror_nightly_audit_and_cdc_tailing(spark, src_dst):
     report = R.audit_closure(dst)  # the nightly tier, on the mirror
     assert report["snapshots_audited"] >= 2
     assert report["files_checked"] >= len(dst.current_snapshot().manifest)
+
+
+def test_copy_job_progress_ignores_stale_destination_files(spark, src_dst):
+    """A same-sized destination file left by a PRIOR job must not count
+    toward a new job's progress before the new job actually rewrites it."""
+    import time
+
+    src, dst = src_dst
+    src.create(make_df(spark, 0, 500).repartition(8))
+    refs = R.plan(src, dst)
+    assert refs
+    # simulate a prior run's leftovers: copy everything, then backdate
+    first = R.copy_files_async(spark, src.root, dst.root, refs)
+    assert first.wait(60) is not None
+    past = time.time() - 3600
+    for r in refs:
+        full = os.path.join(dst.root, r.path)
+        os.utime(full, (past, past))
+
+    job = R.copy_files_async(spark, src.root, dst.root, refs, throttle_s=5.0)
+    # throttle keeps every file in flight: nothing re-copied yet, so the
+    # stale (size-matching) leftovers must report 0 progress
+    early = job.progress()
+    assert early["files_copied"] == 0
+    assert early["progress_pct"] == 0.0
+    job.cancel()

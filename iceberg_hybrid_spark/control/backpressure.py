@@ -61,6 +61,28 @@ def next_budget(
     return BackpressureDecision(c, False, "steady")
 
 
+class RateController:
+    """Stateful wrapper over ``next_budget`` — one instance per
+    replication worker.  ``tick()`` feeds the latest observations and
+    returns the budget for the next drain; the decision history is kept
+    for observability/tests (≙ the doc's control loop emitting its rate
+    decisions as metrics)."""
+
+    def __init__(self, cfg: BackpressureConfig = BackpressureConfig(),
+                 initial_concurrency: int | None = None):
+        self.cfg = cfg
+        self.concurrency = initial_concurrency or cfg.max_concurrency
+        self.gate_writes = False
+        self.decisions: list[BackpressureDecision] = []
+
+    def tick(self, failure_rate: float, mirror_lag_s: float) -> BackpressureDecision:
+        d = next_budget(self.concurrency, failure_rate, mirror_lag_s, self.cfg)
+        self.concurrency = d.concurrency
+        self.gate_writes = d.gate_writes
+        self.decisions.append(d)
+        return d
+
+
 def snapshot_priority_key(sequence_number: int, is_latest: bool) -> tuple:
     """Prioritize the newest snapshot (doc: catch-up syncs serve the head
     first, then backfill): sort ascending by this key."""

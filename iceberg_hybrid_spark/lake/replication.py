@@ -82,6 +82,7 @@ def copy_files(
     dst_root: str,
     refs: list[DataFileRef],
     throttle_s: float = 0.0,
+    concurrency: int | None = None,
 ) -> ReplicationMetrics:
     """Distributed per-file copy — the parallel fan-out of
     SyncOrchestrator.processDataSync (ZIO.foreachPar over files, :111).
@@ -92,6 +93,9 @@ def copy_files(
     Metrics are reduced per partition executor-side; the collect returns
     O(partitions) tuples, never per-file rows.  ``throttle_s`` sleeps per
     file (tests use it to hold a copy in flight for cancellation).
+    ``concurrency`` caps the parallel copy slices — the knob the
+    backpressure controller actuates (RateController.tick →
+    BackpressureDecision.concurrency).
     """
     t0 = time.time()
     if not refs:
@@ -114,7 +118,8 @@ def copy_files(
             nbytes += os.path.getsize(d)
         yield (copied, nbytes)
 
-    n_slices = min(len(pairs), spark.sparkContext.defaultParallelism)
+    cap = concurrency or spark.sparkContext.defaultParallelism
+    n_slices = max(1, min(len(pairs), cap))
     results = spark.sparkContext.parallelize(pairs, n_slices).mapPartitions(_copy_partition).collect()
     files = sum(r[0] for r in results)
     nbytes = sum(r[1] for r in results)
@@ -389,6 +394,7 @@ def replicate(
     src: HyTable,
     dst: HyTable,
     target_seq: int | None = None,
+    concurrency: int | None = None,
 ) -> tuple[Snapshot | None, ReplicationMetrics]:
     """Full pipeline: plan → copy → staged shadow-commit → verify → promote.
 
@@ -404,7 +410,7 @@ def replicate(
     if src_snap is None:
         return None, ReplicationMetrics(0, 0, 0, 0)
     todo = plan(src, dst, target_seq)
-    metrics = copy_files(spark, src.root, dst.root, todo)
+    metrics = copy_files(spark, src.root, dst.root, todo, concurrency=concurrency)
 
     # Shadow-commit the source manifest at the destination (staged).
     # The summary must carry the source's partition spec / evolved schema

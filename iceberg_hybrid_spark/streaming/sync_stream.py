@@ -20,6 +20,7 @@ watermark are dropped by the engine — the tests pin this behavior.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Iterable
 
 import pandas as pd
@@ -193,6 +194,7 @@ def start_replication_stream(
     resolve: Callable[[str], tuple],
     checkpoint_dir: str,
     available_now: bool = True,
+    controller=None,
 ):
     """The streaming form of SyncOrchestrator.processPendingEvents
     (SURVEY §3.2's prescribed translation): commit notifications arrive as
@@ -202,12 +204,22 @@ def start_replication_stream(
     ``resolve(table_name) -> (src HyTable, dst HyTable)``.  Exactly-once:
     the checkpoint tracks consumed notification files, and replication
     itself is idempotent (skip-if-exists + staged promote).
+
+    ``controller`` (a ``control.backpressure.RateController``) makes the
+    drain rate-adaptive per iceberg-arch-hybrid-replica-dr.md:172-185:
+    before each replicate the controller is ticked with the last copy's
+    failure rate and the observed mirror lag (now − source commit
+    timestamp); the resulting concurrency budget caps the copy fan-out,
+    and ``controller.gate_writes`` exposes the write-side gating signal
+    for producers to honor.  Without a controller the drain is
+    fixed-rate, as before.
     """
     from ..lake.replication import replicate
 
     stream = spark.readStream.schema(COMMIT_NOTIFICATION_SCHEMA).parquet(
         notifications_dir
     )
+    last_failure_rate = [0.0]
 
     def drain(batch_df: DataFrame, _batch_id: int) -> None:
         # newest target_seq per table wins (fast-forward: intermediate
@@ -219,7 +231,19 @@ def start_replication_stream(
         )
         for row in work:
             src, dst = resolve(row.table_name)
-            replicate(spark, src, dst, target_seq=row.target_seq)
+            concurrency = None
+            if controller is not None:
+                snap = src.snapshot_by_seq(row.target_seq)
+                lag_s = max(0.0, time.time() - snap.timestamp_ms / 1000.0)
+                concurrency = controller.tick(last_failure_rate[0], lag_s).concurrency
+            _, metrics = replicate(
+                spark, src, dst, target_seq=row.target_seq, concurrency=concurrency
+            )
+            if controller is not None and metrics.files_copied + metrics.files_skipped:
+                # files_skipped = planned-but-not-copied, the failure proxy
+                last_failure_rate[0] = metrics.files_skipped / (
+                    metrics.files_copied + metrics.files_skipped
+                )
 
     writer = stream.writeStream.foreachBatch(drain).option(
         "checkpointLocation", checkpoint_dir

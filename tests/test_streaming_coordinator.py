@@ -96,3 +96,73 @@ def test_streaming_incremental_and_duplicate_delivery(spark, tmp_path, buses):
     assert worker.catalogs[EU][TABLE].read().count() == 250
     done = [e for e in worker.events.get_event_history(TABLE, EU) if e.status == COMPLETED]
     assert len(done) == 4  # 2 commits × (metadata + data), each applied once
+
+
+def test_replication_stream_rate_adaptation(spark, tmp_path):
+    """≙ iceberg-arch-hybrid-replica-dr.md:172-185: the streaming drain
+    is rate-adaptive.  With a hopeless lag bound (hard limit 0 s) the
+    controller engages write-side gating at full copy throttle; with the
+    default healthy bounds it reports steady recovery and never gates."""
+    from iceberg_hybrid_spark.control.backpressure import (
+        BackpressureConfig,
+        RateController,
+    )
+    from iceberg_hybrid_spark.lake.table import HyTable as HT
+    from iceberg_hybrid_spark.streaming.sync_stream import (
+        COMMIT_NOTIFICATION_SCHEMA,
+        start_replication_stream,
+    )
+
+    src = HT(spark, str(tmp_path / "us" / "t"))
+    src.create(spark.range(0, 100).toDF("id"))
+
+    # lagging mirror: any positive observed lag exceeds the hard limit
+    lagging = RateController(
+        BackpressureConfig(lag_target_s=0, lag_hard_limit_s=0),
+        initial_concurrency=8,
+    )
+    dst1 = HT(spark, str(tmp_path / "eu1" / "t"))
+    notif = str(tmp_path / "n1")
+    spark.createDataFrame([("t", 1)], COMMIT_NOTIFICATION_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(notif)
+    q = start_replication_stream(
+        spark, notif, lambda name: (src, dst1), str(tmp_path / "cp1"),
+        controller=lagging,
+    )
+    q.awaitTermination(120)
+    assert dst1.read().count() == 100          # replication still completes
+    assert lagging.gate_writes                 # producers told to slow down
+    assert lagging.decisions[-1].reason == "gate:lag_hard_limit"
+
+    # healthy mirror: fresh commit, generous bounds -> steady, no gating
+    healthy = RateController(initial_concurrency=4)
+    dst2 = HT(spark, str(tmp_path / "eu2" / "t"))
+    src.append(spark.range(100, 120).toDF("id"))
+    notif2 = str(tmp_path / "n2")
+    spark.createDataFrame([("t", 2)], COMMIT_NOTIFICATION_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(notif2)
+    q2 = start_replication_stream(
+        spark, notif2, lambda name: (src, dst2), str(tmp_path / "cp2"),
+        controller=healthy,
+    )
+    q2.awaitTermination(120)
+    assert dst2.read().count() == 120
+    assert not healthy.gate_writes
+    assert healthy.decisions[-1].reason == "steady"
+    assert healthy.concurrency == 5            # additive recovery toward cap
+
+
+def test_copy_files_concurrency_cap(spark, tmp_path):
+    """The controller's budget actuates the copy fan-out: concurrency=1
+    still copies everything (correctness unaffected by throttling)."""
+    from iceberg_hybrid_spark.lake import replication as R
+    from iceberg_hybrid_spark.lake.table import HyTable as HT
+
+    src = HT(spark, str(tmp_path / "s" / "t"))
+    src.create(spark.range(0, 200).toDF("id").repartition(6))
+    dst = HT(spark, str(tmp_path / "d" / "t"))
+    refs = R.plan(src, dst)
+    assert len(refs) >= 6
+    m = R.copy_files(spark, src.root, dst.root, refs, concurrency=1)
+    assert m.files_copied == len(refs)
+    assert m.files_skipped == 0

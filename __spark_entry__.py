@@ -37,6 +37,8 @@ _PRIORITY: tuple[str, ...] = (
     "sorted_write_pruned_read",
     "table_changelog_rows",
     "tag_time_travel_read",
+    "tag_mor_pinned_read",
+    "partitions_metadata_stats",
     "merge_upsert_result",
     # embedding / similarity operators
     "embedding_topk_cosine",
@@ -52,6 +54,8 @@ _PRIORITY: tuple[str, ...] = (
     "near_dup_clusters",
     "unigram_logprob_quality",
     "corpus_retention_funnel",
+    "normalized_dedup_stats",
+    "doc_length_percentiles",
     # events operators
     "event_type_transitions",
     "events_json_props",

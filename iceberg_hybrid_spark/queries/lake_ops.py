@@ -299,6 +299,59 @@ SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k
 """
 
 
+def partitions_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``partitions`` metadata table (≙ Iceberg SELECT * FROM
+    t.partitions): per-partition file/row counts straight from manifest
+    stats — the compaction planner's sizing input, answered without
+    touching a data file.  Deterministic file_count: each identity
+    partition is written as one coalesced file."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = HyTable(spark, _scratch("partmeta"))
+    t.create(
+        orders.select("o_orderkey", "o_orderstatus").coalesce(1),
+        partition_by=["o_orderstatus"],
+    )
+    return (
+        t.partitions()
+        .select(
+            F.col("partition")["o_orderstatus"].alias("o_orderstatus"),
+            F.col("file_count"),
+            F.col("total_rows"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PARTITIONS_METADATA_SQL = """
+SELECT o_orderstatus, CAST(1 AS BIGINT) AS file_count,
+       COUNT(*) AS total_rows
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def tag_mor_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A tag pinned AFTER a merge-on-read delete, read after main has
+    moved on: the tagged scan must replay the pinned snapshot's delete
+    files (not load them as data) while excluding everything main did
+    later — the audit-reproducibility contract under MOR.  Regression
+    surface for the read_tag/_read_live_rows path."""
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    t = HyTable(spark, _scratch("tagmor"))
+    t.create(nation.select(F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")))
+    t.delete_where_mor([("k", "<", 5)], ["k"])
+    t.create_tag("post_delete")
+    t.upsert_mor(
+        spark.createDataFrame([(7, "REWRITTEN_LATER")], "k int, name string"), ["k"]
+    )
+    return t.read_tag("post_delete").orderBy("k")
+
+
+TAG_MOR_PINNED_SQL = """
+SELECT n_nationkey AS k, n_name AS name FROM nation
+WHERE n_nationkey >= 5 ORDER BY k
+"""
+
+
 def table_changelog_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC between snapshots (≙ Iceberg changelog scan):
     create nation rows → append region rows → delete keys < 3; the
@@ -528,6 +581,11 @@ SPECS = [
               "write.sort-order: sorted appends + manifest-pruned range read"),
     QuerySpec("table_changelog_rows", table_changelog_rows, CHANGELOG_SQL,
               "row-level CDC changelog between snapshots"),
+    QuerySpec("partitions_metadata_stats", partitions_metadata_stats,
+              PARTITIONS_METADATA_SQL,
+              "partitions metadata table from manifest stats"),
+    QuerySpec("tag_mor_pinned_read", tag_mor_pinned_read, TAG_MOR_PINNED_SQL,
+              "tag pinned after MOR delete, read after main moved on"),
     QuerySpec("tag_time_travel_read", tag_time_travel_read, TAG_TIME_TRAVEL_SQL,
               "immutable-tag pinned read surviving an overwrite"),
     QuerySpec("zorder_clustered_read", zorder_clustered_read, ZORDER_READ_SQL,

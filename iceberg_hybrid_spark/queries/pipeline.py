@@ -305,6 +305,80 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --- normalization-aware dedup ---------------------------------------------
+
+def normalized_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) vs raw exact dedup, per
+    language — the canonicalization step real crawl dedup runs first,
+    since trivial casing/punctuation edits defeat raw-md5 dedup.
+    Map-only normalize + two partial-agg distinct counts; the identical
+    plan runs at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("lang", F.col("text"), norm.alias("norm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("text").alias("distinct_raw"),
+            F.count_distinct("norm").alias("distinct_normalized"),
+        )
+        .orderBy("lang")
+    )
+
+
+NORMALIZED_DEDUP_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_raw,
+       CAST(COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+           AS distinct_normalized
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --- length distribution ----------------------------------------------------
+
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated token-count percentiles (p50/p90/p99) per
+    language — the corpus length-distribution report that drives chunk
+    and context-window sizing.  Spark ``percentile`` is the exact
+    (sort-based) aggregate, matching DuckDB ``quantile_cont``; for 100 TB
+    dashboards swap in ``percentile_approx`` (one pass, mergeable
+    sketches) — kept exact here so the oracle is bit-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.token_count("text").cast("double")
+    base = docs.select("lang", tc.alias("tc"))
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            T.round_stable(F.expr("percentile(tc, 0.5)"), 2).alias("p50_tokens"),
+            T.round_stable(F.expr("percentile(tc, 0.9)"), 2).alias("p90_tokens"),
+            T.round_stable(F.expr("percentile(tc, 0.99)"), 2).alias("p99_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_PCTL_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(tc, 0.5) - 0.000000001, 2) + 0.0 AS p50_tokens,
+       ROUND(quantile_cont(tc, 0.9) - 0.000000001, 2) + 0.0 AS p90_tokens,
+       ROUND(quantile_cont(tc, 0.99) - 0.000000001, 2) + 0.0 AS p99_tokens
+FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS tc
+      FROM documents) d
+GROUP BY lang ORDER BY lang
+"""
+
+
 # --- boilerplate detection --------------------------------------------------
 
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +700,12 @@ SPECS = [
               "train/test n-gram contamination scan"),
     QuerySpec("token_window_chunking", token_window_chunking, CHUNKING_SQL,
               "sliding token-window chunking with fingerprints"),
+    QuerySpec("normalized_dedup_stats", normalized_dedup_stats,
+              NORMALIZED_DEDUP_SQL,
+              "exact dedup after text normalization vs raw, per language"),
+    QuerySpec("doc_length_percentiles", doc_length_percentiles,
+              DOC_LENGTH_PCTL_SQL,
+              "exact token-count percentiles per language"),
     QuerySpec("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_SQL,
               "deterministic hash-based domain mix sampling"),
     QuerySpec("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_SQL,

@@ -2,8 +2,9 @@
 
 The payloads are synthesized deterministically from the documents table
 (no media fixtures exist in the testdata), so the byte-level metadata is
-oracle-checkable in DuckDB while the decode pipeline itself (mapInPandas)
-gets a rows-only check + unit tests.
+oracle-checkable in DuckDB; the decode pipeline (mapInPandas over the
+deterministic fake codec) is oracle-checked too — the oracle recomputes
+the codec's byte math in SQL.
 """
 
 from __future__ import annotations

@@ -73,6 +73,17 @@ def main() -> None:
     spark.read.parquet(f"{warm_dir}/documents.parquet").selectExpr(
         "size(array_distinct(split(text, ' '))) AS d"
     ).agg({"d": "sum"}).collect()
+    # Warm the OS page cache for the benchmarked files themselves: a raw
+    # sequential read of every parquet in sf_dir.  Without this, whether
+    # a run follows a page-cache-evicting workload (e.g. the test suite)
+    # dominates the timings and round-over-round comparisons track cache
+    # state, not plan changes.  sf0.1 is ~1 GB — a one-time cost.
+    import glob as _glob
+
+    for path in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(path, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     specs = all_specs()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -92,6 +103,9 @@ def main() -> None:
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
+    # steady-state floor per query (min of N): robust to ambient load —
+    # use for cross-round comparison when machine conditions differ
+    floors = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,6 +122,8 @@ def main() -> None:
                 # medians across rounds, not raw totals.
                 "method": "median",
                 "queries": timings,
+                "queries_min": floors,
+                "value_min": round(sum(floors.values()), 3),
                 "sf": sf,
             }
         )

@@ -1,0 +1,85 @@
+"""Nightly table-maintenance golden path: the scheduled upkeep cycle a
+production lakehouse runs against every table — compaction → ref-aware
+snapshot expiry → tiered orphan GC → L2 closure audit — chained on one
+table, asserting reads stay identical through every stage.
+
+Mirrors the reference's scenario-E2E layer (SURVEY §5): components are
+each unit-tested elsewhere; this pins their composition, which is where
+maintenance bugs (expiry deleting branch files, GC deleting fresh
+orphans, compaction resurrecting MOR-deleted rows) actually bite.
+"""
+
+import os
+import time
+
+from iceberg_hybrid_spark.lake import gc as G
+from iceberg_hybrid_spark.lake import replication as R
+from iceberg_hybrid_spark.lake.table import HyTable
+
+
+def test_nightly_maintenance_cycle(spark, tmp_path):
+    t = HyTable(spark, str(tmp_path / "tbl"))
+
+    # a week of activity: create, appends (small files), MOR delete,
+    # a pinned audit tag, a lagging branch
+    t.create(spark.range(0, 1000).selectExpr("id", "id % 7 AS grp").repartition(8))
+    for lo in range(1000, 1300, 100):
+        t.append(spark.range(lo, lo + 100).selectExpr("id", "id % 7 AS grp"))
+    t.delete_where_mor([("grp", "=", 3)], delete_cols=["id"])
+    t.create_tag("audit-week32")
+    t.create_branch("eu-lag", seq=2)
+    expected = t.read().count()
+    tag_expected = t.read_tag("audit-week32").count()
+    branch_expected = t.read_branch("eu-lag").count()
+
+    # stray debris: an old tmp orphan (P3D tier, already due) and a
+    # fresh data orphan (P14D tier, must survive)
+    old = time.time() - 5 * 86_400
+    tmp_dir = os.path.join(t.data_dir, "_tmp")
+    os.makedirs(tmp_dir)
+    tmp_orphan = os.path.join(tmp_dir, "leftover.parquet")
+    fresh_orphan = os.path.join(t.data_dir, "fresh-stray.parquet")
+    for p in (tmp_orphan, fresh_orphan):
+        with open(p, "wb") as f:
+            f.write(b"junk")
+    os.utime(tmp_orphan, (old, old))
+
+    # 1) compaction: small files fold into target-size files and MOR
+    # deletes materialize; the read is unchanged
+    snap = t.rewrite_data_files(target_file_size_bytes=1 << 30)
+    assert all(f.content == "data" for f in snap.manifest)
+    assert t.read().count() == expected
+
+    # 2) ref-aware expiry: old snapshots go, but the tag + branch heads
+    # (and their exclusive files) survive
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] > 0
+    assert t.read().count() == expected
+    assert t.read_tag("audit-week32").count() == tag_expected
+    assert t.read_branch("eu-lag").count() == branch_expected
+
+    # 3) tiered orphan GC through the producer/executor path: the aged
+    # tmp orphan is due (P3D), the fresh data orphan is not (P14D)
+    now = int(time.time() * 1000)
+    gen = now - 400_000
+    cands = [c for c in G.produce_candidates(t, retain_last=1, now_ms=gen)
+             if c.reason == "orphan"]
+    plan = G.DeletePlan(t.root, cands, generated_at_ms=gen,
+                        valid_from_ms=gen, valid_until_ms=now + 10**7)
+    results = {e.file_uri: e.result
+               for e in G.apply_delete_plan(plan, safety_delay_s=60, now_ms=now)}
+    assert results["data/_tmp/leftover.parquet"] == "deleted"
+    assert results["data/fresh-stray.parquet"] == "blocked_window"
+    assert not os.path.exists(tmp_orphan)
+    assert os.path.exists(fresh_orphan)
+
+    # 4) L2 closure audit over everything retained (head + tag + branch
+    # snapshots): maintenance must leave a fully verifiable closure
+    report = R.audit_closure(t)  # raises VerificationError on violation
+    assert report["files_checked"] > 0
+    assert report["snapshots_audited"] >= 3  # head + tag + branch heads
+
+    # reads still identical after the full cycle
+    assert t.read().count() == expected
+    assert t.read_tag("audit-week32").count() == tag_expected
+    assert t.read_branch("eu-lag").count() == branch_expected

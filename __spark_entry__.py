@@ -39,6 +39,7 @@ _PRIORITY: tuple[str, ...] = (
     "tag_time_travel_read",
     "tag_mor_pinned_read",
     "partitions_metadata_stats",
+    "streaming_dedup_ingest",
     "merge_upsert_result",
     # embedding / similarity operators
     "embedding_topk_cosine",

@@ -299,6 +299,51 @@ SELECT n_nationkey AS k, n_name AS name FROM nation ORDER BY k
 """
 
 
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup ingestion (streaming/ingest.py) driven
+    through the oracle gate: the documents table is delivered to an
+    inbox twice (a full batch plus a verbatim re-delivery — the
+    at-least-once upstream), drained with availableNow, and the
+    resulting corpus is reported per language.  The construction is
+    batch-fold-independent: duplicates resolve to the min doc_id per
+    text whether Spark folds the files into one micro-batch or two, so
+    the result equals batch-mode exact dedup (DuckDB arg_min oracle)."""
+    from pyspark.sql import types as SPARK_T2
+
+    from ..streaming.ingest import FINGERPRINT_DDL, start_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = _scratch("streamdedup")
+    inbox = os.path.join(root, "inbox")
+    docs.coalesce(1).write.mode("append").parquet(inbox)
+    docs.coalesce(1).write.mode("append").parquet(inbox)  # re-delivery
+    corpus = HyTable(spark, os.path.join(root, "corpus"))
+    corpus.create(spark.createDataFrame([], docs.schema))
+    fps = HyTable(spark, os.path.join(root, "fps"))
+    fps.create(spark.createDataFrame([], FINGERPRINT_DDL))
+    schema = SPARK_T2.StructType.fromDDL(
+        "doc_id bigint, lang string, text string"
+    )
+    q = start_dedup_ingest(
+        spark, inbox, schema, corpus, fps, os.path.join(root, "ckpt")
+    )
+    q.awaitTermination(300)
+    return (
+        corpus.read()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang")
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM (SELECT arg_min(lang, doc_id) AS lang, MIN(doc_id) AS doc_id
+      FROM documents GROUP BY text) canonical
+GROUP BY lang ORDER BY lang
+"""
+
+
 def partitions_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``partitions`` metadata table (≙ Iceberg SELECT * FROM
     t.partitions): per-partition file/row counts straight from manifest
@@ -581,6 +626,9 @@ SPECS = [
               "write.sort-order: sorted appends + manifest-pruned range read"),
     QuerySpec("table_changelog_rows", table_changelog_rows, CHANGELOG_SQL,
               "row-level CDC changelog between snapshots"),
+    QuerySpec("streaming_dedup_ingest", streaming_dedup_ingest,
+              STREAMING_DEDUP_SQL,
+              "streaming exact-dedup ingestion with fingerprint state"),
     QuerySpec("partitions_metadata_stats", partitions_metadata_stats,
               PARTITIONS_METADATA_SQL,
               "partitions metadata table from manifest stats"),

@@ -105,16 +105,18 @@ def test_streaming_exact_dedup(spark, tmp_path):
 
 
 def test_streaming_incremental_corpus_dedup(spark, tmp_path):
-    """Incremental corpus ingestion with exact dedup — the streaming form
-    of the dedup pipeline's end stage: documents arrive in micro-batches;
-    each batch is fingerprinted (md5), deduped within itself, anti-joined
-    against the fingerprints already committed, and only novel docs are
-    appended.  The final table must equal batch exact-dedup of the whole
-    corpus (first-arrival wins), regardless of how the batches split or
-    repeat documents."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    """Incremental corpus ingestion with exact dedup via the library's
+    streaming ingest (streaming/ingest.py): documents arrive in
+    micro-batches; each batch is fingerprinted, deduped in-batch,
+    anti-joined against the NARROW fingerprint state table (never the
+    corpus text), and only novel docs are appended.  Final state equals
+    batch exact-dedup of the whole corpus; re-delivery is a no-op."""
     from pyspark.sql import types as T
+
+    from iceberg_hybrid_spark.streaming.ingest import (
+        FINGERPRINT_DDL,
+        start_dedup_ingest,
+    )
 
     DOC_SCHEMA = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -123,39 +125,20 @@ def test_streaming_incremental_corpus_dedup(spark, tmp_path):
     inbox = str(tmp_path / "inbox")
     corpus = HyTable(spark, str(tmp_path / "corpus"))
     corpus.create(spark.createDataFrame([], DOC_SCHEMA))
-
-    def ingest(batch_df, _id):
-        if not batch_df.limit(1).count():
-            return
-        fp = F.md5(F.col("text").cast("binary"))
-        # within-batch dedup: min doc_id per fingerprint wins
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        fresh = (
-            batch_df.withColumn("fp", fp)
-            .withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .drop("rn")
-        )
-        seen = corpus.read().select(F.md5(F.col("text").cast("binary")).alias("fp"))
-        novel = fresh.join(seen, "fp", "left_anti").drop("fp")
-        if novel.limit(1).count():
-            corpus.append(novel)
+    fps = HyTable(spark, str(tmp_path / "fps"))
+    fps.create(spark.createDataFrame([], FINGERPRINT_DDL))
 
     batches = [
-        [(1, "alpha"), (2, "beta"), (3, "alpha")],        # 3 dups 1 in-batch
-        [(4, "beta"), (5, "gamma")],                       # 4 dups prior batch
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],        # in-batch dup
+        [(4, "beta"), (5, "gamma")],                       # dup of prior batch
         [(6, "alpha"), (7, "delta"), (8, "delta")],        # mixed
     ]
     for rows in batches:
         spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1) \
             .write.mode("append").parquet(inbox)
 
-    q = (
-        spark.readStream.schema(DOC_SCHEMA).parquet(inbox)
-        .writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    q = start_dedup_ingest(
+        spark, inbox, DOC_SCHEMA, corpus, fps, str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
 
@@ -164,16 +147,14 @@ def test_streaming_incremental_corpus_dedup(spark, tmp_path):
     # survivor per duplicate text is the min doc_id across ALL batches —
     # matching batch-mode exact dedup over the full corpus.
     assert got == {(1, "alpha"), (2, "beta"), (5, "gamma"), (7, "delta")}
+    assert fps.read().count() == 4  # state tracks corpus 1:1
 
     # late re-delivery of already-seen texts is a no-op
     spark.createDataFrame([(9, "alpha"), (10, "beta")], DOC_SCHEMA).coalesce(1) \
         .write.mode("append").parquet(inbox)
-    q2 = (
-        spark.readStream.schema(DOC_SCHEMA).parquet(inbox)
-        .writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    q2 = start_dedup_ingest(
+        spark, inbox, DOC_SCHEMA, corpus, fps, str(tmp_path / "ckpt")
     )
     q2.awaitTermination(120)
     assert corpus.read().count() == 4
+    assert fps.read().count() == 4

@@ -66,7 +66,7 @@ def minhash_from_hashes(hash_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -74,12 +74,11 @@ def minhash_lsh_candidates(
     bands: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    """Near-dup candidate pairs via LSH banding.
-
-    rows-per-band = num_hashes/bands; two docs become a candidate pair iff
-    some band's sub-signature matches exactly.  Returns distinct
-    (id_a, id_b) with id_a < id_b.
-    """
+    """(id, band, band_key) LSH banding rows — the joinable form of the
+    MinHash signature.  Shared by the self-join candidate generator below
+    and the incremental ingest's persisted band-state table
+    (streaming/ingest.py): equality on (band, band_key) IS the candidate
+    relation, whether both sides are the same batch or batch-vs-state."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
@@ -88,7 +87,7 @@ def minhash_lsh_candidates(
     ).select(
         F.col(id_col), minhash_from_hashes(F.col("_sh"), num_hashes).alias("_sig")
     )
-    band_rows = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -108,6 +107,23 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding.
+
+    rows-per-band = num_hashes/bands; two docs become a candidate pair iff
+    some band's sub-signature matches exactly.  Returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    band_rows = minhash_band_rows(df, id_col, text_col, num_hashes, bands, k)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (

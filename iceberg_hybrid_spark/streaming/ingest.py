@@ -65,6 +65,143 @@ def dedup_ingest_batch(
     return n
 
 
+BAND_STATE_DDL = "doc_id bigint, band int, band_key string"
+
+
+def near_dup_ingest_batch(
+    batch_df: DataFrame,
+    corpus: HyTable,
+    bands_state: HyTable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> int:
+    """Apply one micro-batch of NEAR-dup-deduplicated ingestion: keep a
+    batch document only if no already-committed document (nor a
+    lower-id batch survivor) is a verified near-duplicate.
+
+    State = the corpus plus a persisted LSH band table
+    (``minhash_band_rows`` of every committed doc).  Per batch:
+
+    1. in-batch near-dup resolution — LSH candidates → exact-Jaccard
+       verify → connected components → min-id canonical survives
+       (identical semantics to the batch pipeline in queries/llm.py);
+    2. batch-vs-state candidates — equi-join of the batch's band rows
+       against the band-state table on (band, band_key): candidate
+       volume tracks true near-dup density, never |batch| × |corpus|;
+    3. verification reads shingles ONLY for the candidate corpus docs
+       (semi-joined scan), so corpus text IO is proportional to the
+       candidate set;
+    4. survivors append to the corpus and their band rows to the state
+       table — both manifest-commits, so redelivery is idempotent at
+       the content level (a redelivered doc is a 1.0-Jaccard match of
+       its committed copy and is dropped).
+
+    Returns the number of documents appended.
+    """
+    from ..functions import dedup as D
+    from ..functions.text import shingle_hashes
+
+    if not batch_df.limit(1).count():
+        return 0
+    # 1) in-batch resolution
+    pairs = D.minhash_lsh_candidates(
+        batch_df, id_col, text_col, num_hashes, bands, k
+    )
+    sh = batch_df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), k).alias("_sh")
+    )
+    verified = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .filter(D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comps = D.connected_components(verified, "id_a", "id_b")
+    batch_canon = D.dedup_keep_canonical(batch_df, comps, id_col)
+
+    # 2) candidates against committed state
+    batch_bands = D.minhash_band_rows(
+        batch_canon, id_col, text_col, num_hashes, bands, k
+    )
+    state = bands_state.read()
+    cand = (
+        batch_bands.alias("b")
+        .join(
+            state.alias("s"),
+            (F.col("b.band") == F.col("s.band"))
+            & (F.col("b.band_key") == F.col("s.band_key")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"s.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    # 3) verify candidates only: corpus text scanned semi-joined to them
+    corpus_sh = (
+        corpus.read()
+        .join(cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi")
+        .select(F.col(id_col).alias("corpus_id"), shingle_hashes(F.col(text_col), k).alias("sh_c"))
+    )
+    batch_sh = batch_canon.select(
+        F.col(id_col).alias("batch_id"), shingle_hashes(F.col(text_col), k).alias("sh_b")
+    )
+    dup_of_corpus = (
+        cand.join(corpus_sh, "corpus_id")
+        .join(batch_sh, "batch_id")
+        .filter(D.ngram_jaccard(F.col("sh_b"), F.col("sh_c")) >= threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch_canon.join(dup_of_corpus, id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    n = survivors.count()
+    if n:
+        corpus.append(survivors)
+        bands_state.append(
+            D.minhash_band_rows(survivors, id_col, text_col, num_hashes, bands, k)
+            .select(F.col(id_col).cast("bigint"), "band", "band_key")
+        )
+    return n
+
+
+def start_near_dup_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    schema,
+    corpus: HyTable,
+    bands_state: HyTable,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    available_now: bool = True,
+):
+    """Tail ``inbox_dir`` and near-dup-dedup-ingest each micro-batch
+    (see :func:`near_dup_ingest_batch`)."""
+
+    def drain(batch_df: DataFrame, _batch_id: int) -> None:
+        near_dup_ingest_batch(
+            batch_df, corpus, bands_state, text_col, id_col, threshold=threshold
+        )
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(inbox_dir)
+        .writeStream.foreachBatch(drain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_dedup_ingest(
     spark: SparkSession,
     inbox_dir: str,

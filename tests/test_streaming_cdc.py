@@ -158,3 +158,55 @@ def test_streaming_incremental_corpus_dedup(spark, tmp_path):
     q2.awaitTermination(120)
     assert corpus.read().count() == 4
     assert fps.read().count() == 4
+
+
+def test_streaming_near_dup_ingest(spark, tmp_path):
+    """Incremental NEAR-dup ingestion: batch 2 contains a lightly edited
+    copy of a batch-1 document (near-dup, dropped), a verbatim
+    redelivery (1.0 Jaccard, dropped), and a genuinely new document
+    (kept).  In-batch near-dups resolve to the min id."""
+    from pyspark.sql import types as T
+
+    from iceberg_hybrid_spark.streaming.ingest import (
+        BAND_STATE_DDL,
+        start_near_dup_ingest,
+    )
+
+    DOC_SCHEMA = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before the rain begins to fall")
+    edited = base.replace("lazy", "sleepy")          # 1-token edit: near-dup
+    other = ("completely different content about distributed query engines "
+             "processing parquet tables with adaptive shuffle partitioning "
+             "under heavy concurrent analytical load every single night")
+
+    inbox = str(tmp_path / "inbox")
+    corpus = HyTable(spark, str(tmp_path / "corpus"))
+    corpus.create(spark.createDataFrame([], DOC_SCHEMA))
+    bands = HyTable(spark, str(tmp_path / "bands"))
+    bands.create(spark.createDataFrame([], BAND_STATE_DDL))
+
+    # batch 1: base + an in-batch near-dup of it (min id 1 survives)
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("deep", "dark"))], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    q = start_near_dup_ingest(
+        spark, inbox, DOC_SCHEMA, corpus, bands, str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+    assert {r.doc_id for r in corpus.read().collect()} == {1}
+
+    # batch 2: edited near-dup (drop), verbatim redelivery (drop), new (keep)
+    spark.createDataFrame(
+        [(3, edited), (4, base), (5, other)], DOC_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inbox)
+    q2 = start_near_dup_ingest(
+        spark, inbox, DOC_SCHEMA, corpus, bands, str(tmp_path / "ck")
+    )
+    q2.awaitTermination(180)
+    assert {r.doc_id for r in corpus.read().collect()} == {1, 5}
+    # band state tracks exactly the committed docs
+    assert {r.doc_id for r in bands.read().select("doc_id").distinct().collect()} == {1, 5}

@@ -17,6 +17,7 @@ from ..functions import dedup as D
 from ..functions import similarity as S
 from ..functions import text as T
 from ..sources.tables import load_table
+from ._ivf_oracle import EMBEDDING_IVF_SQL
 from ._simhash_oracle import SIMHASH_NEAR_DUP_SQL
 from .spec import QuerySpec
 
@@ -544,9 +545,12 @@ EMBEDDING_LSH_SQL = _embedding_lsh_sql()
 
 
 def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: seeded-KMeans inverted lists, nprobe=4 probes per query —
-    the trained-index scale path next to the LSH one (rows-only; recall
-    vs brute force pinned in tests)."""
+    """IVF ANN: seeded-KMeans inverted lists, nprobe=3 probes per query —
+    the trained-index scale path next to the LSH one.  Oracle: the
+    trained artifacts (centroids + assignment) are pinned as literals
+    (tools/gen_ivf_oracle.py) and DuckDB independently recomputes probe
+    selection, list-scoped scoring, and ranking; recall vs brute force
+    additionally pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centers = S.ivf_build(emb, k=8, seed=42)
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
@@ -608,8 +612,9 @@ SPECS = [
     QuerySpec("simhash_near_dup", simhash_near_dup, SIMHASH_NEAR_DUP_SQL,
               "SimHash banded candidates + hamming verify vs "
               "fingerprint-literal all-pairs oracle"),
-    QuerySpec("embedding_ivf_ann", embedding_ivf_ann, None,
-              "IVF (KMeans inverted lists) ANN top-k (rows-only)"),
+    QuerySpec("embedding_ivf_ann", embedding_ivf_ann, EMBEDDING_IVF_SQL,
+              "IVF (KMeans inverted lists) ANN top-k vs centroid-literal "
+              "oracle"),
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,
               "token counting per language"),
     QuerySpec("doc_quality_scores", doc_quality_scores, DOC_QUALITY_SQL,

@@ -48,6 +48,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_lsh_ann",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_exact",
+    "embedding_ivf_ann",
     "embedding_quantization_error",
     # dedup / pipeline operators
     "minhash_near_dup",

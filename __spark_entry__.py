@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_json_props",
     "top_user_by_value_per_type",
     "error_rate_by_day",
+    "skew_split_user_enrichment",
 )
 
 

@@ -268,6 +268,54 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def skew_split_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-remediated fact-to-dimension enrichment through the oracle
+    gate: events (fact, hot user keys) joined to a per-user first-seen
+    dimension via ``functions.skew.skew_split_join`` — only keys above
+    the hot threshold take the salted path (small side replicated
+    salt x for those keys alone), the cold tail takes the plain join.
+    The oracle is the PLAIN equi-join's SQL: salting must be a pure
+    physical-plan remedy, bit-identical in results.  All measures are
+    integer (microsecond ages) so the check is exact."""
+    from ..functions import skew as K
+
+    events = _ev(spark, sf_dir)
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = K.skew_split_join(
+        events, first_seen, "user_id", threshold_rows=80, salt=8
+    )
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is lossless and
+    # any offset cancels in the subtraction
+    age_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("first_ts").cast("timestamp")
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(age_us).cast("bigint").alias("total_age_us"),
+            F.sum((F.col("ts") == F.col("first_ts")).cast("int"))
+            .cast("bigint")
+            .alias("first_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_SPLIT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(epoch_us(e.ts) - epoch_us(f.first_ts)) AS BIGINT)
+           AS total_age_us,
+       CAST(SUM(CASE WHEN e.ts = f.first_ts THEN 1 ELSE 0 END) AS BIGINT)
+           AS first_events
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 def error_rate_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Failure-rate monitoring — mirror of the backpressure controller's
     failure-rate input (iceberg-arch-hybrid-replica-dr.md:172-185)."""
@@ -415,6 +463,9 @@ SPECS = [
               "JSON scalar extraction + agg"),
     QuerySpec("top_user_by_value_per_type", top_user_by_value_per_type,
               TOP_USER_SQL, "max_by / arg_max"),
+    QuerySpec("skew_split_user_enrichment", skew_split_user_enrichment,
+              SKEW_SPLIT_SQL,
+              "hot-key-salted fact enrichment vs plain-join oracle"),
     QuerySpec("error_rate_by_day", error_rate_by_day, ERROR_RATE_SQL,
               "failure-rate monitoring aggregation"),
 ]

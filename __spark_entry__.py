@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_retention_funnel",
     "normalized_dedup_stats",
     "doc_length_percentiles",
+    "bpe_token_budget",
     # events operators
     "event_type_transitions",
     "events_json_props",

@@ -38,6 +38,20 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style classes, ASCII-safe so
+# Java regex and RE2 agree): letter runs, single digits (numbers split
+# per digit, as byte-level BPE effectively does), punctuation runs.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex — the pre-tokenizer-level
+    budget estimate (whitespace counts undercount punctuation-heavy and
+    numeric text, which this captures)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 

@@ -57,6 +57,42 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting under a BPE-ish regex pre-tokenizer next to the
+    whitespace count: per language, both totals and their ratio — the
+    estimate a training-data pipeline uses to convert corpus size into
+    a token budget (whitespace alone undercounts punctuation-heavy and
+    numeric text).  Map-only + one partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = T.token_count("text")
+    bpe = T.bpe_token_count("text")
+    return (
+        docs.select("lang", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").cast("bigint").alias("whitespace_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            T.round_stable(F.sum("bpe") / F.sum("ws"), 4).alias("inflation"),
+        )
+        .orderBy("lang")
+    )
+
+
+BPE_TOKEN_BUDGET_SQL = r"""
+SELECT lang,
+       CAST(SUM(ws) AS BIGINT) AS whitespace_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(SUM(bpe) * 1.0 / SUM(ws) - 0.000000001, 4) + 0.0 AS inflation
+FROM (
+  SELECT lang,
+         len(string_split(text, ' ')) AS ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+')) AS bpe
+  FROM documents
+) d
+GROUP BY lang ORDER BY lang
+"""
+
+
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -617,6 +653,8 @@ SPECS = [
               "oracle"),
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,
               "token counting per language"),
+    QuerySpec("bpe_token_budget", bpe_token_budget, BPE_TOKEN_BUDGET_SQL,
+              "BPE-ish regex vs whitespace token budget per language"),
     QuerySpec("doc_quality_scores", doc_quality_scores, DOC_QUALITY_SQL,
               "per-document quality scoring"),
     QuerySpec("language_prediction", language_prediction, LANGUAGE_PREDICTION_SQL,

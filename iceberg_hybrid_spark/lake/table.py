@@ -175,6 +175,10 @@ class DataFileRef:
     # content checksum (md5 hex) — ≙ the object-store ETag integrity
     # check (legacy ObjectStorePort.java:36-71); "" = not recorded
     checksum: str = ""
+    # per-column null counts from the footer (≙ Iceberg's
+    # null_value_counts) — enables IS NULL / IS NOT NULL file pruning;
+    # a column absent here has unknown null count (file kept, safe)
+    null_counts: tuple[tuple[str, int], ...] = ()
 
     def to_json(self) -> dict:
         return {
@@ -187,6 +191,7 @@ class DataFileRef:
             "delete_cols": list(self.delete_cols),
             "added_seq": self.added_seq,
             "checksum": self.checksum,
+            "null_counts": [[c, n] for c, n in self.null_counts],
         }
 
     @staticmethod
@@ -199,12 +204,19 @@ class DataFileRef:
             tuple(d.get("delete_cols", [])),
             d.get("added_seq", 0),
             d.get("checksum", ""),
+            tuple((c, n) for c, n in d.get("null_counts", [])),
         )
 
     def bounds(self, col: str) -> tuple[object, object] | None:
         for c, lo, hi in self.stats:
             if c == col:
                 return (lo, hi)
+        return None
+
+    def null_count(self, col: str) -> int | None:
+        for c, n in self.null_counts:
+            if c == col:
+                return n
         return None
 
 
@@ -310,6 +322,29 @@ def _parquet_column_stats(path: str) -> tuple[tuple[str, object, object], ...]:
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
     return tuple(sorted((c, mins[c], maxs[c]) for c in mins))
+
+
+def _parquet_null_counts(path: str) -> tuple[tuple[str, int], ...]:
+    """Per-column null counts summed over row groups, from the parquet
+    footer (≙ Iceberg null_value_counts).  A column is reported only when
+    EVERY row group records a null count — partial knowledge is treated
+    as unknown so pruning stays safe."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    totals: dict[str, int] = {}
+    known: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or st.null_count is None:
+                known[name] = False
+                continue
+            known.setdefault(name, True)
+            totals[name] = totals.get(name, 0) + st.null_count
+    return tuple(sorted((c, n) for c, n in totals.items() if known.get(c)))
 
 
 def _parse_hive_partition(rel_dir: str) -> tuple[tuple[str, str], ...]:
@@ -508,6 +543,7 @@ class HyTable:
                             os.path.relpath(dirpath, out_dir)
                         ),
                         checksum=file_md5(full),
+                        null_counts=_parquet_null_counts(full),
                     )
                 )
         return sorted(refs, key=lambda r: r.path)
@@ -937,6 +973,24 @@ class HyTable:
         part = dict(f.partition)
         by_source = {t["source"]: t for t in transforms}
         for col, op, val in preds:
+            # null-existence predicates prune on null_value_counts
+            # (≙ Iceberg) or the partition value; unknown count ⇒ keep
+            if op in ("is_null", "is_not_null"):
+                if col in part:
+                    is_null_part = part[col] == "__HIVE_DEFAULT_PARTITION__"
+                    if op == "is_null" and not is_null_part:
+                        return False
+                    if op == "is_not_null" and is_null_part:
+                        return False
+                    continue
+                nc = f.null_count(col)
+                if nc is None:
+                    continue
+                if op == "is_null" and nc == 0:
+                    return False
+                if op == "is_not_null" and nc == f.row_count:
+                    return False
+                continue
             tr = by_source.get(col)
             if tr is not None and tr["name"] in part:
                 raw = part[tr["name"]]
@@ -1018,6 +1072,8 @@ class HyTable:
             "<=": lambda c, v: c <= v,
             ">": lambda c, v: c > v,
             ">=": lambda c, v: c >= v,
+            "is_null": lambda c, v: c.isNull(),
+            "is_not_null": lambda c, v: c.isNotNull(),
         }
         expr = F.lit(True)
         for col, op, val in preds:

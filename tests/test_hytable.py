@@ -575,3 +575,44 @@ def test_changelog_fast_path_and_general_path(spark, tmp_path):
     full = t.changelog(None, 3).collect()
     assert {r.id for r in full} == (set(range(50)) | set(range(50, 70))) - set(range(10))
     assert all(r._change_type == "insert" for r in full)
+
+
+def test_null_count_stats_and_is_null_pruning(spark, tmp_path):
+    """≙ Iceberg null_value_counts: IS NULL / IS NOT NULL predicates
+    prune at the manifest level — a null-free file is skipped for
+    IS NULL, an all-null file for IS NOT NULL — and the residual filter
+    returns exactly the right rows."""
+    from pyspark.sql import functions as F
+
+    t = HyTable(spark, str(tmp_path / "t"))
+    clean = spark.range(0, 100).select(
+        "id", F.col("id").cast("string").alias("note")
+    )
+    t.create(clean.coalesce(1))                      # file 1: no nulls
+    some_null = spark.range(100, 200).select(
+        "id", F.when(F.col("id") % 10 == 0, None).otherwise(
+            F.col("id").cast("string")).alias("note")
+    )
+    t.append(some_null.coalesce(1))                  # file 2: 10 nulls
+    all_null = spark.range(200, 220).select(
+        "id", F.lit(None).cast("string").alias("note")
+    )
+    t.append(all_null.coalesce(1))                   # file 3: all null
+
+    # manifest carries the counts
+    by_path = {f.path: f for f in t.current_snapshot().manifest}
+    counts = sorted(f.null_count("note") for f in by_path.values())
+    assert counts == [0, 10, 20]
+
+    pruned = t.prune_files([("note", "is_null", None)])
+    assert len(pruned) == 2                          # null-free file skipped
+    assert all(f.null_count("note") > 0 for f in pruned)
+    pruned2 = t.prune_files([("note", "is_not_null", None)])
+    assert len(pruned2) == 2                         # all-null file skipped
+    assert all(f.null_count("note") < f.row_count for f in pruned2)
+
+    assert t.read(preds=[("note", "is_null", None)]).count() == 30
+    assert t.read(preds=[("note", "is_not_null", None)]).count() == 190
+    # combined with a range predicate
+    rows = t.read(preds=[("note", "is_null", None), ("id", ">=", 200)])
+    assert rows.count() == 20

@@ -941,6 +941,8 @@ class HyTable:
         row matching ``col op val``.  Bucket prunes equality only; the
         order-preserving transforms (truncate, year/month/day/hour) prune
         ranges: col < v ⇒ t(col) <= t(v), col > v ⇒ t(col) >= t(v)."""
+        if op in ("in", "!="):
+            return False  # transforms don't prove exclusion for these
         tval = transform_value(tr, val)
         if tval is None:
             return False
@@ -1004,8 +1006,10 @@ class HyTable:
                 raw = part[col]
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     return False  # null partition never matches these ops
+                # for "in" the conversion target is the ELEMENT type
+                proto = val[0] if op == "in" and isinstance(val, (list, tuple)) and val else val
                 try:
-                    pv = type(val)(raw) if not isinstance(val, str) else raw
+                    pv = type(proto)(raw) if not isinstance(proto, str) else raw
                 except (TypeError, ValueError):
                     continue
                 lo = hi = pv
@@ -1016,19 +1020,37 @@ class HyTable:
                 lo, hi = b
                 import datetime as _dt
 
-                if isinstance(val, (_dt.datetime, _dt.date)) and isinstance(lo, str):
-                    # timestamp/date stats are stored as ISO strings
-                    # (lexicographic = chronological); compare in that form
-                    val = (
-                        val.isoformat(sep=" ")
-                        if isinstance(val, _dt.datetime)
-                        else val.isoformat()
-                    )
-                elif not isinstance(val, type(lo)) and not (
-                    isinstance(val, (int, float)) and isinstance(lo, (int, float))
-                ):
-                    continue
+                def _coerce(v, lo=lo):
+                    """Align a predicate value with the stored stat type;
+                    None = incomparable (keep the file, safe)."""
+                    if isinstance(v, (_dt.datetime, _dt.date)) and isinstance(lo, str):
+                        # timestamp/date stats are ISO strings
+                        # (lexicographic = chronological)
+                        return (
+                            v.isoformat(sep=" ")
+                            if isinstance(v, _dt.datetime)
+                            else v.isoformat()
+                        )
+                    if not isinstance(v, type(lo)) and not (
+                        isinstance(v, (int, float)) and isinstance(lo, (int, float))
+                    ):
+                        return None
+                    return v
+
+                if op == "in":
+                    vals = [_coerce(v) for v in val]
+                    if any(v is None for v in vals):
+                        continue
+                    val = vals
+                else:
+                    val = _coerce(val)
+                    if val is None:
+                        continue
             if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in val):
+                return False
+            if op == "!=" and lo == hi == val:
                 return False
             if op == "<" and not (lo < val):
                 return False
@@ -1052,8 +1074,10 @@ class HyTable:
         self, preds: list[tuple[str, str, object]], snap: Snapshot | None = None
     ) -> list[DataFileRef]:
         """Data files that may contain rows matching ALL predicates
-        ((col, op, value) with op ∈ {=, <, <=, >, >=}) — the metadata
-        min/max pruning Iceberg manifests provide."""
+        ((col, op, value) with op ∈ {=, !=, <, <=, >, >=, in, is_null,
+        is_not_null}; "in" takes a list value, the null ops take None) —
+        the metadata min/max + null_value_counts pruning Iceberg
+        manifests provide."""
         snap = snap or self.current_snapshot()
         if snap is None:
             return []
@@ -1074,10 +1098,14 @@ class HyTable:
             ">=": lambda c, v: c >= v,
             "is_null": lambda c, v: c.isNull(),
             "is_not_null": lambda c, v: c.isNotNull(),
+            "in": lambda c, v: c.isin(*v),
+            "!=": lambda c, v: c != v,
         }
         expr = F.lit(True)
         for col, op, val in preds:
-            expr = expr & ops[op](F.col(col), F.lit(val))
+            # pass the raw value: scalar ops auto-lift literals, "in"
+            # needs the Python list, the null ops ignore it
+            expr = expr & ops[op](F.col(col), val)
         return expr
 
     def _read_refs(

@@ -616,3 +616,23 @@ def test_null_count_stats_and_is_null_pruning(spark, tmp_path):
     # combined with a range predicate
     rows = t.read(preds=[("note", "is_null", None), ("id", ">=", 200)])
     assert rows.count() == 20
+
+
+def test_in_and_not_equal_pruning(spark, tmp_path):
+    """IN prunes to files whose [min,max] covers any element; != prunes
+    only constant files (min==max==value)."""
+    t = HyTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(0, 100).toDF("id").coalesce(1))        # [0,99]
+    t.append(spark.range(100, 200).toDF("id").coalesce(1))      # [100,199]
+    t.append(spark.range(500, 501).toDF("id").coalesce(1))      # constant 500
+
+    pruned = t.prune_files([("id", "in", [5, 150])])
+    assert len(pruned) == 2
+    assert t.read(preds=[("id", "in", [5, 150])]).count() == 2
+    assert t.read(preds=[("id", "in", [5, 150, 9999])]).count() == 2
+
+    pruned_ne = t.prune_files([("id", "!=", 500)])
+    assert len(pruned_ne) == 2                    # constant file excluded
+    assert t.read(preds=[("id", "!=", 500)]).count() == 200
+    # != on a non-constant file keeps it
+    assert t.read(preds=[("id", "!=", 5)]).count() == 200

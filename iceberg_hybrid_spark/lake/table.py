@@ -1140,13 +1140,20 @@ class HyTable:
                     ),
                     "__pos": F.col("_metadata.row_index"),
                 })
-                seq_map = F.create_map(
-                    *[x for p in paths for x in (
-                        F.lit(os.path.relpath(p, self.root)),
-                        F.lit(seq_by_path[os.path.relpath(p, self.root)]),
-                    )]
+                # file→added_seq via a broadcast join on a manifest-sized
+                # DataFrame: a literal create_map would inline two
+                # expressions per file into the plan, which at 100k+
+                # files blows up analysis/codegen; the join stays
+                # manifest-sized no matter the file count
+                seq_rows = self.spark.createDataFrame(
+                    [
+                        (os.path.relpath(p, self.root),
+                         seq_by_path[os.path.relpath(p, self.root)])
+                        for p in paths
+                    ],
+                    "__file string, __seq long",
                 )
-                df = df.withColumn("__seq", seq_map[F.col("__file")].cast("long"))
+                df = df.join(F.broadcast(seq_rows), "__file", "left")
             return df
 
         has_evolution = bool(snap.summary.get("table_schema"))

@@ -1167,6 +1167,35 @@ class HyTable:
             and not any(f.partition for f in refs)
         ):
             return _load([os.path.join(self.root, f.path) for f in refs])
+        # Uniform partition layout, no schema evolution → ONE scan:
+        # partition values are re-derived per row from the file path
+        # (same raw k=v strings the manifest carries) and cast to their
+        # recorded types.  The per-partition-group union below would put
+        # one parquet scan per partition value into the plan — at 10k+
+        # partitions that's a plan-size blowup; this path keeps the plan
+        # O(1) in partition count.
+        keysets = {tuple(k for k, _ in f.partition) for f in refs}
+        if not has_evolution and len(keysets) == 1 and next(iter(keysets)):
+            keys = next(iter(keysets))
+            df = _load([os.path.join(self.root, f.path) for f in refs])
+            # the with_meta projection drops the _metadata pseudo-column;
+            # its derived __file (table-relative path) carries the same
+            # k=v segments
+            path_col = (
+                F.col("__file") if "__file" in df.columns
+                else F.col("_metadata.file_path")
+            )
+            for col in keys:
+                if col not in ptypes:
+                    continue  # transform partition: source col is in the data
+                raw = F.regexp_extract(path_col, f"/{col}=([^/]+)/", 1)
+                df = df.withColumn(
+                    col,
+                    F.when(raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                    .otherwise(raw)
+                    .cast(ptypes[col]),
+                )
+            return df
         # group by (partition values, schema epoch): files written under
         # different schemas or partitions load separately, get adapted to
         # the target schema, then union

@@ -88,3 +88,65 @@ class HyCatalog:
         names = self.list_tables(namespace)
         page = names[offset : offset + page_size]
         return page, offset + page_size < len(names)
+
+    # ---- catalog-wide maintenance ------------------------------------------
+
+    def run_maintenance(
+        self,
+        compact_target_bytes: int = 256 * 1024 * 1024,
+        retain_last: int = 3,
+        compact_min_files: int = 8,
+        audit_checksums: bool = True,
+    ) -> list[dict]:
+        """The nightly upkeep cycle over EVERY table in the warehouse —
+        compaction (only when fragmented past ``compact_min_files``) →
+        ref-aware snapshot expiry → tiered orphan removal (P14D general /
+        P3D tmp prefixes, from ``gc.orphan_grace_s``) → L2 closure audit.
+        Returns one report dict per table; an audit failure is recorded,
+        not raised, so one corrupt table cannot block the fleet's cycle.
+
+        Each table's cycle is independent — on a real cluster the driver
+        fans these out as separate jobs (the scheduler parallelism knob,
+        not a data-plane shuffle)."""
+        import time as _time
+
+        from . import gc as G
+        from .replication import VerificationError, audit_closure
+
+        reports = []
+        now_ms = int(_time.time() * 1000)
+        for ns in self.list_namespaces():
+            for identifier in self.list_tables(ns):  # already ns-qualified
+                t = self.load_table(identifier)
+                rep: dict = {"table": identifier}
+                try:
+                    head = t.current_snapshot()
+                    n_data = len(t.data_files(head)) if head else 0
+                    if n_data >= compact_min_files:
+                        t.rewrite_data_files(
+                            target_file_size_bytes=compact_target_bytes
+                        )
+                        rep["compacted"] = True
+                    else:
+                        rep["compacted"] = False
+                    exp = t.expire_snapshots(retain_last=retain_last)
+                    rep["expired_snapshots"] = exp["expired_snapshots"]
+                    rep["deleted_files"] = exp["deleted_files"]
+                    removed = [
+                        rel
+                        for rel in t.orphan_files()
+                        if os.path.getmtime(os.path.join(t.root, rel)) * 1000
+                        + G.orphan_grace_s(rel) * 1000
+                        <= now_ms
+                    ]
+                    for rel in removed:
+                        os.unlink(os.path.join(t.root, rel))
+                    rep["orphans_removed"] = len(removed)
+                    audit = audit_closure(t, checksums=audit_checksums)
+                    rep["audit_ok"] = True
+                    rep["files_checked"] = audit["files_checked"]
+                except VerificationError as exc:
+                    rep["audit_ok"] = False
+                    rep["audit_error"] = str(exc)[:200]
+                reports.append(rep)
+        return reports

@@ -83,3 +83,43 @@ def test_nightly_maintenance_cycle(spark, tmp_path):
     assert t.read().count() == expected
     assert t.read_tag("audit-week32").count() == tag_expected
     assert t.read_branch("eu-lag").count() == branch_expected
+
+
+def test_catalog_wide_maintenance(spark, tmp_path):
+    """run_maintenance sweeps every table: fragmented tables compact,
+    history expires, aged tmp orphans go, and a corrupt table's audit
+    failure is recorded without blocking the other tables' cycles."""
+    from iceberg_hybrid_spark.lake.catalog import HyCatalog
+
+    cat = HyCatalog(spark, str(tmp_path / "wh"))
+    frag = cat.create_table("a.fragmented", spark.range(0, 500).toDF("id").repartition(12))
+    for lo in range(500, 800, 100):
+        frag.append(spark.range(lo, lo + 100).toDF("id"))
+    small = cat.create_table("a.small", spark.range(0, 10).toDF("id").coalesce(1))
+    bad = cat.create_table("b.corrupt", spark.range(0, 50).toDF("id").coalesce(1))
+    victim = os.path.join(bad.root, bad.current_snapshot().manifest[0].path)
+    data = open(victim, "rb").read()
+    with open(victim, "r+b") as f:
+        f.seek(len(data) // 2)
+        f.write(bytes([data[len(data) // 2] ^ 0xFF]))
+    old = time.time() - 5 * 86_400
+    tmp_dir = os.path.join(frag.data_dir, "_tmp")
+    os.makedirs(tmp_dir)
+    orphan = os.path.join(tmp_dir, "junk.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    os.utime(orphan, (old, old))
+
+    reports = {r["table"]: r for r in cat.run_maintenance(retain_last=1)}
+    assert reports["a.fragmented"]["compacted"] is True
+    assert reports["a.fragmented"]["expired_snapshots"] > 0
+    assert reports["a.fragmented"]["orphans_removed"] == 1
+    assert reports["a.fragmented"]["audit_ok"] is True
+    assert not os.path.exists(orphan)
+    assert reports["a.small"]["compacted"] is False
+    assert reports["a.small"]["audit_ok"] is True
+    assert reports["b.corrupt"]["audit_ok"] is False
+    assert "checksum" in reports["b.corrupt"]["audit_error"]
+    # data unharmed where audits passed
+    assert frag.read().count() == 800
+    assert small.read().count() == 10

@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "normalized_dedup_stats",
     "doc_length_percentiles",
     "bpe_token_budget",
+    "array_map_function_showcase",
     # events operators
     "event_type_transitions",
     "events_json_props",

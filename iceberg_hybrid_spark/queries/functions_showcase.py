@@ -132,11 +132,58 @@ FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
 """
 
 
+def array_map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + map scalar functions (SURVEY §2.B scalar-fns row): build,
+    slice, sort, dedup, membership-test, and aggregate arrays from
+    document text, then route two derived measures through a map and
+    read them back by key — all JVM column exprs (bounded to 50 rows)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    arr = F.split(F.col("text"), " ")
+    uniq = F.array_distinct(arr)
+    m = F.create_map(
+        F.lit("words"), F.size(arr).cast("bigint"),
+        F.lit("uniq"), F.size(uniq).cast("bigint"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_words"),
+        F.concat_ws("-", F.slice(arr, 1, 3)).alias("first3"),
+        F.array_contains(arr, "the").alias("has_the"),
+        F.element_at(F.array_sort(uniq), 1).alias("first_sorted_uniq"),
+        F.element_at(F.array_sort(uniq), -1).alias("last_sorted_uniq"),
+        F.aggregate(
+            F.transform(uniq, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("uniq_char_total"),
+        F.element_at(m, "uniq").alias("uniq_via_map"),
+        F.map_keys(m)[0].alias("first_map_key"),
+    ).orderBy("doc_id")
+
+
+ARRAY_MAP_SHOWCASE_SQL = """
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       array_to_string(w[1:3], '-') AS first3,
+       list_contains(w, 'the') AS has_the,
+       list_sort(list_distinct(w))[1] AS first_sorted_uniq,
+       list_sort(list_distinct(w))[-1] AS last_sorted_uniq,
+       CAST(list_sum(list_transform(list_distinct(w), x -> length(x)))
+            AS BIGINT) AS uniq_char_total,
+       CAST(len(list_distinct(w)) AS BIGINT) AS uniq_via_map,
+       'words' AS first_map_key
+FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+WHERE doc_id <= 50 ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("window_function_showcase", window_function_showcase,
               WINDOW_SHOWCASE_SQL, "rank/ntile/percent_rank/cume_dist/lead/lag"),
     QuerySpec("string_function_showcase", string_function_showcase,
               STRING_SHOWCASE_SQL, "string scalar function family"),
+    QuerySpec("array_map_function_showcase", array_map_function_showcase,
+              ARRAY_MAP_SHOWCASE_SQL, "array + map scalar function surface"),
     QuerySpec("date_function_showcase", date_function_showcase,
               DATE_SHOWCASE_SQL, "date/time scalar function family"),
 ]

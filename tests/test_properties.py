@@ -181,3 +181,40 @@ def test_lsh_candidates_sound_and_dup_complete(spark, seed):
              for r in S.lsh_candidate_pairs(emb, planes, bands=8).collect()}
     assert all(a < b for a, b in cands)  # sound: ordered, no self-pairs
     assert (0, 999) in cands  # an identical vector is always a candidate
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=25),
+              st.integers(min_value=0, max_value=25)),
+    min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label-propagation CC must agree with a plain
+    union-find on arbitrary random graphs: same node set, components
+    labeled by their minimum member, identical partition of nodes."""
+    from iceberg_hybrid_spark.functions.dedup import connected_components
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    # reference: union-find with min-label components
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in connected_components(df, "id_a", "id_b").collect()}
+    assert got == expected

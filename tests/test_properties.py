@@ -218,3 +218,57 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r.node: r.component
            for r in connected_components(df, "id_a", "id_b").collect()}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    op=st.sampled_from(["=", "!=", "<", "<=", ">", ">=", "in",
+                        "is_null", "is_not_null"]),
+    val=st.integers(min_value=-5, max_value=30),
+    extra=st.lists(st.integers(min_value=-5, max_value=30),
+                   min_size=1, max_size=3),
+)
+def test_manifest_pruning_never_drops_matching_rows(
+    spark, tmp_path_factory, op, val, extra
+):
+    """Soundness of every pruning op: read(preds) returns exactly the
+    rows a full scan + filter would — pruning may skip files, never
+    rows.  Exercises min/max, null_value_counts, IN lists, and != on
+    constant files."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    root = tmp_path_factory.mktemp("prune")
+    t = HyTable(spark, str(root / "t"))
+    # three files with distinct ranges + a nullable column; one constant
+    base = spark.range(0, 10).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    t.create(base.coalesce(1))
+    t.append(
+        spark.range(10, 20).select("id", F.col("id").alias("v")).coalesce(1)
+    )
+    t.append(
+        spark.range(25, 26).select("id", F.col("id").alias("v")).coalesce(1)
+    )
+
+    pred_val = extra if op == "in" else (None if op.startswith("is_") else val)
+    got = {tuple(r) for r in t.read(preds=[("v", op, pred_val)]).collect()}
+
+    full = {tuple(r) for r in t.read().collect()}
+    py_ops = {
+        "=": lambda x: x is not None and x == val,
+        "!=": lambda x: x is not None and x != val,
+        "<": lambda x: x is not None and x < val,
+        "<=": lambda x: x is not None and x <= val,
+        ">": lambda x: x is not None and x > val,
+        ">=": lambda x: x is not None and x >= val,
+        "in": lambda x: x is not None and x in extra,
+        "is_null": lambda x: x is None,
+        "is_not_null": lambda x: x is not None,
+    }
+    expected = {row for row in full if py_ops[op](row[1])}
+    assert got == expected

@@ -51,6 +51,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ivf_ann",
     "embedding_quantization_error",
     # dedup / pipeline operators
+    "cdc_chunk_overlap",
     "minhash_near_dup",
     "simhash_near_dup",
     "near_dup_clusters",

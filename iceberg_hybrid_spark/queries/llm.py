@@ -419,6 +419,88 @@ ORDER BY id_a, id_b
 """
 
 
+def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking overlap — document fingerprinting via a
+    rolling hash: chunk boundaries fall where the hash of the 3-token
+    window starts with a '0' nibble (expected chunk length ~16 shingles,
+    independent of document alignment), each chunk gets an md5
+    fingerprint, and documents sharing chunks are reported with their
+    shared-chunk count.  Catches PARTIAL overlap (shared paragraphs,
+    prepended boilerplate) that whole-document fingerprints miss —
+    the storage-dedup / crawl-overlap trick at pipeline scale.
+
+    Scale shape: chunking is map-only; pair generation groups by chunk
+    fingerprint (volume tracks true overlap, never all-pairs).  md5 is
+    the rolling window hash so the DuckDB oracle reproduces boundaries
+    bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    m = n - 2  # 3-token shingle count
+    cuts = F.when(
+        m >= 2,
+        F.filter(
+            F.sequence(F.lit(2), m),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(w, i, 3))), 1, 1
+            )
+            == "0",
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(1)), cuts, F.array(n + 1))
+    fps = F.zip_with(
+        F.slice(bounds, 1, F.size(bounds) - 1),
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda s, e: F.md5(F.concat_ws(" ", F.slice(w, s, e - s))),
+    )
+    chunks = docs.select("doc_id", F.explode(fps).alias("chunk_fp"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+CDC_CHUNK_OVERLAP_SQL = """
+WITH chunked AS (
+  SELECT doc_id, w,
+         list_concat(
+           list_concat(
+             [CAST(1 AS BIGINT)],
+             list_filter(
+               CASE WHEN len(w) - 2 >= 2
+                    THEN range(CAST(2 AS BIGINT), CAST(len(w) - 1 AS BIGINT))
+                    ELSE [] END,
+               i -> substring(md5(array_to_string(w[i:i+2], ' ')), 1, 1) = '0'
+             )
+           ),
+           [CAST(len(w) + 1 AS BIGINT)]
+         ) AS bounds
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+), fps AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(bounds)),
+           j -> md5(array_to_string(w[bounds[j]:bounds[j+1]-1], ' '))
+         )) AS chunk_fp
+  FROM chunked
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_chunks
+FROM fps a JOIN fps b
+  ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors of vec_id=0 (brute-force baseline).
 
@@ -665,6 +747,8 @@ SPECS = [
               "canonical shingle-set fingerprint"),
     QuerySpec("near_dup_shingle_pairs", near_dup_shingle_pairs, NEAR_DUP_SQL,
               "blocked n-gram Jaccard near-dup pairs"),
+    QuerySpec("cdc_chunk_overlap", cdc_chunk_overlap, CDC_CHUNK_OVERLAP_SQL,
+              "content-defined chunk fingerprint overlap (rolling hash)"),
     QuerySpec("minhash_near_dup", minhash_near_dup, MINHASH_NEAR_DUP_SQL,
               "MinHash-LSH near-dup pairs vs exact-Jaccard oracle"),
     QuerySpec("near_dup_clusters", near_dup_clusters, NEAR_DUP_CLUSTERS_SQL,

@@ -68,3 +68,20 @@ def test_queries_run_on_multi_file_table_dirs(spark, tmp_path):
         for r in dedup_exact_documents(spark, SF_DIR).collect()
     }
     assert multi == single
+
+
+def test_registry_order_is_static_and_deterministic():
+    """The public registry order is a pure function of the code: the
+    committed _PRIORITY prefix followed by declaration order — never
+    runtime state, files on disk, or evaluation artifacts (locks in the
+    round-4 removal of artifact-driven rotation)."""
+    import __spark_entry__ as m
+
+    first = list(m.queries())
+    second = list(m.queries())
+    assert first == second
+    resolved_priority = [n for n in m._PRIORITY if n in set(first)]
+    assert first[: len(resolved_priority)] == resolved_priority
+    # every priority entry must resolve — a stale name would silently
+    # shrink the checked window
+    assert set(m._PRIORITY) <= set(first)

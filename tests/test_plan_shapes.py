@@ -106,36 +106,23 @@ BROADCAST_HINT_WHITELIST = {
 }
 
 
-def _registry_plans(spark):
+def test_registry_sweep_plan_shapes(spark):
+    """One pass over every registered query, both guards per plan:
+    no forced broadcast of a corpus-derived relation, no all-pairs
+    join — each modulo its explicit bounded-by-contract whitelist."""
+    from iceberg_hybrid_spark.plans import guard as PG
     from iceberg_hybrid_spark.queries import all_specs
 
+    offenders = {}
     for name, spec in all_specs().items():
-        yield name, spec.fn(spark, SF_DIR)
-
-
-def test_registry_sweep_no_forced_corpus_broadcasts(spark):
-    from iceberg_hybrid_spark.plans import guard as PG
-
-    offenders = {}
-    for name, df in _registry_plans(spark):
-        if name in BROADCAST_HINT_WHITELIST:
-            continue
-        v = PG.broadcast_hint_violations(df)
-        if v:
-            offenders[name] = v
-    assert not offenders, offenders
-
-
-def test_registry_sweep_no_all_pairs_joins(spark):
-    from iceberg_hybrid_spark.plans import guard as PG
-
-    offenders = {}
-    for name, df in _registry_plans(spark):
-        if name in ALL_PAIRS_WHITELIST:
-            continue
-        v = PG.all_pairs_joins(df)
-        if v:
-            offenders[name] = v
+        df = spec.fn(spark, SF_DIR)
+        problems = []
+        if name not in BROADCAST_HINT_WHITELIST:
+            problems += PG.broadcast_hint_violations(df)
+        if name not in ALL_PAIRS_WHITELIST:
+            problems += PG.all_pairs_joins(df)
+        if problems:
+            offenders[name] = problems
     assert not offenders, offenders
 
 

@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "normalized_dedup_stats",
     "doc_length_percentiles",
     "bpe_token_budget",
+    "mix_rebalance_plan",
     "array_map_function_showcase",
     # events operators
     "event_type_transitions",

@@ -379,6 +379,55 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --- mix rebalancing --------------------------------------------------------
+
+def mix_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-rate planning for a target mix: given per-language token
+    inventories and a uniform target share of a 100k-token budget,
+    compute each language's keep-rate (capped at 1 — you can't upsample
+    by dropping) and the tokens the plan actually yields.  The planning
+    output a mix-building pipeline feeds into deterministic hash
+    sampling (``domain_mix_sample``).  One partial-agg shuffle + a
+    broadcast single-row total; pure integer/rounded arithmetic."""
+    budget = 100_000
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens")
+    )
+    n_langs = per_lang.agg(F.count(F.lit(1)).alias("n_langs"))
+    rate = F.least(
+        F.lit(1.0), (F.lit(budget) / F.col("n_langs")) / F.col("tokens")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(n_langs))
+        .select(
+            "lang",
+            "tokens",
+            T.round_stable(rate, 6).alias("keep_rate"),
+            F.floor(T.round_stable(rate, 6) * F.col("tokens"))
+            .cast("bigint")
+            .alias("planned_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIX_REBALANCE_SQL = """
+WITH per_lang AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+), n AS (SELECT COUNT(*) AS n_langs FROM per_lang)
+SELECT lang, tokens,
+       ROUND(least(1.0, (100000.0 / n_langs) / tokens) - 0.000000001, 6) + 0.0
+           AS keep_rate,
+       CAST(floor((ROUND(least(1.0, (100000.0 / n_langs) / tokens)
+                         - 0.000000001, 6) + 0.0) * tokens) AS BIGINT)
+           AS planned_tokens
+FROM per_lang, n
+ORDER BY lang
+"""
+
+
 # --- boilerplate detection --------------------------------------------------
 
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +755,8 @@ SPECS = [
     QuerySpec("doc_length_percentiles", doc_length_percentiles,
               DOC_LENGTH_PCTL_SQL,
               "exact token-count percentiles per language"),
+    QuerySpec("mix_rebalance_plan", mix_rebalance_plan, MIX_REBALANCE_SQL,
+              "per-language sampling rates for a target token budget"),
     QuerySpec("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_SQL,
               "deterministic hash-based domain mix sampling"),
     QuerySpec("boilerplate_ngrams", boilerplate_ngrams, BOILERPLATE_SQL,

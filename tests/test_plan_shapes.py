@@ -94,6 +94,7 @@ ALL_PAIRS_WHITELIST = {
     "doc_tfidf",
     "q11_important_parts",
     "q22_idle_rich_customers",
+    "mix_rebalance_plan",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

@@ -74,6 +74,16 @@ class RateController:
         self.concurrency = initial_concurrency or cfg.max_concurrency
         self.gate_writes = False
         self.decisions: list[BackpressureDecision] = []
+        # last observed copy failure rate — lives on the controller (not
+        # the consuming stream) so it survives a streaming-query restart
+        # after a failed batch and the retry ticks into backoff
+        self.last_failure_rate = 0.0
+
+    def record_failure(self) -> None:
+        self.last_failure_rate = 1.0
+
+    def record_success(self) -> None:
+        self.last_failure_rate = 0.0
 
     def tick(self, failure_rate: float, mirror_lag_s: float) -> BackpressureDecision:
         d = next_budget(self.concurrency, failure_rate, mirror_lag_s, self.cfg)

@@ -102,9 +102,14 @@ class HyCatalog:
         compaction (only when fragmented past ``compact_min_files``) →
         ref-aware snapshot expiry → tiered orphan removal (P14D general /
         P3D tmp prefixes, from ``gc.orphan_grace_s``) → L2 closure audit.
-        Returns one report dict per table; an audit failure is recorded,
-        not raised, so one corrupt table cannot block the fleet's cycle.
+        Returns one report dict per table; ANY per-table failure (audit,
+        compaction, IO) is recorded in that table's report, not raised,
+        so one broken table cannot block the fleet's cycle.
 
+        Orphan deletion goes through the same candidates → DeletePlan →
+        apply discipline as the standalone GC (one deletion code path;
+        per-file delete_after already encodes the tiered grace, so the
+        plan-level safety delay is 0 for this pre-aged nightly plan).
         Each table's cycle is independent — on a real cluster the driver
         fans these out as separate jobs (the scheduler parallelism knob,
         not a data-plane shuffle)."""
@@ -132,21 +137,36 @@ class HyCatalog:
                     exp = t.expire_snapshots(retain_last=retain_last)
                     rep["expired_snapshots"] = exp["expired_snapshots"]
                     rep["deleted_files"] = exp["deleted_files"]
-                    removed = [
-                        rel
-                        for rel in t.orphan_files()
-                        if os.path.getmtime(os.path.join(t.root, rel)) * 1000
-                        + G.orphan_grace_s(rel) * 1000
-                        <= now_ms
+                    orphan_cands = [
+                        c
+                        for c in G.produce_candidates(
+                            t, retain_last=retain_last, now_ms=now_ms
+                        )
+                        if c.reason == "orphan"
                     ]
-                    for rel in removed:
-                        os.unlink(os.path.join(t.root, rel))
-                    rep["orphans_removed"] = len(removed)
+                    plan = G.DeletePlan(
+                        t.root,
+                        orphan_cands,
+                        generated_at_ms=now_ms,
+                        valid_from_ms=now_ms,
+                        valid_until_ms=now_ms + 3_600_000,
+                    )
+                    execs = G.apply_delete_plan(
+                        plan, safety_delay_s=0, now_ms=now_ms
+                    )
+                    rep["orphans_removed"] = sum(
+                        1 for e in execs if e.result == "deleted"
+                    )
+                    rep["orphans_deferred"] = sum(
+                        1 for e in execs if e.result == "blocked_window"
+                    )
                     audit = audit_closure(t, checksums=audit_checksums)
                     rep["audit_ok"] = True
                     rep["files_checked"] = audit["files_checked"]
                 except VerificationError as exc:
                     rep["audit_ok"] = False
                     rep["audit_error"] = str(exc)[:200]
+                except Exception as exc:  # isolate ANY per-table failure
+                    rep["error"] = f"{type(exc).__name__}: {str(exc)[:200]}"
                 reports.append(rep)
         return reports

@@ -207,8 +207,23 @@ class CopyJob:
         A size match alone is not trusted: the file must also have been
         modified at/after this job started, so stale same-sized leftovers
         of an earlier failed/cancelled job never inflate progress_pct.
-        O(files) stats per poll (manifest-sized control-plane traffic,
-        no data-plane bytes through the driver)."""
+        The mtime cutoff makes IN-FLIGHT progress conservative under
+        clock skew or coarse store timestamps (a genuinely-copied file
+        may be momentarily uncounted — never overcounted); a COMPLETED
+        job short-circuits to its executor-reported metrics, so the
+        terminal report is exact regardless of clocks.  O(files) stats
+        per poll (manifest-sized control-plane traffic, no data-plane
+        bytes through the driver)."""
+        with self._lock:
+            if self._state == "completed" and self._metrics is not None:
+                return {
+                    "state": "completed",
+                    "files_copied": self._metrics.files_copied,
+                    "files_to_copy": self.files_to_copy,
+                    "bytes_copied": self._metrics.bytes_copied,
+                    "bytes_to_copy": self.bytes_to_copy,
+                    "progress_pct": 100.0,
+                }
         done_files = 0
         done_bytes = 0
         # small slack for coarse filesystem timestamp granularity

@@ -281,9 +281,14 @@ def file_md5(path: str) -> str:
 _STATS_OK_TYPES = (int, float, str, bool)
 
 
-def _parquet_column_stats(path: str) -> tuple[tuple[str, object, object], ...]:
-    """Per-column (min, max) aggregated over row groups, from the parquet
-    footer — no data read.  Only JSON-safe primitive stats are kept."""
+def _parquet_column_stats(
+    path: str,
+) -> tuple[tuple[tuple[str, object, object], ...], tuple[tuple[str, int], ...]]:
+    """Per-column (min, max) AND null counts aggregated over row groups,
+    from one parse of the parquet footer — no data read.  Only JSON-safe
+    primitive min/max are kept; a null count is reported only when EVERY
+    row group records one (≙ Iceberg null_value_counts; partial
+    knowledge is treated as unknown so pruning stays safe)."""
     import pyarrow.parquet as pq
 
     import datetime as _dt
@@ -291,13 +296,20 @@ def _parquet_column_stats(path: str) -> tuple[tuple[str, object, object], ...]:
     md = pq.ParquetFile(path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    null_totals: dict[str, int] = {}
+    null_known: dict[str, bool] = {}
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
             st = col.statistics
+            name = col.path_in_schema
+            if st is None or st.null_count is None:
+                null_known[name] = False
+            else:
+                null_known.setdefault(name, True)
+                null_totals[name] = null_totals.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
                 continue
-            name = col.path_in_schema
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
@@ -321,30 +333,10 @@ def _parquet_column_stats(path: str) -> tuple[tuple[str, object, object], ...]:
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return tuple(sorted((c, mins[c], maxs[c]) for c in mins))
-
-
-def _parquet_null_counts(path: str) -> tuple[tuple[str, int], ...]:
-    """Per-column null counts summed over row groups, from the parquet
-    footer (≙ Iceberg null_value_counts).  A column is reported only when
-    EVERY row group records a null count — partial knowledge is treated
-    as unknown so pruning stays safe."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(path).metadata
-    totals: dict[str, int] = {}
-    known: dict[str, bool] = {}
-    for rg in range(md.num_row_groups):
-        for ci in range(md.num_columns):
-            col = md.row_group(rg).column(ci)
-            name = col.path_in_schema
-            st = col.statistics
-            if st is None or st.null_count is None:
-                known[name] = False
-                continue
-            known.setdefault(name, True)
-            totals[name] = totals.get(name, 0) + st.null_count
-    return tuple(sorted((c, n) for c, n in totals.items() if known.get(c)))
+    return (
+        tuple(sorted((c, mins[c], maxs[c]) for c in mins)),
+        tuple(sorted((c, n) for c, n in null_totals.items() if null_known.get(c))),
+    )
 
 
 def _parse_hive_partition(rel_dir: str) -> tuple[tuple[str, str], ...]:
@@ -533,17 +525,18 @@ class HyTable:
                     continue
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
+                stats, null_counts = _parquet_column_stats(full)
                 refs.append(
                     DataFileRef(
                         path=rel,
                         size_bytes=os.path.getsize(full),
                         row_count=_parquet_row_count(full),
-                        stats=_parquet_column_stats(full),
+                        stats=stats,
                         partition=_parse_hive_partition(
                             os.path.relpath(dirpath, out_dir)
                         ),
                         checksum=file_md5(full),
-                        null_counts=_parquet_null_counts(full),
+                        null_counts=null_counts,
                     )
                 )
         return sorted(refs, key=lambda r: r.path)

@@ -28,12 +28,31 @@ from pyspark.sql import functions as F
 
 from ..lake.table import HyTable
 
-FINGERPRINT_DDL = "fp string"
+FINGERPRINT_DDL = "fp string, corpus_seq bigint"
 
 
 def fingerprint(text_col: str = "text"):
     """Content fingerprint used for dedup state: md5 over raw bytes."""
     return F.md5(F.col(text_col).cast("binary"))
+
+
+def _unsynced_corpus_rows(corpus: HyTable, state: HyTable) -> DataFrame | None:
+    """Corpus rows committed after the state table's recorded
+    ``corpus_seq`` watermark — non-empty exactly when a prior batch died
+    between its corpus commit and its state commit.  The repair reads
+    only the incremental diff (bounded by the torn batch), never the
+    whole corpus."""
+    synced = state.read().agg(F.max("corpus_seq")).collect()[0][0] or 0
+    head = corpus.current_snapshot()
+    cur = head.sequence_number if head else 0
+    if cur <= synced:
+        return None
+    missing = (
+        corpus.read() if synced == 0 else corpus.incremental_read(synced, cur)
+    )
+    if not missing.limit(1).count():
+        return None
+    return missing.withColumn("_corpus_seq", F.lit(cur).cast("bigint"))
 
 
 def dedup_ingest_batch(
@@ -44,7 +63,24 @@ def dedup_ingest_batch(
     id_col: str = "doc_id",
 ) -> int:
     """Apply one micro-batch: returns the number of novel documents
-    appended.  Usable directly for batch backfills too."""
+    appended.  Usable directly for batch backfills too.
+
+    Effectively-once under batch retries despite the corpus and state
+    commits being two separate (each individually atomic) commits: every
+    fingerprint row carries the corpus sequence it corresponds to, and
+    the batch starts by REPAIRING the state — if a prior attempt died
+    between the two commits, the fingerprints of the torn batch are
+    recomputed from the corpus's incremental diff (bounded by that
+    batch) before the anti-join runs, so the retry drops the already-
+    committed documents instead of duplicating them."""
+    repair = _unsynced_corpus_rows(corpus, fingerprints)
+    if repair is not None:
+        fingerprints.append(
+            repair.select(
+                fingerprint(text_col).alias("fp"),
+                F.col("_corpus_seq").alias("corpus_seq"),
+            )
+        )
     if not batch_df.limit(1).count():
         return 0
     w = Window.partitionBy("fp").orderBy(id_col)
@@ -54,18 +90,23 @@ def dedup_ingest_batch(
         .filter("_rn = 1")
         .drop("_rn")
     )
-    seen = fingerprints.read()
+    seen = fingerprints.read().select("fp")
     novel = fresh.join(seen, "fp", "left_anti")
     # one pass over the novel rows feeds both commits
     novel = novel.localCheckpoint(eager=True)
     n = novel.count()
     if n:
-        corpus.append(novel.drop("fp"))
-        fingerprints.append(novel.select("fp"))
+        snap = corpus.append(novel.drop("fp"))
+        fingerprints.append(
+            novel.select(
+                "fp",
+                F.lit(snap.sequence_number).cast("bigint").alias("corpus_seq"),
+            )
+        )
     return n
 
 
-BAND_STATE_DDL = "doc_id bigint, band int, band_key string"
+BAND_STATE_DDL = "doc_id bigint, band int, band_key string, corpus_seq bigint"
 
 
 def near_dup_ingest_batch(
@@ -100,11 +141,29 @@ def near_dup_ingest_batch(
        the content level (a redelivered doc is a 1.0-Jaccard match of
        its committed copy and is dropped).
 
+    Effectively-once under batch retries: band rows carry the corpus
+    sequence they correspond to, and the batch starts by repairing the
+    state from the corpus's incremental diff if a prior attempt died
+    between the corpus commit and the state commit (same discipline as
+    ``dedup_ingest_batch``).
+
     Returns the number of documents appended.
     """
     from ..functions import dedup as D
     from ..functions.text import shingle_hashes
 
+    repair = _unsynced_corpus_rows(corpus, bands_state)
+    if repair is not None:
+        bands_state.append(
+            D.minhash_band_rows(repair, id_col, text_col, num_hashes, bands, k)
+            .join(repair.select(id_col, "_corpus_seq"), id_col)
+            .select(
+                F.col(id_col).cast("bigint"),
+                "band",
+                "band_key",
+                F.col("_corpus_seq").alias("corpus_seq"),
+            )
+        )
     if not batch_df.limit(1).count():
         return 0
     # 1) in-batch resolution
@@ -163,10 +222,15 @@ def near_dup_ingest_batch(
     survivors = survivors.localCheckpoint(eager=True)
     n = survivors.count()
     if n:
-        corpus.append(survivors)
+        snap = corpus.append(survivors)
         bands_state.append(
             D.minhash_band_rows(survivors, id_col, text_col, num_hashes, bands, k)
-            .select(F.col(id_col).cast("bigint"), "band", "band_key")
+            .select(
+                F.col(id_col).cast("bigint"),
+                "band",
+                "band_key",
+                F.lit(snap.sequence_number).cast("bigint").alias("corpus_seq"),
+            )
         )
     return n
 

@@ -219,7 +219,6 @@ def start_replication_stream(
     stream = spark.readStream.schema(COMMIT_NOTIFICATION_SCHEMA).parquet(
         notifications_dir
     )
-    last_failure_rate = [0.0]
 
     def drain(batch_df: DataFrame, _batch_id: int) -> None:
         # newest target_seq per table wins (fast-forward: intermediate
@@ -235,15 +234,27 @@ def start_replication_stream(
             if controller is not None:
                 snap = src.snapshot_by_seq(row.target_seq)
                 lag_s = max(0.0, time.time() - snap.timestamp_ms / 1000.0)
-                concurrency = controller.tick(last_failure_rate[0], lag_s).concurrency
-            _, metrics = replicate(
-                spark, src, dst, target_seq=row.target_seq, concurrency=concurrency
-            )
-            if controller is not None and metrics.files_copied + metrics.files_skipped:
-                # files_skipped = planned-but-not-copied, the failure proxy
-                last_failure_rate[0] = metrics.files_skipped / (
-                    metrics.files_copied + metrics.files_skipped
+                concurrency = controller.tick(
+                    controller.last_failure_rate, lag_s
+                ).concurrency
+            try:
+                replicate(
+                    spark, src, dst, target_seq=row.target_seq,
+                    concurrency=concurrency,
                 )
+            except Exception:
+                # A failed copy/verify raises (per-file results don't
+                # surface) — record a 100% failure observation on the
+                # CONTROLLER (it outlives this query) so the retry's
+                # tick takes the multiplicative-backoff path, then
+                # re-raise: the checkpoint doesn't advance and the
+                # batch retries at the reduced budget.
+                if controller is not None:
+                    controller.record_failure()
+                raise
+            if controller is not None:
+                # a replicate that returned copied everything it planned
+                controller.record_success()
 
     writer = stream.writeStream.foreachBatch(drain).option(
         "checkpointLocation", checkpoint_dir

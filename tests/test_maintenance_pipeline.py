@@ -110,6 +110,13 @@ def test_catalog_wide_maintenance(spark, tmp_path):
         f.write(b"junk")
     os.utime(orphan, (old, old))
 
+    # a fragmented AND corrupt table: compaction itself blows up (a
+    # Spark error, not a VerificationError) — must be isolated too
+    broken = cat.create_table("c.broken", spark.range(0, 400).toDF("id").repartition(9))
+    bfile = os.path.join(broken.root, broken.current_snapshot().manifest[0].path)
+    with open(bfile, "wb") as f:
+        f.write(b"not parquet at all")
+
     reports = {r["table"]: r for r in cat.run_maintenance(retain_last=1)}
     assert reports["a.fragmented"]["compacted"] is True
     assert reports["a.fragmented"]["expired_snapshots"] > 0
@@ -120,6 +127,8 @@ def test_catalog_wide_maintenance(spark, tmp_path):
     assert reports["a.small"]["audit_ok"] is True
     assert reports["b.corrupt"]["audit_ok"] is False
     assert "checksum" in reports["b.corrupt"]["audit_error"]
+    assert "error" in reports["c.broken"]          # isolated, not raised
+    assert len(reports) == 4                       # every table got a row
     # data unharmed where audits passed
     assert frag.read().count() == 800
     assert small.read().count() == 10

@@ -210,3 +210,44 @@ def test_streaming_near_dup_ingest(spark, tmp_path):
     assert {r.doc_id for r in corpus.read().collect()} == {1, 5}
     # band state tracks exactly the committed docs
     assert {r.doc_id for r in bands.read().select("doc_id").distinct().collect()} == {1, 5}
+
+
+def test_dedup_ingest_repairs_torn_state_commit(spark, tmp_path):
+    """A prior attempt that died between the corpus commit and the
+    fingerprint commit must not cause duplicates on retry: the next
+    batch repairs the state from the corpus's incremental diff before
+    anti-joining."""
+    from pyspark.sql import types as T
+
+    from iceberg_hybrid_spark.streaming.ingest import (
+        FINGERPRINT_DDL,
+        dedup_ingest_batch,
+    )
+
+    DOC_SCHEMA = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    corpus = HyTable(spark, str(tmp_path / "corpus"))
+    corpus.create(spark.createDataFrame([], DOC_SCHEMA))
+    fps = HyTable(spark, str(tmp_path / "fps"))
+    fps.create(spark.createDataFrame([], FINGERPRINT_DDL))
+
+    batch = spark.createDataFrame([(1, "alpha"), (2, "beta")], DOC_SCHEMA)
+    # simulate the torn first attempt: corpus committed, state not
+    corpus.append(batch)
+    assert fps.read().count() == 0
+
+    # retry of the same batch: repair + anti-join -> nothing re-appended
+    n = dedup_ingest_batch(batch, corpus, fps)
+    assert n == 0
+    assert corpus.read().count() == 2            # no duplicates
+    assert fps.read().count() == 2               # state repaired
+
+    # and normal progress afterwards still works
+    n2 = dedup_ingest_batch(
+        spark.createDataFrame([(3, "alpha"), (4, "gamma")], DOC_SCHEMA),
+        corpus, fps,
+    )
+    assert n2 == 1
+    assert corpus.read().count() == 3

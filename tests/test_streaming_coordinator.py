@@ -166,3 +166,59 @@ def test_copy_files_concurrency_cap(spark, tmp_path):
     m = R.copy_files(spark, src.root, dst.root, refs, concurrency=1)
     assert m.files_copied == len(refs)
     assert m.files_skipped == 0
+
+
+def test_replication_stream_backoff_on_copy_failure(spark, tmp_path, monkeypatch):
+    """A failed replicate records a 100% failure observation on the
+    controller; the restarted query's next tick takes the
+    multiplicative-backoff path, then recovers after a clean drain."""
+    from iceberg_hybrid_spark.control.backpressure import RateController
+    from iceberg_hybrid_spark.lake import replication as R
+    from iceberg_hybrid_spark.lake.table import HyTable as HT
+    from iceberg_hybrid_spark.streaming.sync_stream import (
+        COMMIT_NOTIFICATION_SCHEMA,
+        start_replication_stream,
+    )
+
+    src = HT(spark, str(tmp_path / "us" / "t"))
+    src.create(spark.range(0, 50).toDF("id"))
+    dst = HT(spark, str(tmp_path / "eu" / "t"))
+    notif = str(tmp_path / "n")
+    spark.createDataFrame([("t", 1)], COMMIT_NOTIFICATION_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(notif)
+
+    real_replicate = R.replicate
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IOError("mirror link down")
+        return real_replicate(*args, **kwargs)
+
+    monkeypatch.setattr(R, "replicate", flaky)
+    ctl = RateController(initial_concurrency=16)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = start_replication_stream(
+        spark, notif, lambda name: (src, dst), str(tmp_path / "cp"),
+        controller=ctl,
+    )
+    with pytest.raises(StreamingQueryException, match="mirror link down"):
+        q.awaitTermination(120)      # first attempt fails the batch
+    assert ctl.last_failure_rate == 1.0
+    assert dst.read().count() == 0 if dst.exists() else True
+
+    # restart: same checkpoint, batch retried at reduced budget
+    q2 = start_replication_stream(
+        spark, notif, lambda name: (src, dst), str(tmp_path / "cp"),
+        controller=ctl,
+    )
+    q2.awaitTermination(120)
+    assert dst.read().count() == 50
+    reasons = [d.reason for d in ctl.decisions]
+    assert "backoff:failure_rate" in reasons
+    backoff = next(d for d in ctl.decisions if d.reason == "backoff:failure_rate")
+    assert backoff.concurrency == 8          # 16 * 0.5
+    assert ctl.last_failure_rate == 0.0      # clean drain recovers the signal

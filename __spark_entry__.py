@@ -49,6 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_exact",
     "embedding_ivf_ann",
+    "semantic_dedup_stats",
     "embedding_quantization_error",
     # dedup / pipeline operators
     "cdc_chunk_overlap",

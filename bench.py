@@ -51,6 +51,7 @@ HEADLINE = [
     "bucketed_colocated_join",
     "table_changelog_rows",
     "mor_delete_upsert_read",
+    "semantic_dedup_stats",
 ]
 
 
@@ -118,8 +119,8 @@ def main() -> None:
                 # methodology history — totals are only comparable within
                 # the same method + query set: r1-r2 = min-of-2 over 21
                 # queries, r3 = median-of-3 over 22, r4+ = median-of-3
-                # over 25 (lake-ops family added).  Compare per-query
-                # medians across rounds, not raw totals.
+                # over 26 (lake-ops family + semantic dedup added).
+                # Compare per-query medians across rounds, not raw totals.
                 "method": "median",
                 "queries": timings,
                 "queries_min": floors,

@@ -253,6 +253,63 @@ def dedup_keep_canonical(
     return df.join(victims, id_col, "left_anti")
 
 
+def semantic_dedup_victims(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "ivf_centroid",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    within each KMeans cluster, any pair at cosine >= ``threshold`` is a
+    semantic duplicate and the member FARTHER from its cluster centroid is
+    dropped (tie → larger id), keeping the most-representative copy.
+
+    Scale posture: candidate generation is a self-equi-join on the
+    centroid id, so pair volume is Σ n_c² over clusters — never the
+    global n²; size k so clusters stay bounded (the paper uses ~11k
+    clusters for LAION-scale corpora).  The only broadcast is the
+    #clusters-row centroid table (bounded by construction).  Cosines are
+    rounded to 6dp on both the pair and centroid legs so the keep/drop
+    decision is reproducible across engines.
+
+    Returns distinct ``(centroid_col, id_col)`` victim rows.
+    """
+    from .similarity import as_double_array, cosine
+
+    spark = assigned.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        f"{centroid_col} int, _cv array<double>",
+    )
+    v = (
+        assigned.select(
+            F.col(id_col), F.col(centroid_col), as_double_array(vec_col).alias("_v")
+        )
+        .join(F.broadcast(centers_df), centroid_col)
+        .withColumn("_c2c", cosine(F.col("_v"), F.col("_cv")))
+        .select(id_col, centroid_col, "_v", "_c2c")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{centroid_col}") == F.col(f"b.{centroid_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("_sim", cosine(F.col("a._v"), F.col("b._v")))
+        .filter(F.col("_sim") >= F.lit(float(threshold)))
+    )
+    return pairs.select(
+        F.col(f"a.{centroid_col}").alias(centroid_col),
+        F.when(F.col("a._c2c") < F.col("b._c2c"), F.col(f"a.{id_col}"))
+        .when(F.col("b._c2c") < F.col("a._c2c"), F.col(f"b.{id_col}"))
+        .otherwise(F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")))
+        .alias(id_col),
+    ).distinct()
+
+
 def ngram_jaccard(a: Column, b: Column) -> Column:
     """Jaccard over two distinct-shingle arrays, rounded to 4dp
     (boundary-stable: see functions.text.ROUND_EPS)."""

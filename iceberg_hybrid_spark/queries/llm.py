@@ -18,6 +18,7 @@ from ..functions import similarity as S
 from ..functions import text as T
 from ..sources.tables import load_table
 from ._ivf_oracle import EMBEDDING_IVF_SQL
+from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
 from ._simhash_oracle import SIMHASH_NEAR_DUP_SQL
 from .spec import QuerySpec
 
@@ -677,6 +678,43 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup report: KMeans clusters the corpus
+    embeddings (same seeded k=8 index as embedding_ivf_ann), then within
+    each cluster pairs at cosine >= 0.35 are semantic duplicates and the
+    member farther from its centroid is dropped.  Emits per-cluster
+    vector/drop/keep counts — the dataset-curation summary a training-mix
+    owner acts on.
+
+    Scale posture: the pair join is cluster-scoped (Σ n_c², never global
+    n²); only the #clusters-row centroid table broadcasts.  Oracle: the
+    trained artifacts (centroids + assignment) are pinned as literals
+    (tools/gen_semdedup_oracle.py) and DuckDB independently recomputes
+    pair generation, the keep/drop rule, and the per-cluster rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42)
+    victims = D.semantic_dedup_victims(assigned, centers, threshold=0.35)
+    sizes = assigned.groupBy(
+        F.col("ivf_centroid").alias("cluster_id")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+    drops = victims.groupBy(
+        F.col("ivf_centroid").alias("cluster_id")
+    ).agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        sizes.join(drops, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
+            (
+                F.col("n_vectors")
+                - F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit fingerprints, banded into
     4×16-bit chunks (pigeonhole: any pair within hamming distance 3
@@ -732,6 +770,9 @@ SPECS = [
               "fingerprint-literal all-pairs oracle"),
     QuerySpec("embedding_ivf_ann", embedding_ivf_ann, EMBEDDING_IVF_SQL,
               "IVF (KMeans inverted lists) ANN top-k vs centroid-literal "
+              "oracle"),
+    QuerySpec("semantic_dedup_stats", semantic_dedup_stats, SEMANTIC_DEDUP_SQL,
+              "SemDeDup cluster-scoped embedding dedup vs centroid-literal "
               "oracle"),
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,
               "token counting per language"),

@@ -230,3 +230,35 @@ def test_embedding_near_dup_lsh_matches_exact_baseline(spark):
     }
     expected = {(10_000 + 2 * i, 10_001 + 2 * i) for i in range(5)}
     assert expected <= found
+
+
+def test_semantic_dedup_victims_keep_closest_to_centroid(spark):
+    # cluster 0 centered on e1: a sits on the centroid, b is a near-dup of
+    # a but slightly rotated away -> b is the victim.  c/d in cluster 1 are
+    # orthogonal-ish (below threshold) -> no victim.  e is a near-dup of a
+    # but assigned to cluster 1, and cross-cluster pairs are never
+    # generated -> SemDeDup's cluster-blindness, by design.
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),   # a: c2c = 1.0
+        (2, [0.999, 0.04, 0.0], 0),  # b: cos(a,b) ~ 0.999, c2c < 1.0
+        (3, [0.0, 1.0, 0.0], 1),   # c
+        (4, [0.0, 0.0, 1.0], 1),   # d: cos(c,d) = 0
+        (5, [1.0, 0.0, 0.01], 1),  # e: near-dup of a, wrong cluster
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, ivf_centroid int"
+    )
+    centers = [[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]]
+    victims = D.semantic_dedup_victims(assigned, centers, threshold=0.9)
+    assert [(r.ivf_centroid, r.vec_id) for r in victims.collect()] == [(0, 2)]
+
+
+def test_semantic_dedup_victims_tie_drops_larger_id(spark):
+    # identical vectors => identical centroid distance => tie-break keeps
+    # the smaller id deterministically
+    rows = [(7, [1.0, 0.0], 0), (9, [1.0, 0.0], 0)]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, ivf_centroid int"
+    )
+    victims = D.semantic_dedup_victims(assigned, [[1.0, 0.0]], threshold=0.9)
+    assert [r.vec_id for r in victims.collect()] == [9]

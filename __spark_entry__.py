@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "near_dup_clusters",
     "unigram_logprob_quality",
     "corpus_retention_funnel",
+    "source_curation_report",
     "normalized_dedup_stats",
     "doc_length_percentiles",
     "bpe_token_budget",

@@ -738,9 +738,99 @@ GROUP BY label ORDER BY label
 """
 
 
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report — the per-domain signal CCNet/Dolma-style
+    pipelines act on when deciding to keep, down-weight, or drop a whole
+    source: document count, corpus-wide exact-duplicate rate, mean quality
+    score, and token mass.
+
+    Duplicates are detected on the LEAD-40-TOKEN prefix fingerprint
+    (lead-passage dedup): templated/boilerplate-led documents share their
+    opening passage even when tails diverge, which whole-document hashing
+    misses entirely (this corpus has 0 exact but >0 lead-passage dups).
+
+    Scale posture: quality/token exprs are map-only; duplicate attribution
+    is one partial-aggregable shuffle on the 16-byte fingerprint plus a
+    semi-join back on the same key (volume tracks true duplicate density);
+    the report itself is one more partial-agg shuffle on ``source``."""
+    docs = load_table(spark, sf_dir, "documents")
+    lead = F.concat_ws(" ", F.slice(T.tokens("text"), 1, 40))
+    scored = docs.select(
+        "source",
+        F.md5(lead.cast("binary")).alias("fp"),
+        T.token_count("text").alias("tc"),
+        T.quality_score("text").alias("qs"),
+    )
+    dup_fps = (
+        scored.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("fp")
+    )
+    dups = (
+        scored.join(dup_fps, "fp", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("dup_docs"))
+    )
+    totals = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").cast("bigint").alias("total_tokens"),
+        T.round_stable(F.avg("qs"), 4).alias("avg_quality"),
+    )
+    dup_docs = F.coalesce(F.col("dup_docs"), F.lit(0).cast("long"))
+    return (
+        totals.join(dups, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            dup_docs.alias("dup_docs"),
+            T.round_stable(dup_docs / F.col("n_docs"), 4).alias("dup_rate"),
+            "avg_quality",
+            "total_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_CURATION_SQL = """
+WITH d AS (
+  SELECT source,
+         md5(array_to_string(string_split(text, ' ')[1:40], ' ')) AS fp,
+         len(string_split(text, ' ')) AS tc,
+         len(list_distinct(string_split(text, ' '))) AS dt,
+         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS sc
+  FROM documents
+), q AS (
+  SELECT source, fp, tc,
+         ROUND(0.5 * (dt / tc)
+               + 0.3 * least((sc / tc) * 10.0, 1.0)
+               + 0.2 * least(tc / 100.0, 1.0) - 0.000000001, 4) + 0.0 AS qs
+  FROM d
+), dup_fp AS (
+  SELECT fp FROM q GROUP BY fp HAVING COUNT(*) > 1
+), flagged AS (
+  SELECT source, COUNT(*) AS dup_docs FROM q
+  WHERE fp IN (SELECT fp FROM dup_fp) GROUP BY source
+), totals AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(tc) AS BIGINT) AS total_tokens,
+         ROUND(AVG(qs) - 0.000000001, 4) + 0.0 AS avg_quality
+  FROM q GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       COALESCE(f.dup_docs, 0) AS dup_docs,
+       ROUND(COALESCE(f.dup_docs, 0) / t.n_docs - 0.000000001, 4) + 0.0 AS dup_rate,
+       t.avg_quality, t.total_tokens
+FROM totals t LEFT JOIN flagged f ON f.source = t.source
+ORDER BY t.source
+"""
+
+
 SPECS = [
     QuerySpec("doc_repetition_scores", doc_repetition_scores, DOC_REPETITION_SQL,
               "duplicate-5-gram repetition fraction per document"),
+    QuerySpec("source_curation_report", source_curation_report,
+              SOURCE_CURATION_SQL,
+              "per-source dup-rate / quality / token-mass curation report"),
     QuerySpec("gopher_quality_gate", gopher_quality_gate, GOPHER_GATE_SQL,
               "Gopher-style quality rule gate, per-language pass counts"),
     QuerySpec("pii_digit_masking", pii_digit_masking, PII_MASKING_SQL,

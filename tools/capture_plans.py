@@ -30,6 +30,8 @@ QUERIES = [
     "embedding_near_dup_pairs",
     "q2_min_cost_supplier",
     "q15_top_supplier",
+    "semantic_dedup_stats",
+    "source_curation_report",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -671,7 +671,7 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection, list-scoped scoring, and ranking; recall vs brute force
     additionally pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centers = S.ivf_build(emb, k=8, seed=42)
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=sf_dir)
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return S.ivf_topk(assigned, centers, queries, k=5, nprobe=3).orderBy(
         "q_vec_id", "rank"
@@ -692,7 +692,7 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/gen_semdedup_oracle.py) and DuckDB independently recomputes
     pair generation, the keep/drop rule, and the per-cluster rollup."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centers = S.ivf_build(emb, k=8, seed=42)
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=sf_dir)
     victims = D.semantic_dedup_victims(assigned, centers, threshold=0.35)
     sizes = assigned.groupBy(
         F.col("ivf_centroid").alias("cluster_id")

@@ -272,3 +272,55 @@ def test_manifest_pruning_never_drops_matching_rows(
     }
     expected = {row for row in full if py_ops[op](row[1])}
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=2**16),
+       n=st.integers(min_value=2, max_value=24),
+       k=st.integers(min_value=1, max_value=3))
+def test_semantic_dedup_matches_brute_force(spark, seed, n, k):
+    """The Gram-matrix kernel agrees with a direct per-pair recomputation
+    of the SemDeDup rule (round-6 cosine >= thr within a cluster; drop the
+    member farther from the centroid, tie -> larger id) on random inputs,
+    including zero vectors."""
+    import math
+    import random
+
+    from iceberg_hybrid_spark.functions.dedup import semantic_dedup_victims
+
+    rng = random.Random(seed)
+    dim = 4
+    rows = []
+    for i in range(n):
+        vec = [0.0] * dim if rng.random() < 0.1 else [
+            rng.gauss(0.0, 1.0) for _ in range(dim)
+        ]
+        rows.append((i, vec, rng.randrange(k)))
+    centers = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+    thr = 0.5
+
+    def cos(a, b):
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        if na == 0.0:
+            na = 1.0
+        if nb == 0.0:
+            nb = 1.0
+        return round(sum(x / na * y / nb for x, y in zip(a, b)), 6)
+
+    expected = set()
+    for i, (ida, va, ca) in enumerate(rows):
+        for idb, vb, cb in rows[i + 1:]:
+            if ca != cb or cos(va, vb) < thr:
+                continue
+            c2ca, c2cb = cos(va, centers[ca]), cos(vb, centers[ca])
+            expected.add(ida if c2ca < c2cb else idb)
+
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, ivf_centroid int"
+    )
+    got = {
+        r.vec_id
+        for r in semantic_dedup_victims(assigned, centers, thr).collect()
+    }
+    assert got == expected

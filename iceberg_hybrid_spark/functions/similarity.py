@@ -207,6 +207,63 @@ def ivf_topk(
     )
 
 
+def bucket_top1_neighbors(
+    bucketed: DataFrame,
+    bucket_col: str = "lsh_bucket",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-1 cosine neighbor within each LSH bucket, executed as ONE
+    Arrow-batched ``applyInPandas`` task per bucket (dense Gram matrix),
+    replacing the pair self-join + per-pair array folds.
+
+    Semantics are identical to the join form: vectors alone in their
+    bucket emit no row (inner-join behavior); cosine rounded to 6dp; the
+    neighbor tiebreak is (cosine desc, neighbor id asc).  Work is
+    Σ n_b² over buckets either way, but dense BLAS beats the interpreted
+    higher-order folds by ~10× and the all-pairs relation is never
+    materialized through a shuffle — only one row per vector leaves the
+    task.  Same justification (and kernel shape) as
+    functions/dedup.py::semantic_dedup_victims; at 100 TB the plane count
+    is sized so buckets stay task-sized, which this execution shape
+    requires anyway.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: [], "neighbor_id": [], "cosine_sim": []}).astype(
+                {id_col: "int64", "neighbor_id": "int64", "cosine_sim": "float64"}
+            )
+        pdf = pdf.sort_values(id_col)  # column order = ascending id → argmax
+        ids = pdf[id_col].to_numpy()  # first-hit IS the min-id tiebreak
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        normed = mat / norms[:, None]
+        sims = np.round(normed @ normed.T, 6)
+        np.fill_diagonal(sims, -np.inf)
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "neighbor_id": ids[best],
+                "cosine_sim": sims[np.arange(len(ids)), best],
+            }
+        )
+
+    return (
+        bucketed.select(
+            F.col(id_col),
+            F.col(bucket_col),
+            as_double_array(vec_col).alias("_v"),
+        )
+        .groupBy(bucket_col)
+        .applyInPandas(_top1, f"{id_col} long, neighbor_id long, cosine_sim double")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     planes: list[list[float]],

@@ -602,30 +602,16 @@ def _lsh_ann_planes() -> list[list[float]]:
 
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH buckets (the 100 TB scale path):
-    bucket on 6 sign bits, then exact top-1 neighbor within bucket.
-    Deterministic (planes from a fixed seed, inlined as literals), so
-    the oracle is the same bucketed top-1 computed by DuckDB from the
-    identical plane literals; recall vs brute force pinned in tests."""
+    bucket on 6 sign bits, then exact top-1 neighbor within bucket via
+    the per-bucket dense Gram kernel (one Arrow task per bucket — the
+    all-pairs relation is never shuffled).  Deterministic (planes from a
+    fixed seed, inlined as literals), so the oracle is the same bucketed
+    top-1 computed by DuckDB from the identical plane literals; recall
+    vs brute force pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = S.hyperplane_lsh_buckets(emb, _lsh_ann_planes())
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        S.cosine(
-            S.as_double_array(F.col("a.embedding")),
-            S.as_double_array(F.col("b.embedding")),
-        ).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        S.bucket_top1_neighbors(bucketed)
         .select("vec_id", "neighbor_id", "cosine_sim")
         .orderBy("vec_id")
     )

@@ -52,6 +52,8 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_dedup_stats",
     "embedding_quantization_error",
     # dedup / pipeline operators
+    "span_duplication_report",
+    "source_overlap_matrix",
     "cdc_chunk_overlap",
     "minhash_near_dup",
     "simhash_near_dup",

@@ -825,6 +825,151 @@ ORDER BY t.source
 """
 
 
+def span_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact span duplication (the ExactSubstr signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", at token-window granularity): for every document, the
+    fraction of its distinct 8-token windows that also occur in at least
+    one OTHER document, reported per language with the count of heavily
+    duplicated documents (dup fraction >= 0.5) — the docs an
+    exact-substring dedup pass would cut or trim.
+
+    Scale posture: windows travel as 8-byte xxhash64 longs; the plan is
+    explode → one counting shuffle on the span hash (map-side partial
+    agg) → hash equi-join back on the same 8-byte key (co-partitioned
+    with the count relation, never broadcast — span frequencies are
+    corpus-derived) → per-doc partial agg → per-language partial agg.
+    No window functions, no driver-side state; identical shape at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", "lang", F.explode(T.shingle_hashes("text", k=8)).alias("span_h")
+    )
+    # shuffle_hash pinned: the span-frequency side is corpus-proportional,
+    # but the static planner sees only the pre-explode scan size and would
+    # broadcast it (same undershoot benchmark_contamination pins against).
+    span_docs = (
+        spans.groupBy("span_h").agg(F.count(F.lit(1)).alias("n_docs"))
+        .hint("shuffle_hash")
+    )
+    per_doc = (
+        spans.join(span_docs, "span_h")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("dup"),
+        )
+    )
+    dup_frac = F.col("dup") / F.col("total")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("dup").cast("bigint").alias("dup_spans"),
+            F.sum("total").cast("bigint").alias("total_spans"),
+            T.round_stable(F.avg(dup_frac), 4).alias("avg_dup_frac"),
+            F.sum(F.when(dup_frac >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("heavy_dup_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SPAN_DUPLICATION_SQL = f"""
+WITH spans AS (
+  SELECT doc_id, lang, unnest({_duck_shingles(8)}) AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) x
+), span_docs AS (
+  SELECT s, COUNT(*) AS n_docs FROM spans GROUP BY s
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS total,
+         SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS dup
+  FROM spans JOIN span_docs USING (s)
+  GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(dup) AS BIGINT) AS dup_spans,
+       CAST(SUM(total) AS BIGINT) AS total_spans,
+       ROUND(AVG(dup / total) - 0.000000001, 4) + 0.0 AS avg_dup_frac,
+       CAST(SUM(CASE WHEN dup / total >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS heavy_dup_docs
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of sources, the
+    shared distinct-trigram count, Jaccard similarity, and per-side
+    containment — the curation signal for "source B is a mirror/subset
+    of source A, drop it" decisions (mirror detection across crawl
+    snapshots and aggregator sites).
+
+    Scale posture: one distinct shuffle on (source, 8-byte shingle hash),
+    then a self equi-join on the hash key whose per-key fanout is capped
+    at #sources² (sources are a bounded enum, so the join output is
+    bounded by shingle-cardinality × a constant), then a partial-agg
+    shuffle on the source pair.  The per-source totals relation is
+    #sources rows — joined to the 190-row pair relation at the very end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    su = (
+        docs.select("source", F.explode(T.shingle_hashes("text", k=3)).alias("h"))
+        .distinct()
+    )
+    counts = su.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # the self-join's build side is the corpus-proportional (source,
+    # shingle) relation — shuffle_hash pinned against the post-explode
+    # planner undershoot; the tiny per-source counts joins below stay
+    # planner-broadcastable (bounded by the source enum).
+    a, b = su.alias("a"), su.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    return (
+        pairs.join(ca, F.col("src_a") == F.col("ca.source"))
+        .join(cb, F.col("src_b") == F.col("cb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            T.round_stable(
+                F.col("shared") / (F.col("ca.n") + F.col("cb.n") - F.col("shared")), 4
+            ).alias("jaccard"),
+            T.round_stable(F.col("shared") / F.col("ca.n"), 4).alias("containment_a"),
+            T.round_stable(F.col("shared") / F.col("cb.n"), 4).alias("containment_b"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH su AS (
+  SELECT DISTINCT source, unnest({_duck_shingles(3)}) AS s
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) x
+), counts AS (
+  SELECT source, COUNT(*) AS n FROM su GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+  FROM su a JOIN su b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, shared,
+       ROUND(shared / (ca.n + cb.n - shared) - 0.000000001, 4) + 0.0 AS jaccard,
+       ROUND(shared / ca.n - 0.000000001, 4) + 0.0 AS containment_a,
+       ROUND(shared / cb.n - 0.000000001, 4) + 0.0 AS containment_b
+FROM pairs
+JOIN counts ca ON src_a = ca.source
+JOIN counts cb ON src_b = cb.source
+ORDER BY src_a, src_b
+"""
+
+
 SPECS = [
     QuerySpec("doc_repetition_scores", doc_repetition_scores, DOC_REPETITION_SQL,
               "duplicate-5-gram repetition fraction per document"),
@@ -861,4 +1006,10 @@ SPECS = [
               "per-language raw → gated → deduped retention funnel"),
     QuerySpec("embedding_quantization_error", embedding_quantization_error,
               QUANTIZATION_SQL, "int8 quantization reconstruction RMSE"),
+    QuerySpec("span_duplication_report", span_duplication_report,
+              SPAN_DUPLICATION_SQL,
+              "cross-document exact 8-token-span duplication per language"),
+    QuerySpec("source_overlap_matrix", source_overlap_matrix,
+              SOURCE_OVERLAP_SQL,
+              "pairwise source shingle overlap: Jaccard + containment"),
 ]

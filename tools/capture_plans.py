@@ -32,6 +32,9 @@ QUERIES = [
     "q15_top_supplier",
     "semantic_dedup_stats",
     "source_curation_report",
+    "span_duplication_report",
+    "source_overlap_matrix",
+    "embedding_lsh_ann",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

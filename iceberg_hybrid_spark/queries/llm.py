@@ -247,15 +247,28 @@ LIMIT 20
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact shingle Jaccard.
 
+    Banding is 32 hashes in 16 bands of 2 rows: candidate probability is
+    1-(1-J²)^16, so random pairs (J ~ 0.001) essentially never collide
+    (~16·J² each) while true near-dups — every planted pair in this
+    corpus sits at J >= 0.8 — are missed with probability (1-0.64)^16 ~
+    8e-8.  The earlier 16×1-row banding admitted ANY single matching
+    slot, which made 2.6% of ALL pairs candidates (139k of 12.5M at
+    sf0.1) — a dense relation in disguise; 2-row bands collapse the
+    candidate volume to true-duplicate density (4.4k pairs at sf0.1),
+    which is what survives a 100 TB corpus.
+
     Oracle: the exact all-pairs Jaccard >= 0.3 relation.  The two agree
-    exactly when banding recall is 1.0 at the threshold — miss
-    probability per pair is (1-J)^16 <= 0.7^16 ~ 0.3% and the planted
-    near-dups sit far above 0.3 — verified bit-identical at sf0.001,
-    sf0.01 and sf0.1 (deterministic: fixed xxhash64 seeds).  Recall is
-    additionally pinned by planted-duplicate unit tests.
+    exactly when banding recall is 1.0 over the threshold pairs actually
+    present — verified bit-identical at sf0.001, sf0.01 and sf0.1
+    (deterministic: fixed xxhash64 seeds; no fixture pair lies below
+    J = 0.8).  A hypothetical adversarial pair barely above 0.3 has a
+    ~1-(1-0.09)^16 ~ 78% candidate chance — callers needing the exact
+    relation at the boundary use the blocked-exact
+    ``near_dup_shingle_pairs``.
+    Recall is additionally pinned by planted-duplicate unit tests.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(docs, num_hashes=16, bands=16)
+    cands = D.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
     d = docs.select("doc_id", T.shingle_hashes("text").alias("sh"))
     verified = (
         cands.join(d.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -324,3 +324,57 @@ def test_semantic_dedup_matches_brute_force(spark, seed, n, k):
         for r in semantic_dedup_victims(assigned, centers, thr).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=2**16),
+       n=st.integers(min_value=1, max_value=24),
+       buckets=st.integers(min_value=1, max_value=4))
+def test_bucket_top1_matches_brute_force(spark, seed, n, buckets):
+    """The per-bucket Gram top-1 kernel agrees with a direct per-pair
+    recomputation (round-6 cosine; tiebreak cosine desc, neighbor id
+    asc) on random inputs, including zero vectors and singleton buckets
+    (which must emit no row, matching the inner-join form)."""
+    import math
+    import random
+
+    from iceberg_hybrid_spark.functions.similarity import bucket_top1_neighbors
+
+    rng = random.Random(seed)
+    dim = 4
+    rows = []
+    for i in range(n):
+        vec = [0.0] * dim if rng.random() < 0.1 else [
+            rng.gauss(0.0, 1.0) for _ in range(dim)
+        ]
+        rows.append((i, vec, f"b{rng.randrange(buckets)}"))
+
+    def cos(a, b):
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        if na == 0.0:
+            na = 1.0
+        if nb == 0.0:
+            nb = 1.0
+        return round(sum(x / na * y / nb for x, y in zip(a, b)), 6)
+
+    expected = {}
+    for ida, va, ba in rows:
+        best = None
+        for idb, vb, bb in rows:
+            if idb == ida or bb != ba:
+                continue
+            c = cos(va, vb)
+            if best is None or c > best[1] or (c == best[1] and idb < best[0]):
+                best = (idb, c)
+        if best is not None:
+            expected[ida] = best
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lsh_bucket string"
+    )
+    got = {
+        r.vec_id: (r.neighbor_id, r.cosine_sim)
+        for r in bucket_top1_neighbors(df).collect()
+    }
+    assert got == expected

@@ -52,6 +52,8 @@ HEADLINE = [
     "table_changelog_rows",
     "mor_delete_upsert_read",
     "semantic_dedup_stats",
+    "span_duplication_report",
+    "source_overlap_matrix",
 ]
 
 

@@ -825,6 +825,54 @@ ORDER BY t.source
 """
 
 
+def stratified_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-aware train/val/test split (~97.7/1.2/1.2):
+    the split key is an md5 prefix of the document TEXT, not the id, so
+    byte-identical duplicates always land in the same split — the
+    standard guard against train/test leakage through duplicates.
+    Reports per-(lang, split) doc and token mass plus the distinct
+    fingerprint count (docs > distinct_fps ⇒ duplicates stayed
+    split-coherent).
+
+    Map-only assignment + one partial-agg shuffle; reproducible across
+    engines and runs (no RNG state), embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    bucket = F.substring(fp, 1, 2)
+    split = (
+        F.when(bucket <= "f9", "train")
+        .when(bucket <= "fc", "val")
+        .otherwise("test")
+    )
+    tc = T.token_count("text")
+    return (
+        docs.select("lang", split.alias("split"), fp.alias("fp"), tc.alias("tc"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count_distinct("fp").alias("distinct_fps"),
+            F.sum("tc").cast("bigint").alias("tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+STRATIFIED_SPLIT_SQL = """
+SELECT lang, split, COUNT(*) AS docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fps,
+       CAST(SUM(tc) AS BIGINT) AS tokens
+FROM (
+  SELECT lang, md5(text) AS fp,
+         CASE WHEN substr(md5(text), 1, 2) <= 'f9' THEN 'train'
+              WHEN substr(md5(text), 1, 2) <= 'fc' THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(text, ' ')) AS tc
+  FROM documents
+) d
+GROUP BY lang, split ORDER BY lang, split
+"""
+
+
 def span_duplication_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact span duplication (the ExactSubstr signal of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -1006,6 +1054,9 @@ SPECS = [
               "per-language raw → gated → deduped retention funnel"),
     QuerySpec("embedding_quantization_error", embedding_quantization_error,
               QUANTIZATION_SQL, "int8 quantization reconstruction RMSE"),
+    QuerySpec("stratified_split_report", stratified_split_report,
+              STRATIFIED_SPLIT_SQL,
+              "leakage-aware deterministic train/val/test split report"),
     QuerySpec("span_duplication_report", span_duplication_report,
               SPAN_DUPLICATION_SQL,
               "cross-document exact 8-token-span duplication per language"),

@@ -825,6 +825,101 @@ ORDER BY t.source
 """
 
 
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: per language, the fraction of total token
+    mass covered by the top-N most frequent tokens (N = 50, 200, 1000),
+    with ties broken token-ascending — the number a vocabulary-size
+    decision reads off directly.
+
+    Scale posture: the only per-token work is ONE counting shuffle on
+    (lang, token).  Ranking is NOT a window over the corpus-derived
+    vocabulary (at 100 TB that is a 100M-row window keyed by ~#langs —
+    one task per language): instead the vocab collapses to its
+    count-DISTRIBUTION relation (lang, count, tokens_at_count,
+    mass_at_count) — bounded by the number of distinct frequency values,
+    O(sqrt(corpus)) by Zipf — and the cumulative window runs over THAT.
+    All tokens sharing a frequency are interchangeable under the
+    (count desc, token asc) rank, so a top-N cut inside a tie group
+    contributes exactly (N - cum_before) * count — the per-token rank
+    answer, recovered without ranking tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(T.tokens("text")).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    dist = counts.groupBy("lang", "c").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("c").cast("bigint").alias("mass"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dist.select(
+        "lang",
+        "c",
+        "n_toks",
+        "mass",
+        F.coalesce(F.sum("n_toks").over(w_cum), F.lit(0)).alias("toks_before"),
+        F.coalesce(F.sum("mass").over(w_cum), F.lit(0)).alias("mass_before"),
+    )
+    totals = dist.groupBy("lang").agg(F.sum("mass").alias("total_mass"))
+    # per (lang, top_n): the tie group containing rank N (or the last
+    # group when the vocab is smaller than N).  The N values fan out as
+    # a literal-array explode — a map over the tiny distribution
+    # relation, no join of any kind.
+    j = cum.withColumn(
+        "top_n", F.explode(F.array(F.lit(50), F.lit(200), F.lit(1000)))
+    ).filter(F.col("toks_before") < F.col("top_n"))
+    covered = (
+        F.col("mass_before")
+        + F.least(F.col("top_n") - F.col("toks_before"), F.col("n_toks"))
+        * F.col("c")
+    )
+    per_group = j.select("lang", "top_n", covered.alias("cov"))
+    # the covering group is the one with the LARGEST toks_before still
+    # below N — i.e. max cov among qualifying groups (cum sums increase)
+    best = per_group.groupBy("lang", "top_n").agg(F.max("cov").alias("covered_mass"))
+    return (
+        best.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            F.col("top_n").cast("bigint").alias("top_n"),
+            F.col("covered_mass").cast("bigint").alias("covered_mass"),
+            F.col("total_mass").cast("bigint").alias("total_mass"),
+            T.round_stable(F.col("covered_mass") / F.col("total_mass"), 4).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("lang", "top_n")
+    )
+
+
+VOCAB_COVERAGE_SQL = """
+WITH counts AS (
+  SELECT lang, w, COUNT(*) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+  GROUP BY lang, w
+), ranked AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS rnk
+  FROM counts
+), totals AS (
+  SELECT lang, SUM(c) AS total_mass FROM counts GROUP BY lang
+), ns AS (SELECT unnest([50, 200, 1000]) AS top_n)
+SELECT r.lang, CAST(ns.top_n AS BIGINT) AS top_n,
+       CAST(SUM(r.c) AS BIGINT) AS covered_mass,
+       CAST(ANY_VALUE(t.total_mass) AS BIGINT) AS total_mass,
+       ROUND(SUM(r.c) / ANY_VALUE(t.total_mass) - 0.000000001, 4) + 0.0
+           AS coverage
+FROM ranked r
+JOIN totals t ON r.lang = t.lang
+CROSS JOIN ns
+WHERE r.rnk <= ns.top_n
+GROUP BY r.lang, ns.top_n
+ORDER BY r.lang, top_n
+"""
+
+
 def stratified_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-aware train/val/test split (~97.7/1.2/1.2):
     the split key is an md5 prefix of the document TEXT, not the id, so
@@ -1054,6 +1149,9 @@ SPECS = [
               "per-language raw → gated → deduped retention funnel"),
     QuerySpec("embedding_quantization_error", embedding_quantization_error,
               QUANTIZATION_SQL, "int8 quantization reconstruction RMSE"),
+    QuerySpec("vocab_coverage_curve", vocab_coverage_curve,
+              VOCAB_COVERAGE_SQL,
+              "token-mass coverage of the top-N vocabulary per language"),
     QuerySpec("stratified_split_report", stratified_split_report,
               STRATIFIED_SPLIT_SQL,
               "leakage-aware deterministic train/val/test split report"),

@@ -378,3 +378,49 @@ def test_bucket_top1_matches_brute_force(spark, seed, n, buckets):
         for r in bucket_top1_neighbors(df).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=2**16))
+def test_vocab_coverage_tie_groups_match_per_token_ranking(spark, seed, tmp_path_factory):
+    """The count-distribution tie-group arithmetic in vocab_coverage_curve
+    equals brute-force per-token ranking (count desc, token asc) for any
+    corpus, including N larger than the vocabulary and heavy ties."""
+    import random
+
+    from iceberg_hybrid_spark.queries.pipeline import vocab_coverage_curve
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(rng.randint(1, 30))]
+    docs = []
+    for i in range(rng.randint(1, 40)):
+        lang = rng.choice(["aa", "bb"])
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 60))]
+        docs.append((i, " ".join(words), lang, "src0", len(" ".join(words))))
+
+    sf_dir = str(tmp_path_factory.mktemp("vocabcov"))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    # brute force: rank every (lang, token) by (count desc, token asc)
+    from collections import Counter
+
+    by_lang: dict = {}
+    for _, text, lang, _, _ in docs:
+        by_lang.setdefault(lang, Counter()).update(text.split(" "))
+    expected = {}
+    for lang, ctr in by_lang.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(ctr.values())
+        for n in (50, 200, 1000):
+            covered = sum(c for _, c in ranked[:n])
+            expected[(lang, n)] = (covered, total,
+                                   round(covered / total - 1e-9, 4) + 0.0)
+
+    got = {
+        (r.lang, r.top_n): (r.covered_mass, r.total_mass, r.coverage)
+        for r in vocab_coverage_curve(spark, sf_dir).collect()
+    }
+    assert got == expected

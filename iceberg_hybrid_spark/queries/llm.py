@@ -359,28 +359,37 @@ ORDER BY component
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above 0.8 — the SCALE path, and
-    an EXPLICITLY APPROXIMATE contract: banded hyperplane LSH (16 bands
-    x 4 bits, seeded planes) generates candidate pairs via an equi-join
+    an EXPLICITLY APPROXIMATE contract: banded hyperplane LSH (32 bands
+    x 16 bits, seeded planes) generates candidate pairs via an equi-join
     on (band, signature) — never an all-pairs join — then exact cosine
     verifies candidates only, same two-stage posture as the MinHash
     near-dup path.
 
-    Recall bound: miss probability for a pair at exactly 0.8 is
-    (1 - 0.795^4)^16 ~ 3e-4 and falls steeply above the threshold.
-    The approximate contract is pinned two ways in
-    tests/test_llm_functions.py: (a) LSH output == the exact
-    brute-force baseline (``embedding_near_dup_pairs_exact``) on the
-    test corpus at the committed seed, and (b) planted near-identical
-    pairs are always recovered.  The DuckDB oracle is the exact
-    all-pairs scan, so an oracle mismatch at a new scale factor means
-    recall dropped below 1.0 there — a visible signal, not silent
-    under-reporting."""
+    Band shape is chosen for candidate SPARSITY first: a random
+    orthogonal pair matches a 16-bit band with probability 0.5^16, so
+    only ~32·1.5e-5 ~ 0.05% of unrelated pairs ever reach the verify
+    join (the earlier 16x4-bit shape admitted 64% of ALL pairs — a
+    hidden quadratic).  Recall is ~1 in the near-identical regime real
+    duplicates occupy (miss at cosine 0.95 ~ 0.2%, at 0.9999 ~ 1e-37)
+    and explicitly degrades toward the 0.8 boundary (miss ~ 50% at
+    exactly 0.8) — boundary audits use the exact baseline
+    ``embedding_near_dup_pairs_exact``.  Pinned two ways in
+    tests/test_llm_functions.py: (a) LSH output == the exact brute-force
+    baseline on the committed corpus at the committed seed, and
+    (b) planted near-identical pairs are always recovered.  The DuckDB
+    oracle is the exact all-pairs scan, so an oracle mismatch at a new
+    scale factor means recall dropped there — a visible signal, not
+    silent under-reporting."""
     import random
 
     emb = load_table(spark, sf_dir, "embeddings")
     rng = random.Random(7)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(64)]
-    cands = S.lsh_candidate_pairs(emb, planes, bands=16)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(512)]
+    # Arrow-vectorized signatures: the 512-plane x 64-dim sign-bit
+    # matrix is one BLAS matmul per batch instead of 512 interpreted
+    # 64-element folds against a 32k-literal expression tree per row
+    # (the 64-plane JVM form already measured 23 s on the sf0.1 corpus).
+    cands = S.lsh_candidate_pairs_arrow(emb, planes, bands=32)
     v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
     return (
         cands.join(

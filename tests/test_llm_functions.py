@@ -182,8 +182,8 @@ def test_embedding_near_dup_lsh_matches_exact_baseline(spark):
     the brute-force baseline's pairs (both are empty at threshold 0.8 —
     no false positives slip through the banded candidates), and (b) with
     planted near-identical vectors appended, every planted pair is
-    recovered by the same seed-7/16-band configuration the query uses
-    (recall 1.0 on above-threshold pairs)."""
+    recovered by the same seed-7/512-plane/32-band configuration the
+    query uses (recall 1.0 on above-threshold pairs)."""
     import random
 
     from pyspark.sql import functions as F
@@ -215,8 +215,8 @@ def test_embedding_near_dup_lsh_matches_exact_baseline(spark):
     emb = corpus.unionByName(planted)
 
     rng = random.Random(7)  # the query's committed seed
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(64)]
-    cands = S.lsh_candidate_pairs(emb, planes, bands=16)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(512)]
+    cands = S.lsh_candidate_pairs_arrow(emb, planes, bands=32)
     v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
     found = {
         (r.id_a, r.id_b)

@@ -196,6 +196,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: the edge relation is referenced in every
+        # iteration's neighbor join — without this, the full upstream
+        # pair pipeline (LSH candidates + Jaccard verify) re-executes
+        # per iteration (measured 22 s -> 6 s on the sf0.1 near-dup
+        # clusters query).  localCheckpoint also truncates the lineage
+        # the fixpoint loop would otherwise keep growing.
+        .localCheckpoint(eager=True)
     )
     # self-edges keep isolated-in-batch nodes and their own label in play
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(

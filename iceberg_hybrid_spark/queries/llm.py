@@ -408,26 +408,18 @@ def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFram
     """Exact brute-force near-dup baseline: all-pairs cosine over the
     embedding table, keep pairs >= 0.8.
 
-    DELIBERATELY quadratic — this is the exact reference/audit path for
-    bounded or sampled corpora (recall-measurement samples, eval sets),
-    mirroring how brute-force top-k is the baseline for ANN.  At corpus
-    scale use ``embedding_near_dup_pairs`` (LSH-banded), whose recall is
-    pinned against this baseline in tests.  The self-join condition is
-    non-equi (vec_id <), so Spark plans a broadcast nested-loop join —
-    whitelisted in tests/test_plan_shapes.py as a bounded-by-contract
-    baseline."""
+    DELIBERATELY quadratic in comparisons — this is the exact
+    reference/audit path for bounded or sampled corpora
+    (recall-measurement samples, eval sets), mirroring how brute-force
+    top-k is the baseline for ANN.  At corpus scale use
+    ``embedding_near_dup_pairs`` (LSH-banded), whose recall is pinned
+    against this baseline in tests.  Executed as blocked dense Gram
+    products (``functions/similarity.py::all_pairs_cosine_pairs``) with
+    a bounded-by-contract gather of the corpus matrix — the earlier
+    non-equi self-join evaluated three interpreted 64-element folds per
+    pair and measured 180 s on the sf0.1 corpus at the same result."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
-        )
-        .filter(F.col("cosine_sim") >= 0.8)
-        .orderBy("id_a", "id_b")
-    )
+    return S.all_pairs_cosine_pairs(emb, 0.8).orderBy("id_a", "id_b")
 
 
 EMBEDDING_NEAR_DUP_SQL = """

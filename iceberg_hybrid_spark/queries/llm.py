@@ -452,15 +452,25 @@ def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.col("text"), " ")
     n = F.size(w)
     m = n - 2  # 3-token shingle count
-    cuts = F.when(
-        m >= 2,
-        F.filter(
-            F.sequence(F.lit(2), m),
-            lambda i: F.substring(
-                F.md5(F.concat_ws(" ", F.slice(w, i, 3))), 1, 1
-            )
-            == "0",
+    # Window strings via zipped shifted slices, NOT slice(w, i, 3) inside
+    # a per-position lambda: an array expression referenced inside a
+    # lambda is re-evaluated per ELEMENT (the split of the whole text ran
+    # once per window — measured 15 s -> 2 s at sf0.1; same pitfall
+    # functions/text.py::shingles documents).
+    acc = F.slice(w, 1, m)
+    for j in range(1, 3):
+        acc = F.zip_with(acc, F.slice(w, j + 1, m), lambda x, y: F.concat_ws(" ", x, y))
+    # position i (1-based) carries words i..i+2; a cut falls at i >= 2
+    # where the window hash starts with a '0' nibble
+    marked = F.zip_with(
+        acc,
+        F.sequence(F.lit(1), m),
+        lambda s, i: F.when(
+            (i >= 2) & (F.substring(F.md5(s), 1, 1) == "0"), i
         ),
+    )
+    cuts = F.when(
+        m >= 2, F.filter(marked, lambda x: x.isNotNull())
     ).otherwise(F.array().cast("array<int>"))
     bounds = F.concat(F.array(F.lit(1)), cuts, F.array(n + 1))
     fps = F.zip_with(

@@ -424,3 +424,55 @@ def test_vocab_coverage_tie_groups_match_per_token_ranking(spark, seed, tmp_path
         for r in vocab_coverage_curve(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=2**16),
+       n=st.integers(min_value=1, max_value=30))
+def test_all_pairs_cosine_kernel_matches_brute_force(spark, seed, n):
+    """The blocked-Gram exact near-dup kernel agrees with a direct
+    per-pair recomputation (round-6 cosine, id_a < id_b, threshold
+    filter) on random inputs — including correlated vectors that
+    actually produce pairs, zero vectors, and a single-row corpus.
+    The corpus fixtures yield zero pairs at the query's 0.8 threshold,
+    so without this test the oracle passes vacuously."""
+    import math
+    import random
+
+    from iceberg_hybrid_spark.functions.similarity import all_pairs_cosine_pairs
+
+    rng = random.Random(seed)
+    dim = 6
+    base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.1:
+            vec = [0.0] * dim
+        elif rng.random() < 0.5:  # correlated family -> real pairs
+            vec = [x + rng.gauss(0.0, 0.3) for x in base]
+        else:
+            vec = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        rows.append((i, vec))
+    thr = 0.5
+
+    def cos(a, b):
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        if na == 0.0:
+            na = 1.0
+        if nb == 0.0:
+            nb = 1.0
+        return round(sum(x / na * y / nb for x, y in zip(a, b)), 6)
+
+    expected = {
+        (ia, ib): cos(va, vb)
+        for idx, (ia, va) in enumerate(rows)
+        for ib, vb in rows[idx + 1:]
+        if cos(va, vb) >= thr
+    }
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in all_pairs_cosine_pairs(df, thr).collect()
+    }
+    assert got == expected

@@ -476,3 +476,43 @@ def test_all_pairs_cosine_kernel_matches_brute_force(spark, seed, n):
         for r in all_pairs_cosine_pairs(df, thr).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=2**16),
+       n=st.integers(min_value=2, max_value=25),
+       bands=st.sampled_from([2, 4, 8]))
+def test_arrow_lsh_candidates_match_banding_rule(spark, seed, n, bands):
+    """lsh_candidate_pairs_arrow returns exactly the pairs agreeing on
+    every sign bit of at least one band — verified against a direct
+    Python recomputation of the banding rule from the same planes."""
+    import random
+
+    from iceberg_hybrid_spark.functions.similarity import lsh_candidate_pairs_arrow
+
+    rng = random.Random(seed)
+    dim = 8
+    n_planes = bands * 3  # 3 bits per band
+    rows = [(i, [rng.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n)]
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    def sig(vec):
+        return [sum(x * p for x, p in zip(vec, plane)) >= 0 for plane in planes]
+
+    sigs = {i: sig(v) for i, v in rows}
+    r = n_planes // bands
+    expected = set()
+    for idx, (ia, _) in enumerate(rows):
+        for ib, _ in rows[idx + 1:]:
+            for j in range(bands):
+                if sigs[ia][j * r:(j + 1) * r] == sigs[ib][j * r:(j + 1) * r]:
+                    expected.add((ia, ib))
+                    break
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (row.id_a, row.id_b)
+        for row in lsh_candidate_pairs_arrow(df, planes, bands=bands).collect()
+    }
+    assert got == expected

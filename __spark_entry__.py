@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "semantic_dedup_stats",
     "embedding_quantization_error",
     # dedup / pipeline operators
+    "boilerplate_filter_report",
     "vocab_coverage_curve",
     "stratified_split_report",
     "span_duplication_report",

@@ -825,6 +825,77 @@ ORDER BY t.source
 """
 
 
+def boilerplate_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate REMOVAL next to the detection query: a
+    document whose distinct trigrams are >= 50% corpus-top-20 boilerplate
+    trigrams is dropped; report per-language kept/dropped doc counts and
+    the mean boilerplate fraction.
+
+    Scale posture: one counting shuffle finds the top-20 relation, which
+    is limit-bounded (20 rows at ANY corpus size) and therefore safely
+    broadcast for the membership join — the bounded-broadcast case the
+    plan guard distinguishes from corpus-proportional sides; per-doc and
+    per-language aggs are partial-aggregable shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id", "lang", F.explode(T.shingles("text", k=3)).alias("ng")
+    )
+    top = (
+        tri.groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("ng"))
+        .limit(20)
+        .select("ng")
+    )
+    hits = (
+        tri.join(F.broadcast(top), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_doc = (
+        tri.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "lang",
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("total")).alias("frac"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("frac") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_docs"),
+            T.round_stable(F.avg("frac"), 4).alias("avg_boilerplate_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+BOILERPLATE_FILTER_SQL = f"""
+WITH tri AS (
+  SELECT doc_id, lang, unnest({_duck_shingles(3)}) AS ng
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) x
+), top AS (
+  SELECT ng FROM tri GROUP BY ng
+  ORDER BY COUNT(*) DESC, ng ASC LIMIT 20
+), per_doc AS (
+  SELECT t.doc_id, t.lang,
+         COUNT(*) AS total,
+         SUM(CASE WHEN t.ng IN (SELECT ng FROM top) THEN 1 ELSE 0 END) AS hits
+  FROM tri t GROUP BY t.doc_id, t.lang
+)
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN hits * 1.0 / total >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dropped_docs,
+       ROUND(AVG(hits * 1.0 / total) - 0.000000001, 4) + 0.0
+           AS avg_boilerplate_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-sizing curve: per language, the fraction of total token
     mass covered by the top-N most frequent tokens (N = 50, 200, 1000),
@@ -1149,6 +1220,9 @@ SPECS = [
               "per-language raw → gated → deduped retention funnel"),
     QuerySpec("embedding_quantization_error", embedding_quantization_error,
               QUANTIZATION_SQL, "int8 quantization reconstruction RMSE"),
+    QuerySpec("boilerplate_filter_report", boilerplate_filter_report,
+              BOILERPLATE_FILTER_SQL,
+              "C4-style boilerplate gate: drop docs dominated by top-20 trigrams"),
     QuerySpec("vocab_coverage_curve", vocab_coverage_curve,
               VOCAB_COVERAGE_SQL,
               "token-mass coverage of the top-N vocabulary per language"),

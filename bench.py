@@ -54,6 +54,9 @@ HEADLINE = [
     "semantic_dedup_stats",
     "span_duplication_report",
     "source_overlap_matrix",
+    "embedding_lsh_ann",
+    "near_dup_clusters",
+    "cdc_chunk_overlap",
 ]
 
 
@@ -121,7 +124,8 @@ def main() -> None:
                 # methodology history — totals are only comparable within
                 # the same method + query set: r1-r2 = min-of-2 over 21
                 # queries, r3 = median-of-3 over 22, r4+ = median-of-3
-                # over 26 (lake-ops family + semantic dedup added).
+                # over 31 (lake-ops family, semantic dedup, span-dup,
+                # source-overlap, and the rewritten LSH/cluster/CDC ops).
                 # Compare per-query medians across rounds, not raw totals.
                 "method": "median",
                 "queries": timings,

@@ -124,8 +124,15 @@ def minhash_lsh_candidates(
     (id_a, id_b) with id_a < id_b.
     """
     band_rows = minhash_band_rows(df, id_col, text_col, num_hashes, bands, k)
+    # Materialize the signature computation ONCE behind a shuffle on the
+    # join key: otherwise both self-join sides (and their pushed-down
+    # null filters) re-evaluate the full shingle+minhash fold — the
+    # shuffle_hash build side becomes a ReusedExchange of the same
+    # shuffle instead (same shape as near_dup_shingle_pairs and the
+    # simhash band join).
+    band_rows = band_rows.repartition(F.col("band"), F.col("band_key"))
     a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    b = band_rows.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,

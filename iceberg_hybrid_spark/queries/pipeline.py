@@ -1130,6 +1130,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = (
         docs.select("source", F.explode(T.shingle_hashes("text", k=3)).alias("h"))
         .distinct()
+        # one shuffle on the join key materializes the distinct (source,
+        # shingle) relation ONCE for all four consumers below (self-join
+        # a/b + both per-source counts) — without it each consumer
+        # re-runs the explode+distinct from the scan (4 scans in the
+        # plan); with it they are ReusedExchange reads
+        .repartition(F.col("h"))
     )
     counts = su.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     # the self-join's build side is the corpus-proportional (source,

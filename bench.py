@@ -57,6 +57,8 @@ HEADLINE = [
     "embedding_lsh_ann",
     "near_dup_clusters",
     "cdc_chunk_overlap",
+    "minhash_near_dup",
+    "simhash_near_dup",
 ]
 
 

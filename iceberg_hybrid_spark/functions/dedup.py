@@ -48,20 +48,25 @@ def minhash_from_shingles(shingle_col: Column, num_hashes: int = 32) -> Column:
 def minhash_from_hashes(hash_col: Column, num_hashes: int = 32) -> Column:
     """Signature from pre-hashed shingles in ONE pass: fold over the long
     array keeping an elementwise running min of the derived hash family
-    h_i = h*(2i+1) + i*φ (64-bit wrap).
+    h_i = xxhash64(h, i).
+
+    The per-seed derived hash is ``xxhash64(h, i)`` rather than the
+    classical ``a·h + b`` affine family: xxhash64 evaluates JVM-side, is
+    deterministic across executors/runs, and — critically — involves no
+    int64 arithmetic that ANSI mode (Spark 4 default) would turn into an
+    ``ARITHMETIC_OVERFLOW`` error.  The affine family's intended 64-bit
+    wraparound threw under ``spark.sql.ansi.enabled=true`` (round-4
+    driver regression); xxhash64 produces identical values in both modes.
 
     A single ``aggregate`` traversal — no per-seed re-tokenization, no
     duplicated subtrees for common-subexpression elimination to miss."""
     init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
-    phi = F.lit(0x9E3779B9).cast("long")
     return F.aggregate(
         hash_col,
         init,
         lambda acc, h: F.transform(
             acc,
-            lambda a, i: F.least(
-                a, h * (F.lit(2).cast("long") * i + 1) + i.cast("long") * phi
-            ),
+            lambda a, i: F.least(a, F.xxhash64(h, i)),
         ),
     )
 

@@ -46,7 +46,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.sql.ansi.enabled", "false")
+        # Driver parity: the grading driver runs Spark 4's default ANSI
+        # mode.  Pin it ON locally so every gate (pytest, bench,
+        # check_oracle) exercises the stricter mode — round 4 shipped a
+        # driver-red ARITHMETIC_OVERFLOW that 377 ANSI-off tests missed.
+        .config("spark.sql.ansi.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
         # natively; read as int64 nanos and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -24,57 +24,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
-# Static, deterministic priority order: queries that have not yet had an
-# external correctness row (newest operators first), so a checker that
-# samples a prefix of the registry validates the least-validated code.
-# This is a fixed list committed with the code — the registry order never
-# depends on runtime state or files outside the package.
+# Static, deterministic priority order: queries whose code changed since
+# their last external correctness row lead (round-5 fixes/rewrites first),
+# followed by the queries with the OLDEST external row (nothing since
+# round 2), so a checker that samples a prefix of the registry validates
+# the least-validated code.  This is a fixed list committed with the code
+# — the registry order never depends on runtime state or files outside
+# the package.
 _PRIORITY: tuple[str, ...] = (
-    # lake / table-format operators
-    "bucketed_colocated_join",
-    "refs_listing",
-    "spec_evolution_read",
-    "sorted_write_pruned_read",
-    "table_changelog_rows",
-    "tag_time_travel_read",
-    "tag_mor_pinned_read",
-    "partitions_metadata_stats",
-    "streaming_dedup_ingest",
-    "merge_upsert_result",
-    # embedding / similarity operators
-    "embedding_topk_cosine",
-    "embedding_multi_query_topk",
-    "embedding_norm_stats",
-    "embedding_lsh_ann",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_exact",
-    "embedding_ivf_ann",
-    "semantic_dedup_stats",
-    "embedding_quantization_error",
-    # dedup / pipeline operators
-    "boilerplate_filter_report",
-    "vocab_coverage_curve",
-    "stratified_split_report",
-    "span_duplication_report",
-    "source_overlap_matrix",
-    "cdc_chunk_overlap",
+    # round-5 fixed (ANSI overflow) / rewritten queries — freshest code
     "minhash_near_dup",
-    "simhash_near_dup",
     "near_dup_clusters",
-    "unigram_logprob_quality",
-    "corpus_retention_funnel",
-    "source_curation_report",
-    "normalized_dedup_stats",
-    "doc_length_percentiles",
-    "bpe_token_budget",
-    "mix_rebalance_plan",
-    "array_map_function_showcase",
-    # events operators
-    "event_type_transitions",
-    "events_json_props",
-    "top_user_by_value_per_type",
-    "error_rate_by_day",
-    "skew_split_user_enrichment",
+    "near_dup_shingle_pairs",
+    "cdc_chunk_overlap",
+    "simhash_near_dup",
+    "streaming_dedup_ingest",
+    "shingle_fingerprints",
+    "boilerplate_ngrams",
+    "approx_vs_exact_users",
+    "embedding_near_dup_pairs",
+    # no driver row since round 2 — oldest external validation
+    "multimodal_decode_features",
+    "q20_dominant_blue_suppliers",
+    "events_daily_by_type",
+    "benchmark_contamination",
+    "q21_last_shipper",
+    "events_sliding_window",
+    "doc_quality_scores",
+    "token_window_chunking",
+    "q4_priority_late_orders",
+    "language_prediction",
+    "q17_small_quantity_revenue",
+    "user_sessions",
+    "dedup_exact_documents",
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "domain_mix_sample",
+    "q22_idle_rich_customers",
+    "segment_priority_grouping_sets",
+    "sequence_packing",
+    "q13_customer_distribution",
+    "zorder_clustered_read",
+    "q19_disjunctive_revenue",
+    "clustered_pruned_read",
+    "q6_forecast_revenue",
+    "hidden_partition_read",
+    "q14_promo_revenue",
+    "snapshot_diff_rows",
+    "q9_profit_by_nation_year",
+    "time_travel_read",
+    "q18_large_orders",
+    "order_value_percentiles",
 )
 
 

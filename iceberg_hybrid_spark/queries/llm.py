@@ -473,13 +473,24 @@ def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         m >= 2, F.filter(marked, lambda x: x.isNotNull())
     ).otherwise(F.array().cast("array<int>"))
     bounds = F.concat(F.array(F.lit(1)), cuts, F.array(n + 1))
+    # Chunk *content* fingerprint: xxhash64, not md5 — it is only ever an
+    # equality key, and an 8-byte long shuffles ~4x narrower than the
+    # 32-char md5 hex string (md5 stays as the *boundary* window hash so
+    # the DuckDB oracle reproduces the cut positions bit-identically; the
+    # oracle joins on its own content md5, and equality-iff-content-equal
+    # makes the group counts agree either way).
     fps = F.zip_with(
         F.slice(bounds, 1, F.size(bounds) - 1),
         F.slice(bounds, 2, F.size(bounds) - 1),
-        lambda s, e: F.md5(F.concat_ws(" ", F.slice(w, s, e - s))),
+        lambda s, e: F.xxhash64(F.concat_ws(" ", F.slice(w, s, e - s))),
     )
     chunks = docs.select("doc_id", F.explode(fps).alias("chunk_fp"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Materialize the chunking fold ONCE behind a shuffle on the join key
+    # and reuse the exchange on both self-join sides (same shape as the
+    # minhash/simhash band joins) — otherwise the per-window md5 rolling
+    # hash, the dominant cost, evaluates on both sides.
+    chunks = chunks.repartition(F.col("chunk_fp"))
+    a, b = chunks.alias("a"), chunks.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,

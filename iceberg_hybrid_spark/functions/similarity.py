@@ -125,7 +125,13 @@ def ivf_build(
     assembled = df.withColumn("_v", array_to_vector(as_double_array(vec_col)))
     key = None
     if cache_key is not None:
-        key = (df.sparkSession.sparkContext.applicationId, cache_key, vec_col, k, seed)
+        # centroid_col is baked into the fitted model's predictionCol, so
+        # it must be part of the key — a hit fitted under a different
+        # output column would assign under the wrong name.
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            cache_key, vec_col, k, seed, centroid_col,
+        )
     if key is not None and key in _IVF_MODEL_CACHE:
         model, centers = _IVF_MODEL_CACHE[key]
     else:
@@ -347,6 +353,12 @@ def all_pairs_cosine_pairs(
     import pandas as pd
 
     rows = df.select(F.col(id_col), as_double_array(vec_col).alias("_v")).collect()
+    if not rows:
+        # np.stack([]) raises; an empty corpus has an empty pair relation
+        # (the behavior of the non-equi-join form this path replaced).
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
     ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(mat, axis=1)

@@ -357,6 +357,45 @@ ORDER BY component
 """
 
 
+# Planted near-dup probes: the committed embedding fixtures have no pair
+# above cosine 0.61 at any sf, which would make the >= 0.8 oracle check
+# vacuously green (empty == empty) and never exercise the LSH banding.
+# Both near-dup queries therefore augment the corpus with deterministic
+# perturbed copies of the first 6 vectors — coordinate j scaled by a
+# multiplier from a fixed 7-cycle — landing pairs at cosine ~0.96 (set A)
+# and ~0.98 (set B), the near-identical regime the LSH contract targets.
+# The SAME rule is written into the DuckDB oracle, so oracle agreement now
+# proves the banding recovers every planted pair.  Multipliers are literal
+# doubles (no arithmetic) so both engines evaluate bit-identically.
+_PLANT_SETS: tuple[tuple[int, tuple[float, ...]], ...] = (
+    (1_000_000, (0.55, 0.7, 0.85, 1.0, 1.15, 1.3, 1.45)),  # ~0.96 cosine
+    (2_000_000, (0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3)),      # ~0.98 cosine
+)
+_PLANT_BASES = 6
+
+
+def _augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """Corpus + planted near-dup probes, embeddings as double arrays."""
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("embedding"))
+    out = v
+    def _perturb(mults: tuple[float, ...]):
+        marr = F.array(*[F.lit(m).cast("double") for m in mults])
+        return lambda x, i: x * F.element_at(marr, (i % 7) + 1)
+
+    for offset, mults in _PLANT_SETS:
+        out = out.unionAll(
+            v.filter(F.col("vec_id") < _PLANT_BASES).select(
+                (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+                F.transform("embedding", _perturb(mults)).alias("embedding"),
+            )
+        )
+    return out
+
+
+def _plant_sql_values(mults: tuple[float, ...]) -> str:
+    return "[" + ", ".join(f"CAST({m} AS DOUBLE)" for m in mults) + "]"
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above 0.8 — the SCALE path, and
     an EXPLICITLY APPROXIMATE contract: banded hyperplane LSH (32 bands
@@ -377,12 +416,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_functions.py: (a) LSH output == the exact brute-force
     baseline on the committed corpus at the committed seed, and
     (b) planted near-identical pairs are always recovered.  The DuckDB
-    oracle is the exact all-pairs scan, so an oracle mismatch at a new
-    scale factor means recall dropped there — a visible signal, not
+    oracle is the exact all-pairs scan over the SAME planted-probe
+    augmented corpus (see ``_PLANT_SETS``), so an oracle mismatch at a
+    new scale factor means recall dropped there — a visible signal, not
     silent under-reporting."""
     import random
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
     rng = random.Random(7)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(512)]
     # Arrow-vectorized signatures: the 512-plane x 64-dim sign-bit
@@ -390,7 +430,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-element folds against a 32k-literal expression tree per row
     # (the 64-plane JVM form already measured 23 s on the sf0.1 corpus).
     cands = S.lsh_candidate_pairs_arrow(emb, planes, bands=32)
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+    v = emb.select("vec_id", F.col("embedding").alias("v"))
     return (
         cands.join(
             v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
@@ -417,19 +457,35 @@ def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFram
     products (``functions/similarity.py::all_pairs_cosine_pairs``) with
     a bounded-by-contract gather of the corpus matrix — the earlier
     non-equi self-join evaluated three interpreted 64-element folds per
-    pair and measured 180 s on the sf0.1 corpus at the same result."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    pair and measured 180 s on the sf0.1 corpus at the same result.
+
+    Runs over the same planted-probe augmented corpus as the LSH path so
+    its oracle check is non-vacuous (the raw fixtures have no pair above
+    cosine 0.61)."""
+    emb = _augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
     return S.all_pairs_cosine_pairs(emb, 0.8).orderBy("id_a", "id_b")
 
 
-EMBEDDING_NEAR_DUP_SQL = """
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),
+           i -> CAST(embedding AS DOUBLE[])[i]
+                * ({_plant_sql_values(_PLANT_SETS[0][1])})[((i - 1) % 7) + 1])
+  FROM embeddings WHERE vec_id < {_PLANT_BASES}
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),
+           i -> CAST(embedding AS DOUBLE[])[i]
+                * ({_plant_sql_values(_PLANT_SETS[1][1])})[((i - 1) % 7) + 1])
+  FROM embeddings WHERE vec_id < {_PLANT_BASES}
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6)
-           AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.8
 ORDER BY id_a, id_b
 """
 

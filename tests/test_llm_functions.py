@@ -178,12 +178,14 @@ def test_sequence_packing_sharded_conserves_totals(spark):
 
 def test_embedding_near_dup_lsh_matches_exact_baseline(spark):
     """Pins the approximate contract of embedding_near_dup_pairs two
-    ways: (a) on the committed corpus the LSH scale path returns exactly
-    the brute-force baseline's pairs (both are empty at threshold 0.8 —
-    no false positives slip through the banded candidates), and (b) with
-    planted near-identical vectors appended, every planted pair is
-    recovered by the same seed-7/512-plane/32-band configuration the
-    query uses (recall 1.0 on above-threshold pairs)."""
+    ways: (a) on the committed corpus — which both queries augment with
+    the _PLANT_SETS probe pairs at cosine ~0.94-0.99, so the relation is
+    NON-empty — the LSH scale path returns exactly the brute-force
+    baseline's pairs (banding recovers every above-threshold pair, and
+    no false positives slip through), and (b) with additional planted
+    near-identical vectors appended, every planted pair is recovered by
+    the same seed-7/512-plane/32-band configuration the query uses
+    (recall 1.0 on above-threshold pairs)."""
     import random
 
     from pyspark.sql import functions as F

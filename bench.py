@@ -114,6 +114,9 @@ def main() -> None:
     # steady-state floor per query (min of N): robust to ambient load —
     # use for cross-round comparison when machine conditions differ
     floors = {name: round(min(ts), 3) for name, ts in samples.items()}
+    # per-query run spread (max - min): when a round-over-round delta is
+    # inside the spread it is scheduler noise, not a plan change
+    spreads = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -132,6 +135,7 @@ def main() -> None:
                 "method": "median",
                 "queries": timings,
                 "queries_min": floors,
+                "queries_spread": spreads,
                 "value_min": round(sum(floors.values()), 3),
                 "sf": sf,
             }

@@ -123,23 +123,45 @@ GROUP BY window_start ORDER BY window_start
 
 
 def approx_vs_exact_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) next to the exact count — the
-    at-scale distinct-count path (rows-only: sketch estimates are
-    engine-specific; the exact column pins correctness in tests)."""
+    """approx_count_distinct (HLL) checked against the exact count — the
+    at-scale distinct-count path.
+
+    The HLL estimate itself is engine-specific (DuckDB cannot reproduce
+    Spark's sketch), so the oracle-comparable output carries (a) the
+    exact count, pinned by value hash, and (b) ``approx_within_bounds``
+    — the claim that the sketch landed within 3x its configured 5% rsd —
+    which the oracle asserts is always TRUE.  Observed relative error on
+    the fixtures: 0 / 0.7% / 6.7% at sf0.001/0.01/0.1, and the estimate
+    is deterministic (fixed hash family, no sampling), so the bound is a
+    stable contract, not a flaky tolerance."""
     ev = _ev(spark, sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_error",
-            F.round(F.abs(F.col("approx_users") - F.col("exact_users"))
-                    / F.col("exact_users"), 4),
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.15
+            ).alias("approx_within_bounds"),
         )
         .orderBy("event_type")
     )
+
+
+APPROX_VS_EXACT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_bounds
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,8 +475,10 @@ SPECS = [
               "daily×type bucketing"),
     QuerySpec("events_sliding_window", events_sliding_window, EVENTS_SLIDING_SQL,
               "sliding 2h/1h window counts"),
-    QuerySpec("approx_vs_exact_users", approx_vs_exact_users, None,
-              "HLL approx_count_distinct vs exact (rows-only)"),
+    QuerySpec("approx_vs_exact_users", approx_vs_exact_users,
+              APPROX_VS_EXACT_SQL,
+              "HLL approx_count_distinct: exact count hash-pinned, "
+              "estimate checked by relative-error bound"),
     QuerySpec("user_sessions", user_sessions, USER_SESSIONS_SQL,
               "gap-based sessionization via lag + running sum"),
     QuerySpec("event_type_transitions", event_type_transitions,

@@ -1,0 +1,141 @@
+"""Scaling spot-check harness — 1x vs Nx corpus wall-clock per operator.
+
+Generates a salted Nx replication of the sf0.1 documents/embeddings
+fixtures (see docs/SCALING.md "Methodology" — salting keeps cross-replica
+near-dup pair volume realistic instead of turning every document into an
+N-way duplicate group), then times a chosen set of registered queries on
+the 1x and Nx corpora in the same session.  Evidence generator for the
+100-TB posture claims in docs/SCALING.md / docs/PLANS.md.
+
+Usage:
+  python tools/scale_spotcheck.py [query ...]          # default set, 16x
+  SPOT_REPLICAS=8 python tools/scale_spotcheck.py ...  # other N
+
+Timings are machine-dependent — this is a measurement tool, not a test.
+Output: one JSON line per query {name, x1, xN, ratio}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from iceberg_hybrid_spark.queries import all_specs  # noqa: E402
+from iceberg_hybrid_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_spot"
+
+DEFAULT_QUERIES = (
+    "dedup_exact_documents",
+    "minhash_near_dup",
+    "near_dup_clusters",
+    "simhash_near_dup",
+    "cdc_chunk_overlap",
+    "near_dup_shingle_pairs",
+    "embedding_near_dup_pairs",
+    "embedding_lsh_ann",
+    "span_duplication_report",
+    "source_overlap_matrix",
+)
+
+
+def build_corpus(spark, replicas: int) -> str:
+    """Nx corpus dir: salted documents, noise-perturbed embeddings, and
+    symlinks for the other tables so any registered query can run."""
+    out = os.path.join(WORK, f"x{replicas}")
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    reps = spark.range(replicas).withColumnRenamed("id", "replica")
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("replica") * n_docs).alias("doc_id"),
+            # replica 0 untouched; others get a per-replica salt appended
+            # so cross-replica pairs are NOT wholesale near-dups
+            F.when(F.col("replica") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(" ", F.col("text"), F.concat(F.lit("salt"), F.col("replica")))
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.count()
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("replica") * n_emb).alias("vec_id"),
+            "label",
+            # deterministic per-(vec_id, replica, dim) pseudo-noise ±0.05
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: F.when(F.col("replica") == 0, x).otherwise(
+                    x
+                    + (
+                        F.pmod(F.xxhash64(F.col("vec_id"), F.col("replica"), i), F.lit(1000))
+                        .cast("double")
+                        / 10000.0
+                        - 0.05
+                    )
+                ),
+            ).alias("embedding"),
+        )
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events"):
+        link = f"{out}/{name}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{BASE}/{name}.parquet", link)
+    open(done, "w").close()
+    return out
+
+
+def main() -> None:
+    replicas = int(os.environ.get("SPOT_REPLICAS", "16"))
+    names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    spark = get_spark("scale-spotcheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    big_dir = build_corpus(spark, replicas)
+    specs = all_specs()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    for name in names:
+        fn = specs[name].fn
+        times = {}
+        for label, sf_dir in (("x1", BASE), (f"x{replicas}", big_dir)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[label] = round(best, 2)
+        ratio = round(times[f"x{replicas}"] / times["x1"], 1) if times["x1"] else None
+        print(json.dumps({"query": name, **times, "ratio": ratio}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

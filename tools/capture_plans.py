@@ -35,6 +35,9 @@ QUERIES = [
     "span_duplication_report",
     "source_overlap_matrix",
     "embedding_lsh_ann",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "cdc_chunk_overlap",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -34,6 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY: tuple[str, ...] = (
     # round-5 fixed (ANSI overflow) / rewritten queries — freshest code
     "minhash_near_dup",
+    # round-5 new training-run operators
+    "epoch_shuffle",
+    "token_budget_selection",
+    "source_token_divergence",
     "near_dup_clusters",
     "near_dup_shingle_pairs",
     "cdc_chunk_overlap",

@@ -59,6 +59,10 @@ HEADLINE = [
     "cdc_chunk_overlap",
     "minhash_near_dup",
     "simhash_near_dup",
+    # round-5 training-run operators
+    "epoch_shuffle",
+    "token_budget_selection",
+    "source_token_divergence",
 ]
 
 

@@ -1190,7 +1190,257 @@ ORDER BY src_a, src_b
 """
 
 
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: every epoch gets
+    an independent, reproducible permutation of the corpus by ordering
+    on ``md5(epoch:doc_id)`` — the standard "reshuffle the corpus each
+    epoch without materializing a random state" trick.  Returns the
+    first 100 positions of each of 2 epochs.
+
+    Scale posture: per-epoch top-k is a union of per-epoch
+    ``orderBy(key).limit(k)`` — each compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), NEVER a global sort and never a window over a
+    one-partition-per-epoch shuffle.  The position column is then a
+    row_number over the 200-row survivor relation.  A full-epoch
+    manifest at 100 TB is the same plan with the limit dropped: one
+    range-partitioned sort per epoch, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 100
+    per_epoch = []
+    for epoch in (0, 1):
+        per_epoch.append(
+            docs.select(
+                F.lit(epoch).cast("bigint").alias("epoch"),
+                "doc_id",
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(epoch).cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ).alias("shuffle_key"),
+            )
+            .orderBy("shuffle_key")
+            .limit(k)
+        )
+    top = per_epoch[0].unionAll(per_epoch[1])
+    w = Window.partitionBy("epoch").orderBy("shuffle_key")
+    return (
+        top.select(
+            "epoch",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("epoch", "pos")
+    )
+
+
+EPOCH_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT CAST(e.epoch AS BIGINT) AS epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+           AS shuffle_key
+  FROM documents d CROSS JOIN (VALUES (0), (1)) e(epoch)
+), ranked AS (
+  SELECT epoch, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY shuffle_key) AS pos
+  FROM keyed
+)
+SELECT epoch, doc_id, CAST(pos AS BIGINT) AS pos
+FROM ranked WHERE pos <= 100
+ORDER BY epoch, pos
+"""
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy corpus selection under a global token budget:
+    rank documents by lexical diversity (desc, doc_id asc tiebreak) and
+    keep them until 30 000 tokens are spent; report selected docs and
+    tokens per source — the "best N tokens for this training run" cut.
+
+    Scale posture: the greedy prefix is NOT a cumulative window over the
+    globally-ordered corpus (a one-reducer sort at 100 TB).  Like
+    ``vocab_coverage_curve``, the corpus collapses to its quality-score
+    DISTRIBUTION (score, n_docs, bucket_tokens — bounded by the 4dp
+    score grid, ~10⁴ rows at any corpus size): the cumulative window
+    runs over THAT to find the boundary score, every doc strictly above
+    it is selected outright (a map-side filter), and only the docs AT
+    the boundary score — one bucket — need per-doc cumulative ordering
+    to spend the remaining budget."""
+    budget = 30_000
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        T.lexical_diversity("text").alias("q"),
+        T.token_count("text").cast("bigint").alias("tc"),
+    )
+    dist = scored.groupBy("q").agg(F.sum("tc").alias("bucket_tokens"))
+    w_cum = Window.orderBy(F.desc("q")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = dist.select(
+        "q",
+        "bucket_tokens",
+        F.coalesce(F.sum("bucket_tokens").over(w_cum), F.lit(0)).alias(
+            "tokens_before"
+        ),
+    )
+    # boundary bucket: the LOWEST-q bucket whose prefix still fits the
+    # budget (tokens_before strictly increases along the q-desc prefix,
+    # so max tokens_before picks it).  When the whole corpus fits the
+    # budget this is simply the last bucket and everything is selected.
+    boundary = (
+        cum.filter(F.col("tokens_before") < budget)
+        .agg(F.max(F.struct("tokens_before", "q")).alias("s"))
+        .select(
+            F.col("s.q").alias("q_thr"),
+            F.col("s.tokens_before").alias("spent_before"),
+        )
+    )
+    # docs strictly above the boundary score: selected outright
+    above = scored.join(F.broadcast(boundary), F.col("q") > F.col("q_thr"))
+    # docs AT the boundary score: greedy by doc_id until the remainder
+    # of the budget is spent (cumulative window over ONE bucket)
+    w_doc = Window.partitionBy("q").orderBy("doc_id")
+    at = (
+        scored.join(F.broadcast(boundary), F.col("q") == F.col("q_thr"))
+        .withColumn("cum_in_bucket", F.sum("tc").over(w_doc))
+        .filter(F.col("cum_in_bucket") <= budget - F.col("spent_before"))
+        .drop("cum_in_bucket")
+    )
+    selected = above.select("source", "doc_id", "tc").unionAll(
+        at.select("source", "doc_id", "tc")
+    )
+    return (
+        selected.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("tc").alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_SQL = """
+WITH scored AS (
+  SELECT source, doc_id,
+         ROUND(len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) - 0.000000001, 4) + 0.0 AS q,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+  FROM documents
+), dist AS (
+  SELECT q, SUM(tc) AS bucket_tokens FROM scored GROUP BY q
+), cum AS (
+  SELECT q, bucket_tokens,
+         COALESCE(SUM(bucket_tokens) OVER (
+           ORDER BY q DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM dist
+), boundary AS (
+  SELECT q AS q_thr, tokens_before AS spent_before
+  FROM cum
+  WHERE tokens_before < 30000
+  ORDER BY tokens_before DESC LIMIT 1
+), at_docs AS (
+  SELECT s.source, s.doc_id, s.tc,
+         SUM(s.tc) OVER (PARTITION BY s.q ORDER BY s.doc_id) AS cum_in_bucket,
+         b.spent_before
+  FROM scored s JOIN boundary b ON s.q = b.q_thr
+), selected AS (
+  SELECT s.source, s.doc_id, s.tc
+  FROM scored s JOIN boundary b ON s.q > b.q_thr
+  UNION ALL
+  SELECT source, doc_id, tc FROM at_docs
+  WHERE cum_in_bucket <= 30000 - spent_before
+)
+SELECT source,
+       COUNT(*) AS n_selected,
+       CAST(SUM(tc) AS BIGINT) AS tokens_selected
+FROM selected GROUP BY source ORDER BY source
+"""
+
+
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus token
+    distribution — the mix-diagnostics number that says how far each
+    source's language drifts from the blend it will be trained in
+    (feeds temperature/mix decisions next to ``mix_rebalance_plan``).
+
+    Scale posture: ONE counting shuffle on (source, token); the corpus
+    marginal is a second aggregation OF that counts relation (vocab-
+    sized, not corpus-sized), joined back on the token key; totals
+    broadcast.  No per-document state, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("w"))
+    counts = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    source_totals = counts.groupBy("source").agg(F.sum("c_sw").alias("t_s"))
+    corpus_counts = counts.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    corpus_total = counts.agg(F.sum("c_sw").alias("t_all"))
+    terms = (
+        counts.join(corpus_counts, "w")
+        .join(F.broadcast(source_totals), "source")
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "source",
+            "t_s",
+            (
+                (F.col("c_sw") / F.col("t_s"))
+                * F.log(
+                    (F.col("c_sw") / F.col("t_s"))
+                    / (F.col("c_w") / F.col("t_all"))
+                )
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("t_s").alias("n_tokens"),
+            T.round_stable(F.sum("term"), 4).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_DIVERGENCE_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+  SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w
+), source_totals AS (
+  SELECT source, SUM(c_sw) AS t_s FROM counts GROUP BY source
+), corpus_counts AS (
+  SELECT w, SUM(c_sw) AS c_w FROM counts GROUP BY w
+), corpus_total AS (
+  SELECT SUM(c_sw) AS t_all FROM counts
+)
+SELECT c.source,
+       CAST(MAX(st.t_s) AS BIGINT) AS n_tokens,
+       ROUND(SUM((c.c_sw / st.t_s)
+                 * LN((c.c_sw / st.t_s) / (cc.c_w / ct.t_all)))
+             - 0.000000001, 4) + 0.0 AS kl_divergence
+FROM counts c
+JOIN corpus_counts cc ON c.w = cc.w
+JOIN source_totals st ON c.source = st.source
+CROSS JOIN corpus_total ct
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
 SPECS = [
+    QuerySpec("epoch_shuffle", epoch_shuffle, EPOCH_SHUFFLE_SQL,
+              "deterministic per-epoch corpus shuffle (md5 order, "
+              "per-epoch top-k)"),
+    QuerySpec("token_budget_selection", token_budget_selection,
+              TOKEN_BUDGET_SQL,
+              "quality-greedy selection under a global token budget via "
+              "the score-distribution trick"),
+    QuerySpec("source_token_divergence", source_token_divergence,
+              SOURCE_DIVERGENCE_SQL,
+              "per-source unigram KL divergence vs the corpus blend"),
     QuerySpec("doc_repetition_scores", doc_repetition_scores, DOC_REPETITION_SQL,
               "duplicate-5-gram repetition fraction per document"),
     QuerySpec("source_curation_report", source_curation_report,

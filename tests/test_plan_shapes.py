@@ -95,6 +95,10 @@ ALL_PAIRS_WHITELIST = {
     "q11_important_parts",
     "q22_idle_rich_customers",
     "mix_rebalance_plan",
+    # single-row boundary/total relations (aggregate-bounded) joined
+    # non-equi or cross onto per-row relations
+    "token_budget_selection",
+    "source_token_divergence",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

@@ -1,0 +1,66 @@
+"""Semantic invariants for the round-5 training-run operators
+(epoch shuffle / token-budget selection / source KL divergence) beyond
+the DuckDB value oracle: determinism, permutation structure, budget
+feasibility, and Gibbs non-negativity."""
+
+from iceberg_hybrid_spark.functions import text as T
+from iceberg_hybrid_spark.queries.pipeline import (
+    epoch_shuffle,
+    source_token_divergence,
+    token_budget_selection,
+)
+from iceberg_hybrid_spark.sources.tables import load_table
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    rows = epoch_shuffle(spark, SF_DIR).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.pos, r.doc_id))
+    assert set(by_epoch) == {0, 1}
+    for epoch, entries in by_epoch.items():
+        positions = [p for p, _ in entries]
+        docs = [d for _, d in entries]
+        assert positions == list(range(1, 101)), f"epoch {epoch} gaps"
+        assert len(set(docs)) == 100, f"epoch {epoch} repeats a doc"
+    # epochs draw from the same corpus but in genuinely different order
+    assert by_epoch[0] != by_epoch[1]
+    # md5 keying is deterministic: a second build returns the same plan
+    again = epoch_shuffle(spark, SF_DIR).collect()
+    assert sorted(rows) == sorted(again)
+
+
+def test_token_budget_selection_respects_budget(spark):
+    out = token_budget_selection(spark, SF_DIR).collect()
+    assert out, "selection must be non-empty on the fixture corpus"
+    total = sum(r.tokens_selected for r in out)
+    n_sel = sum(r.n_selected for r in out)
+    assert 0 < total <= 30_000
+    corpus = (
+        load_table(spark, SF_DIR, "documents")
+        .select(T.token_count("text").cast("bigint").alias("tc"))
+        .agg(F.sum("tc").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    if corpus.t <= 30_000:
+        # whole corpus fits: everything must be selected
+        assert total == corpus.t and n_sel == corpus.n
+    else:
+        # greedy maximality: the selection stopped because the boundary
+        # bucket ran out of budget, so a meaningful share is spent
+        assert total > 30_000 * 0.5
+
+
+def test_source_kl_divergence_is_nonnegative(spark):
+    out = source_token_divergence(spark, SF_DIR).collect()
+    assert len(out) > 1
+    for r in out:
+        assert r.n_tokens > 0
+        # Gibbs' inequality: KL(source || corpus) >= 0 (4dp rounding slack)
+        assert r.kl_divergence >= -0.0001, r
+    # at least one source actually diverges from the blend
+    assert any(r.kl_divergence > 0 for r in out)

@@ -62,11 +62,24 @@ def build_corpus(spark, replicas: int) -> str:
         docs.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("replica") * n_docs).alias("doc_id"),
-            # replica 0 untouched; others get a per-replica salt appended
-            # so cross-replica pairs are NOT wholesale near-dups
+            # replica 0 untouched; every TOKEN of the other replicas gets
+            # a per-replica suffix.  A salt merely APPENDED to the text
+            # leaves cross-replica Jaccard at ~0.96 — every document
+            # becomes a 16-way near-dup group and the pair-producing
+            # operators measure duplicate-density pathology (ratios of
+            # 15-30x observed) instead of data-volume scaling.  Per-token
+            # salting zeroes cross-replica shingle overlap while
+            # preserving each replica's INTERNAL duplicate structure, so
+            # true-pair volume grows ~Nx like a real Nx corpus.
             F.when(F.col("replica") == 0, F.col("text"))
             .otherwise(
-                F.concat_ws(" ", F.col("text"), F.concat(F.lit("salt"), F.col("replica")))
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit("_r"), F.col("replica")),
+                    ),
+                )
             )
             .alias("text"),
             "lang",

@@ -35,6 +35,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-5 fixed (ANSI overflow) / rewritten queries — freshest code
     "minhash_near_dup",
     # round-5 new training-run operators
+    "cross_split_contamination",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

@@ -60,6 +60,7 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash_near_dup",
     # round-5 training-run operators
+    "cross_split_contamination",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

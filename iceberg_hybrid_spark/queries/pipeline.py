@@ -1430,7 +1430,111 @@ ORDER BY c.source
 """
 
 
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual train→eval leakage audit for the stratified split: the
+    text-fingerprint split key (``stratified_split_report``) pins
+    byte-identical duplicates to one split, but NEAR-duplicates can
+    still straddle the boundary.  For every val/test document, compute
+    the fraction of its distinct 5-token shingles that also occur
+    anywhere in train, and report per split how many eval docs leak at
+    >=0.8 / >=0.5 / >=0.2 overlap plus the mean overlap — the number
+    that says whether the held-out sets actually measure generalization.
+
+    Scale posture: both sides shingle to 8-byte xxhash64 longs; the
+    train shingle set is corpus-proportional so the membership probe is
+    a shuffled hash equi-join on the long key (never a broadcast), with
+    the eval side ~2% of the corpus; per-doc overlap is one counting
+    shuffle; the split-level rollup is three rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 5
+    fp = F.md5(F.col("text").cast("binary"))
+    bucket = F.substring(fp, 1, 2)
+    split = (
+        F.when(bucket <= "f9", "train")
+        .when(bucket <= "fc", "val")
+        .otherwise("test")
+    )
+    sh = docs.select(
+        "doc_id",
+        split.alias("split"),
+        T.shingle_hashes("text", k).alias("sh"),
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    eval_docs = sh.filter(F.col("split") != "train").filter(F.size("sh") > 0)
+    hits = (
+        eval_docs.select("doc_id", F.explode("sh").alias("s"))
+        .join(train_sh.hint("shuffle_hash"), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    per_doc = (
+        eval_docs.select("doc_id", "split", F.size("sh").alias("n"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "split",
+            (F.coalesce(F.col("m"), F.lit(0)) / F.col("n")).alias("ov"),
+        )
+    )
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("eval_docs"),
+            F.sum(F.when(F.col("ov") >= 0.8, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leak80"),
+            F.sum(F.when(F.col("ov") >= 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leak50"),
+            F.sum(F.when(F.col("ov") >= 0.2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leak20"),
+            T.round_stable(F.avg("ov"), 4).alias("mean_overlap"),
+        )
+        .orderBy("split")
+    )
+
+
+CROSS_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 2) <= 'f9' THEN 'train'
+              WHEN substr(md5(text), 1, 2) <= 'fc' THEN 'val'
+              ELSE 'test' END AS split,
+         {_duck_shingles(5)} AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) x
+), train_sh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM d WHERE split = 'train'
+), ev AS (
+  SELECT doc_id, unnest(sh) AS s
+  FROM d WHERE split <> 'train' AND len(sh) > 0
+), hits AS (
+  SELECT ev.doc_id, COUNT(*) AS m
+  FROM ev JOIN train_sh t ON ev.s = t.s
+  GROUP BY ev.doc_id
+), per_doc AS (
+  SELECT d.split, COALESCE(h.m, 0) / len(d.sh) AS ov
+  FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+  WHERE d.split <> 'train' AND len(d.sh) > 0
+)
+SELECT split,
+       COUNT(*) AS eval_docs,
+       CAST(SUM(CASE WHEN ov >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS leak80,
+       CAST(SUM(CASE WHEN ov >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS leak50,
+       CAST(SUM(CASE WHEN ov >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS leak20,
+       ROUND(AVG(ov) - 0.000000001, 4) + 0.0 AS mean_overlap
+FROM per_doc GROUP BY split ORDER BY split
+"""
+
+
 SPECS = [
+    QuerySpec("cross_split_contamination", cross_split_contamination,
+              CROSS_SPLIT_SQL,
+              "near-dup leakage audit across the stratified "
+              "train/val/test boundary"),
     QuerySpec("epoch_shuffle", epoch_shuffle, EPOCH_SHUFFLE_SQL,
               "deterministic per-epoch corpus shuffle (md5 order, "
               "per-epoch top-k)"),

@@ -5,6 +5,7 @@ feasibility, and Gibbs non-negativity."""
 
 from iceberg_hybrid_spark.functions import text as T
 from iceberg_hybrid_spark.queries.pipeline import (
+    cross_split_contamination,
     epoch_shuffle,
     source_token_divergence,
     token_budget_selection,
@@ -64,3 +65,16 @@ def test_source_kl_divergence_is_nonnegative(spark):
         assert r.kl_divergence >= -0.0001, r
     # at least one source actually diverges from the blend
     assert any(r.kl_divergence > 0 for r in out)
+
+
+def test_cross_split_contamination_invariants(spark):
+    out = {r.split: r for r in cross_split_contamination(spark, SF_DIR).collect()}
+    # only eval splits appear; train is the reference side
+    assert set(out) <= {"val", "test"} and out
+    for r in out.values():
+        # leak thresholds nest: >=0.8 implies >=0.5 implies >=0.2
+        assert 0 <= r.leak80 <= r.leak50 <= r.leak20 <= r.eval_docs
+        assert 0.0 <= r.mean_overlap <= 1.0
+    # split sizes follow the ~97.7/1.2/1.2 fingerprint-prefix rule, so
+    # eval sides are small but non-empty on the 500-doc fixture corpus
+    assert sum(r.eval_docs for r in out.values()) > 0

@@ -36,6 +36,8 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_near_dup",
     # round-5 new training-run operators
     "cross_split_contamination",
+    "near_dup_threshold_sweep",
+    "curriculum_stages",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

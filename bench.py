@@ -61,6 +61,8 @@ HEADLINE = [
     "simhash_near_dup",
     # round-5 training-run operators
     "cross_split_contamination",
+    "near_dup_threshold_sweep",
+    "curriculum_stages",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

@@ -849,7 +849,93 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
 
 
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness tuning curve: for Jaccard thresholds from the
+    noise floor (0.005) to near-exact (0.8), how many pairs and distinct
+    documents a shingle-Jaccard dedup pass at that threshold would act
+    on.  This is the number a pipeline owner reads BEFORE picking the
+    MinHash banding: the elbow where the count collapses (here between
+    incidental-shingle overlap and the planted-dup plateau) separates
+    background similarity from true duplication.
+
+    Scale posture: identical blocking to ``near_dup_shingle_pairs``
+    ((lang, length-bucket) co-partitioned self-join, shingle arrays
+    materialized once behind the repartition exchange and reused on both
+    sides); the 5-threshold explode multiplies only the QUALIFYING-pair
+    relation (true-dup density), and the rollup is 5 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 16).cast("bigint").alias("bucket"),
+        T.shingle_hashes("text").alias("sh"),
+    ).repartition(F.col("lang"), F.col("bucket"))
+    a = d.alias("a")
+    b = d.alias("b").hint("shuffle_hash")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        D.ngram_jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+    )
+    thresholds = F.array(*[F.lit(t) for t in (0.005, 0.01, 0.02, 0.05, 0.8)])
+    swept = (
+        pairs.select("doc_a", "doc_b", "j", F.explode(thresholds).alias("threshold"))
+        .filter(F.col("j") >= F.col("threshold"))
+    )
+    # each pair contributes its two doc ids; count(*)/2 recovers the pair
+    # count while count_distinct(doc) gives the touched-document count in
+    # the same aggregation (the pair relation is scanned once)
+    exploded = swept.select(
+        "threshold", "j", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    )
+    return (
+        exploded.groupBy("threshold")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.count_distinct("doc").alias("n_docs"),
+            T.round_stable(F.avg("j"), 4).alias("mean_jaccard"),
+        )
+        .orderBy("threshold")
+    )
+
+
+THRESHOLD_SWEEP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 16 AS bucket, {{shingles}} AS sh
+  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents) x
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+               / (len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+               - 0.000000001, 4) + 0.0 AS j
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sw AS (
+  SELECT CAST(t.threshold AS DOUBLE) AS threshold, p.doc_a, p.doc_b, p.j
+  FROM p CROSS JOIN (VALUES (0.005), (0.01), (0.02), (0.05), (0.8)) t(threshold)
+  WHERE p.j >= CAST(t.threshold AS DOUBLE)
+), ex AS (
+  SELECT threshold, j, unnest([doc_a, doc_b]) AS doc FROM sw
+)
+SELECT threshold,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+       ROUND(AVG(j) - 0.000000001, 4) + 0.0 AS mean_jaccard
+FROM ex GROUP BY threshold ORDER BY threshold
+""".format(shingles=_DUCK_SHINGLES)
+
+
 SPECS = [
+    QuerySpec("near_dup_threshold_sweep", near_dup_threshold_sweep,
+              THRESHOLD_SWEEP_SQL,
+              "near-dup pair/doc volume per Jaccard threshold (dedup "
+              "tuning curve)"),
     QuerySpec("simhash_near_dup", simhash_near_dup, SIMHASH_NEAR_DUP_SQL,
               "SimHash banded candidates + hamming verify vs "
               "fingerprint-literal all-pairs oracle"),

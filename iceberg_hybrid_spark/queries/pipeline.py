@@ -1530,7 +1530,94 @@ FROM per_doc GROUP BY split ORDER BY split
 """
 
 
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: the corpus partitioned into 4
+    quality stages (ascending lexical diversity — simplest text first),
+    reporting per-stage doc count, token mass, and the stage's quality
+    range — the manifest a curriculum data loader consumes.
+
+    Scale posture: same trick as ``token_budget_selection`` — no global
+    NTILE/sort over the corpus.  The corpus collapses to its 4dp quality
+    DISTRIBUTION (bounded ~10⁴ rows at any size); the cumulative window
+    runs over that, and a bucket's stage is floor(4·cum_before/n)+1 —
+    every doc's stage is then a map-side join against the tiny staged
+    distribution (here folded directly since doc stats are already
+    aggregated per bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        T.lexical_diversity("text").alias("q"),
+        T.token_count("text").cast("bigint").alias("tc"),
+    )
+    dist = scored.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tc").alias("tokens"),
+    )
+    w_cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    total = dist.agg(F.sum("n_docs").alias("n_total"))
+    cum = dist.select(
+        "q",
+        "n_docs",
+        "tokens",
+        F.coalesce(F.sum("n_docs").over(w_cum), F.lit(0)).alias("before"),
+    )
+    staged = cum.crossJoin(F.broadcast(total)).select(
+        F.least(
+            F.floor(F.lit(4) * F.col("before") / F.col("n_total")) + 1,
+            F.lit(4),
+        )
+        .cast("bigint")
+        .alias("stage"),
+        "q",
+        "n_docs",
+        "tokens",
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("tokens"),
+            F.min("q").alias("q_min"),
+            F.max("q").alias("q_max"),
+        )
+        .orderBy("stage")
+    )
+
+
+CURRICULUM_SQL = """
+WITH scored AS (
+  SELECT ROUND(len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) - 0.000000001, 4) + 0.0 AS q,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+  FROM documents
+), dist AS (
+  SELECT q, COUNT(*) AS n_docs, SUM(tc) AS tokens FROM scored GROUP BY q
+), cum AS (
+  SELECT q, n_docs, tokens,
+         COALESCE(SUM(n_docs) OVER (
+           ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM dist
+), total AS (
+  SELECT SUM(n_docs) AS n_total FROM dist
+), staged AS (
+  SELECT CAST(LEAST(FLOOR(4.0 * c.before / t.n_total) + 1, 4) AS BIGINT)
+           AS stage,
+         c.q, c.n_docs, c.tokens
+  FROM cum c CROSS JOIN total t
+)
+SELECT stage,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS tokens,
+       MIN(q) AS q_min,
+       MAX(q) AS q_max
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
 SPECS = [
+    QuerySpec("curriculum_stages", curriculum_stages, CURRICULUM_SQL,
+              "4-stage quality curriculum schedule via the bounded "
+              "score-distribution window"),
     QuerySpec("cross_split_contamination", cross_split_contamination,
               CROSS_SPLIT_SQL,
               "near-dup leakage audit across the stratified "

@@ -99,6 +99,7 @@ ALL_PAIRS_WHITELIST = {
     # non-equi or cross onto per-row relations
     "token_budget_selection",
     "source_token_divergence",
+    "curriculum_stages",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

@@ -4,8 +4,10 @@ the DuckDB value oracle: determinism, permutation structure, budget
 feasibility, and Gibbs non-negativity."""
 
 from iceberg_hybrid_spark.functions import text as T
+from iceberg_hybrid_spark.queries.llm import near_dup_threshold_sweep
 from iceberg_hybrid_spark.queries.pipeline import (
     cross_split_contamination,
+    curriculum_stages,
     epoch_shuffle,
     source_token_divergence,
     token_budget_selection,
@@ -65,6 +67,39 @@ def test_source_kl_divergence_is_nonnegative(spark):
         assert r.kl_divergence >= -0.0001, r
     # at least one source actually diverges from the blend
     assert any(r.kl_divergence > 0 for r in out)
+
+
+def test_threshold_sweep_is_monotone(spark):
+    rows = near_dup_threshold_sweep(spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    # raising the threshold can only shrink the qualifying relation and
+    # raise the mean similarity of what remains
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.threshold < hi.threshold
+        assert lo.n_pairs >= hi.n_pairs
+        assert lo.n_docs >= hi.n_docs
+        assert lo.mean_jaccard <= hi.mean_jaccard + 1e-9
+    for r in rows:
+        # a pair touches at most 2 distinct docs, at least 1+ shared ones
+        assert r.n_docs <= 2 * r.n_pairs
+        assert r.mean_jaccard >= r.threshold - 1e-9
+
+
+def test_curriculum_stages_partition_the_corpus(spark):
+    rows = curriculum_stages(spark, SF_DIR).collect()
+    assert [r.stage for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 2
+    # quality ranges are ordered and non-overlapping across stages
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.q_max <= hi.q_min
+    # stage doc counts sum to the corpus and are roughly balanced
+    # (bucket-granular boundaries can shift a stage by one tie-group)
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    n = load_table(spark, SF_DIR, "documents").count()
+    counts = [r.n_docs for r in rows]
+    assert sum(counts) == n
+    assert max(counts) <= 2 * min(counts)
 
 
 def test_cross_split_contamination_invariants(spark):

@@ -38,6 +38,13 @@ QUERIES = [
     "minhash_near_dup",
     "simhash_near_dup",
     "cdc_chunk_overlap",
+    # round-5 training-run operators
+    "cross_split_contamination",
+    "near_dup_threshold_sweep",
+    "curriculum_stages",
+    "epoch_shuffle",
+    "token_budget_selection",
+    "source_token_divergence",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

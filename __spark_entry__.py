@@ -38,6 +38,7 @@ _PRIORITY: tuple[str, ...] = (
     "cross_split_contamination",
     "near_dup_threshold_sweep",
     "curriculum_stages",
+    "temperature_mix_weights",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

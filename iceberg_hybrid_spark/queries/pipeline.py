@@ -1614,7 +1614,69 @@ FROM staged GROUP BY stage ORDER BY stage
 """
 
 
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual-LM
+    mix rule, e.g. XLM-R: p_s ∝ share_s^α): each source's natural token
+    share next to its sampling weight at α=0.3 (aggressive low-resource
+    upweighting) and α=0.7 (mild) — the table a mix designer reads next
+    to ``mix_rebalance_plan``'s hard-budget keep-rates.
+
+    Scale posture: one partial-agg counting shuffle on source; the
+    powered-share normalizers are single-row aggregates of the
+    #sources-sized relation, broadcast back.  No per-document state
+    beyond the token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens")
+    )
+    total = per_source.agg(F.sum("tokens").alias("t_all"))
+    powered = per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "tokens",
+        (F.col("tokens") / F.col("t_all")).alias("share"),
+        F.pow(F.col("tokens") / F.col("t_all"), F.lit(0.3)).alias("p03"),
+        F.pow(F.col("tokens") / F.col("t_all"), F.lit(0.7)).alias("p07"),
+    )
+    norms = powered.agg(F.sum("p03").alias("s03"), F.sum("p07").alias("s07"))
+    return (
+        powered.crossJoin(F.broadcast(norms))
+        .select(
+            "source",
+            "tokens",
+            T.round_stable(F.col("share"), 6).alias("share"),
+            T.round_stable(F.col("p03") / F.col("s03"), 6).alias("w_alpha03"),
+            T.round_stable(F.col("p07") / F.col("s07"), 6).alias("w_alpha07"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH per_source AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), total AS (SELECT SUM(tokens) AS t_all FROM per_source),
+powered AS (
+  SELECT source, tokens,
+         tokens / t_all AS share,
+         POWER(tokens / t_all, 0.3) AS p03,
+         POWER(tokens / t_all, 0.7) AS p07
+  FROM per_source, total
+), norms AS (SELECT SUM(p03) AS s03, SUM(p07) AS s07 FROM powered)
+SELECT source, tokens,
+       ROUND(share - 0.000000001, 6) + 0.0 AS share,
+       ROUND(p03 / s03 - 0.000000001, 6) + 0.0 AS w_alpha03,
+       ROUND(p07 / s07 - 0.000000001, 6) + 0.0 AS w_alpha07
+FROM powered, norms
+ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec("temperature_mix_weights", temperature_mix_weights,
+              TEMPERATURE_MIX_SQL,
+              "temperature-scaled source sampling weights (share^alpha, "
+              "alpha 0.3/0.7)"),
     QuerySpec("curriculum_stages", curriculum_stages, CURRICULUM_SQL,
               "4-stage quality curriculum schedule via the bounded "
               "score-distribution window"),

@@ -30,6 +30,46 @@ TABLE_NAMES = (
 # Small dimension tables that should always broadcast in joins.
 DIM_TABLES = frozenset({"region", "nation", "supplier"})
 
+# Expression-heavy corpus tables: per-row work (shingle folds, simhash
+# vote folds, window chunking, Arrow kernels) dominates their queries,
+# so a degenerate scan split count serializes the whole query.  The
+# relational fact tables (lineitem/orders/events) are deliberately NOT
+# here: their queries are shuffle/join-bound, and an extra pre-join
+# exchange measurably loses (A/B at sf0.1: q3 0.98 s with vs 0.41 s
+# without) — the first groupBy/join shuffle already spreads their work.
+FOLD_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
+# Rescue width for degenerate scans.  A CONSTANT, not defaultParallelism,
+# on purpose: round-robin repartition (sort-before-shuffle, so the layout
+# is a pure function of input order and width) feeds seeded KMeans
+# training (IVF / SemDeDup), whose fitted centroids are pinned as oracle
+# literals — a core-count-dependent width would make the trained model,
+# and therefore correctness, depend on the machine.  64 saturates any
+# plausible local executor count; the guard never fires on a real
+# many-file corpus, so this is not a cluster-size assumption.
+_RESCUE_PARTITIONS = 64
+
+
+def _ensure_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rescue degenerate scan granularity: when a fold-heavy table arrives as
+    fewer splits than half the cluster's cores (single-file fixtures,
+    one-row-group parquet — which CANNOT split below a row group — or a
+    non-splittable codec), round-robin repartition to defaultParallelism
+    so per-row expression work runs on every core instead of one.
+
+    This is Spark's own documented remedy for unsplittable inputs, made
+    conditional: at 100 TB a fact scan has thousands of row-group splits
+    and the guard is a no-op (no shuffle added); it only fires when the
+    alternative is a serialized map stage.  An explicit partition count
+    pins the exchange against AQE coalescing (584 KB of documents would
+    otherwise re-merge into one partition and re-serialize the fold).
+    Round-robin repartition is value-neutral and Catalyst pushes filters
+    and column pruning through it into the scan (verified in
+    docs/PLANS.md: PushedFilters survive)."""
+    if df.rdd.getNumPartitions() * 2 < spark.sparkContext.defaultParallelism:
+        return df.repartition(_RESCUE_PARTITIONS)
+    return df
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -70,6 +110,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in FOLD_HEAVY_TABLES:
+        df = _ensure_scan_parallelism(spark, df)
     per_session[key] = df
     return df
 

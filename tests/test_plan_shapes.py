@@ -100,6 +100,7 @@ ALL_PAIRS_WHITELIST = {
     "token_budget_selection",
     "source_token_divergence",
     "curriculum_stages",
+    "temperature_mix_weights",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

@@ -10,6 +10,7 @@ from iceberg_hybrid_spark.queries.pipeline import (
     curriculum_stages,
     epoch_shuffle,
     source_token_divergence,
+    temperature_mix_weights,
     token_budget_selection,
 )
 from iceberg_hybrid_spark.sources.tables import load_table
@@ -100,6 +101,22 @@ def test_curriculum_stages_partition_the_corpus(spark):
     counts = [r.n_docs for r in rows]
     assert sum(counts) == n
     assert max(counts) <= 2 * min(counts)
+
+
+def test_temperature_mix_weights_flatten_toward_uniform(spark):
+    rows = temperature_mix_weights(spark, SF_DIR).collect()
+    assert len(rows) > 1
+    for col in ("share", "w_alpha03", "w_alpha07"):
+        s = sum(getattr(r, col) for r in rows)
+        assert abs(s - 1.0) < 1e-3, (col, s)
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        # temperature flattening: alpha=0.3 sits strictly between the
+        # natural share and uniform, and closer to uniform than alpha=0.7
+        d_share = abs(r.share - uniform)
+        d07 = abs(r.w_alpha07 - uniform)
+        d03 = abs(r.w_alpha03 - uniform)
+        assert d03 <= d07 + 1e-9 <= d_share + 2e-9, r
 
 
 def test_cross_split_contamination_invariants(spark):

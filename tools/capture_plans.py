@@ -42,6 +42,7 @@ QUERIES = [
     "cross_split_contamination",
     "near_dup_threshold_sweep",
     "curriculum_stages",
+    "temperature_mix_weights",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

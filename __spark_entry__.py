@@ -39,6 +39,7 @@ _PRIORITY: tuple[str, ...] = (
     "near_dup_threshold_sweep",
     "curriculum_stages",
     "temperature_mix_weights",
+    "embedding_pq_ann",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

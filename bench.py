@@ -64,6 +64,7 @@ HEADLINE = [
     "near_dup_threshold_sweep",
     "curriculum_stages",
     "temperature_mix_weights",
+    "embedding_pq_ann",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

@@ -18,6 +18,7 @@ from ..functions import similarity as S
 from ..functions import text as T
 from ..sources.tables import load_table
 from ._ivf_oracle import EMBEDDING_IVF_SQL
+from ._pq_oracle import EMBEDDING_PQ_SQL
 from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
 from ._simhash_oracle import SIMHASH_NEAR_DUP_SQL
 from .spec import QuerySpec
@@ -755,6 +756,27 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, IEEE TPAMI): 4
+    subspace codebooks of 16 seeded-KMeans centroids compress each
+    64-dim vector to 4 one-byte codes; serving is ADC — per-query
+    partial-dot tables against the codebooks (a 192-row broadcast) and
+    an m-lookup sum per corpus vector, never the raw vectors.  This is
+    the memory-bound scale path that IVF composes with (IVF-PQ): at
+    100 TB the codes table is ~1/128 the corpus bytes.
+
+    Oracle: the trained codebooks + per-vector codes are pinned as
+    literals (tools/gen_pq_oracle.py) and DuckDB independently
+    recomputes the ADC tables (list_dot_product of query subvectors
+    against every codebook entry), the score sum, and the ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded, codebooks, sub = S.pq_build(emb, m=4, k=16, seed=42, cache_key=sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return S.pq_topk(coded, codebooks, sub, queries, k=5).orderBy(
+        "q_vec_id", "rank"
+    )
+
+
 def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup report: KMeans clusters the corpus
     embeddings (same seeded k=8 index as embedding_ivf_ann), then within
@@ -939,6 +961,8 @@ SPECS = [
     QuerySpec("simhash_near_dup", simhash_near_dup, SIMHASH_NEAR_DUP_SQL,
               "SimHash banded candidates + hamming verify vs "
               "fingerprint-literal all-pairs oracle"),
+    QuerySpec("embedding_pq_ann", embedding_pq_ann, EMBEDDING_PQ_SQL,
+              "product-quantization ADC ANN vs codebook-literal oracle"),
     QuerySpec("embedding_ivf_ann", embedding_ivf_ann, EMBEDDING_IVF_SQL,
               "IVF (KMeans inverted lists) ANN top-k vs centroid-literal "
               "oracle"),

@@ -65,6 +65,7 @@ HEADLINE = [
     "curriculum_stages",
     "temperature_mix_weights",
     "embedding_pq_ann",
+    "embedding_ivfpq_ann",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

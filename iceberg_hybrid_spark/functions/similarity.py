@@ -620,3 +620,103 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .drop("_p", "_lr")
     )
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    sub: int,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "ivf_centroid",
+    query_id_col: str = "q_vec_id",
+) -> DataFrame:
+    """IVF-PQ serving — the composition that runs billion-vector ANN in
+    production (FAISS's default shape): IVF probe pruning restricts each
+    query to its ``nprobe`` inverted lists, and PQ ADC scores the
+    surviving candidates from their codes alone.  Per query the work is
+    (corpus/k_lists)·nprobe code lookups — neither the raw vectors nor
+    the unprobed lists are touched.
+
+    ``coded`` must carry both the IVF assignment (``centroid_col``) and
+    the PQ code columns (from ``pq_build``).  Plan shape: probed lists
+    via a broadcast equi-join on the centroid id, codes posexplode AFTER
+    the probe filter (m rows only per surviving candidate), ADC lookups
+    via a broadcast join on (query, subspace, code), one
+    partial-aggregable sum, two-phase top-k."""
+    import math
+
+    from pyspark.sql import Window
+
+    spark = coded.sparkSession
+    m = len(codebooks)
+    q_rows = queries.select(
+        F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("_qv")
+    ).collect()
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb) if na and nb else 0.0
+
+    # probe selection driver-side (|q| x k_lists), same tie-break as
+    # ivf_topk: cosine DESC, centroid id ASC
+    probe_pairs = []
+    for row in q_rows:
+        ranked = sorted(
+            range(len(centers)),
+            key=lambda c: (-cos(row["_qv"], centers[c]), c),
+        )
+        for c in ranked[:nprobe]:
+            probe_pairs.append((row[query_id_col], c))
+    probes = spark.createDataFrame(
+        probe_pairs, f"{query_id_col} long, {centroid_col} int"
+    )
+    adc = [
+        (
+            int(r[query_id_col]),
+            j,
+            c,
+            float(sum(x * y for x, y in zip(r["_qv"][j * sub:(j + 1) * sub],
+                                            codebooks[j][c]))),
+        )
+        for r in q_rows
+        for j in range(m)
+        for c in range(len(codebooks[j]))
+    ]
+    adc_df = spark.createDataFrame(
+        adc, schema=f"{query_id_col} long, _sub int, _code int, _pdot double"
+    )
+    candidates = (
+        coded.join(F.broadcast(probes), centroid_col)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.posexplode(
+                F.array(*[F.col(f"pq_code_{j}") for j in range(m)])
+            ).alias("_sub", "_code"),
+        )
+    )
+    scored = (
+        candidates.join(F.broadcast(adc_df), [query_id_col, "_sub", "_code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_pdot"), 6).alias("adc_dot"))
+        .withColumn("_p", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_p", query_id_col).orderBy(
+        F.desc("adc_dot"), F.asc(id_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_dot"), F.asc(id_col))
+    return (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_p", "_lr")
+    )

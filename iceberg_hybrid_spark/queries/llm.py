@@ -18,6 +18,7 @@ from ..functions import similarity as S
 from ..functions import text as T
 from ..sources.tables import load_table
 from ._ivf_oracle import EMBEDDING_IVF_SQL
+from ._ivfpq_oracle import EMBEDDING_IVFPQ_SQL
 from ._pq_oracle import EMBEDDING_PQ_SQL
 from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
 from ._simhash_oracle import SIMHASH_NEAR_DUP_SQL
@@ -777,6 +778,26 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the production composition (FAISS's default shape):
+    IVF probe pruning restricts each query to nprobe=3 of 8 inverted
+    lists, PQ ADC scores the survivors from their 4x16 codes alone.
+    Per query: (corpus/8)*3 code lookups; neither raw vectors nor
+    unprobed lists are touched at serving time.
+
+    Oracle: BOTH trained artifacts (IVF centroids + assignment, PQ
+    codebooks + codes) pinned as literals (tools/gen_ivfpq_oracle.py);
+    DuckDB independently recomputes probe selection, candidate
+    generation, ADC scoring, and ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=sf_dir)
+    coded, codebooks, sub = S.pq_build(assigned, m=4, k=16, seed=42, cache_key=sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return S.ivfpq_topk(
+        coded, centers, codebooks, sub, queries, k=5, nprobe=3
+    ).orderBy("q_vec_id", "rank")
+
+
 def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup report: KMeans clusters the corpus
     embeddings (same seeded k=8 index as embedding_ivf_ann), then within
@@ -963,6 +984,9 @@ SPECS = [
               "fingerprint-literal all-pairs oracle"),
     QuerySpec("embedding_pq_ann", embedding_pq_ann, EMBEDDING_PQ_SQL,
               "product-quantization ADC ANN vs codebook-literal oracle"),
+    QuerySpec("embedding_ivfpq_ann", embedding_ivfpq_ann, EMBEDDING_IVFPQ_SQL,
+              "IVF-PQ composed ANN (probe pruning + ADC codes) vs "
+              "artifact-literal oracle"),
     QuerySpec("embedding_ivf_ann", embedding_ivf_ann, EMBEDDING_IVF_SQL,
               "IVF (KMeans inverted lists) ANN top-k vs centroid-literal "
               "oracle"),

@@ -51,6 +51,45 @@ def test_pq_adc_equals_reconstructed_dot(spark):
         assert abs(r.adc_dot - round(expect, 6)) < 1e-6, r
 
 
+def test_ivfpq_candidates_come_from_probed_lists_only(spark):
+    import math
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=SF_DIR)
+    coded, codebooks, sub = S.pq_build(assigned, m=M, k=K, seed=42, cache_key=SF_DIR)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    out = S.ivfpq_topk(coded, centers, codebooks, sub, queries, k=5, nprobe=3).collect()
+    assert out
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb) if na and nb else 0.0
+
+    q_vecs = {r.vec_id: list(r.embedding) for r in queries.collect()}
+    probes = {
+        q: set(
+            sorted(range(len(centers)), key=lambda c: (-cos(v, centers[c]), c))[:3]
+        )
+        for q, v in q_vecs.items()
+    }
+    lists = {r.vec_id: r.ivf_centroid for r in coded.select("vec_id", "ivf_centroid").collect()}
+    for r in out:
+        # every served neighbor must live in one of ITS query's probed lists
+        assert lists[r.vec_id] in probes[r.q_vec_id], r
+        assert r.vec_id != r.q_vec_id
+    # IVF-PQ is a strict restriction of PQ: its neighbor set per query is
+    # a subset of full-corpus ADC ranking's candidate universe by design,
+    # and scores agree with plain PQ ADC for shared (q, vec) pairs
+    pq_out = {
+        (r.q_vec_id, r.vec_id): r.adc_dot
+        for r in S.pq_topk(coded, codebooks, sub, queries, k=500).collect()
+    }
+    for r in out:
+        assert pq_out[(r.q_vec_id, r.vec_id)] == r.adc_dot, r
+
+
 def test_pq_topk_ranking_structure_and_determinism(spark):
     (coded, codebooks, sub), emb = _build(spark)
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))

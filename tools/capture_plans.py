@@ -44,6 +44,7 @@ QUERIES = [
     "curriculum_stages",
     "temperature_mix_weights",
     "embedding_pq_ann",
+    "embedding_ivfpq_ann",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

@@ -53,6 +53,24 @@ def test_embedding_near_dup_no_all_pairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_threshold_sweep_jaccard_not_fused_into_join(spark):
+    """The stop_predicate_pushdown barrier must keep the Jaccard
+    threshold filter ABOVE the candidate self-join: fused into the join
+    residual it is evaluated per hash-probe pair outside codegen CSE
+    (measured 3-4x slower at the 16x spotcheck scale).  This pins the
+    barrier against optimizer rules that simplify it away — an
+    always-true CASE WHEN form was silently removed by
+    SimplifyConditionals once already."""
+    from iceberg_hybrid_spark.queries.llm import near_dup_threshold_sweep
+
+    plan = _plan(near_dup_threshold_sweep(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Join" in line and "condition" in line.lower():
+            assert "array_intersect" not in line, line
+    # the heavy expression exists exactly where intended: in a Project
+    assert "array_intersect" in plan
+
+
 def test_no_integer_repartition_literals():
     offenders = []
     for path in glob.glob("iceberg_hybrid_spark/**/*.py", recursive=True):

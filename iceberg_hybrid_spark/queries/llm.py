@@ -276,7 +276,17 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cands.join(d.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(d.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            # barrier: keep the threshold filter above the candidate
+            # joins — fused into a join residual the array_intersect
+            # runs per probe pair outside codegen CSE (3x, see
+            # near_dup_threshold_sweep / plans/barrier.py)
+            stop_predicate_pushdown(
+                D.ngram_jaccard(F.col("sh_a"), F.col("sh_b"))
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.3)
     )
     return verified.orderBy("id_a", "id_b")
@@ -440,7 +450,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .select(
-            "id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+            "id_a",
+            "id_b",
+            # same pushdown barrier as minhash_near_dup: the 64-dim
+            # cosine fold must not run inside the join residual
+            stop_predicate_pushdown(
+                S.cosine(F.col("va"), F.col("vb"))
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.8)
         .orderBy("id_a", "id_b")

@@ -21,6 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_hybrid_spark.queries import all_specs
+import pandas as _pd  # noqa: E402
+from pyspark.sql import functions as _F  # noqa: E402
+from pyspark.sql.functions import pandas_udf as _pudf  # noqa: E402
 from iceberg_hybrid_spark.session import get_spark
 
 HEADLINE = [
@@ -83,6 +86,14 @@ def main() -> None:
     # whichever query runs first.
     warm_dir = "/root/testdata/sf0.001"
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the Arrow/python-worker pool (first pandas_udf in a session
+    # pays worker fork + Arrow init — would otherwise be attributed to
+    # whichever Arrow-boundary query runs first).
+    @_pudf("long")
+    def _warm_arrow(s: _pd.Series) -> _pd.Series:
+        return s
+
+    spark.range(1000).select(_warm_arrow(_F.col("id"))).collect()
     warm = spark.read.parquet(f"{warm_dir}/lineitem.parquet")
     warm.groupBy("l_returnflag").count().collect()
     spark.read.parquet(f"{warm_dir}/orders.parquet").selectExpr(

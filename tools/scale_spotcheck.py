@@ -25,6 +25,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
+import pandas as _pd  # noqa: E402
+from pyspark.sql import functions as _F  # noqa: E402
+from pyspark.sql.functions import pandas_udf as _pudf  # noqa: E402
 
 from iceberg_hybrid_spark.queries import all_specs  # noqa: E402
 from iceberg_hybrid_spark.session import get_spark  # noqa: E402
@@ -150,6 +153,14 @@ def main() -> None:
     big_dir = build_corpus(spark, replicas)
     specs = all_specs()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+    # warm the Arrow/python-worker pool too: the first pandas_udf call in
+    # a session pays worker fork + Arrow init (~4-6 s), which otherwise
+    # lands on whichever embedding query runs first and reads as a bogus
+    # per-operator regression
+    @_pudf("long")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        return s
+    spark.range(1000).select(_warm(_F.col("id"))).collect()
 
     for name in names:
         fn = specs[name].fn

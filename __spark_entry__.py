@@ -41,6 +41,7 @@ _PRIORITY: tuple[str, ...] = (
     "temperature_mix_weights",
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
+    "streaming_watermarked_windows",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

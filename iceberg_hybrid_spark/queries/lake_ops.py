@@ -344,6 +344,75 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def streaming_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation driven through the REAL
+    Structured Streaming path (readStream → withWatermark → window agg →
+    append-mode parquet sink, drained with availableNow): the events
+    table is delivered as a file-source inbox and the emitted windows are
+    read back from the sink.
+
+    The oracle encodes the WATERMARK FINALIZATION RULE, not just the
+    aggregation: in append mode only windows whose end <= final watermark
+    (max event time - 2 h) are emitted — the trailing unfinalized windows
+    are withheld as state and discarded at stop.  DuckDB reproduces the
+    exact emitted set (865 of 868 hourly windows at sf0.001), so a
+    regression in watermark handling — not just in the agg — fails the
+    gate.  Deterministic because availableNow drains the single delivery
+    before any watermark advances and the flush batch then finalizes
+    against max(ts); epoch-aligned hourly windows equal
+    date_trunc('hour') so the boundary arithmetic is engine-neutral."""
+    from ..streaming.sync_stream import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    root = _scratch("streamwin")
+    inbox = os.path.join(root, "inbox")
+    ev.coalesce(1).write.mode("overwrite").parquet(inbox)
+    stream = spark.readStream.schema(ev.schema).parquet(inbox)
+    out = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(root, "sink"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sunk = spark.read.parquet(os.path.join(root, "sink"))
+    return (
+        sunk.select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+STREAMING_WINDOWS_SQL = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         COUNT(*) AS event_count,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT window_start, event_type, event_count, total_value
+FROM agg, wm
+WHERE agg.window_end <= wm.w
+ORDER BY window_start, event_type
+"""
+
+
 def partitions_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``partitions`` metadata table (≙ Iceberg SELECT * FROM
     t.partitions): per-partition file/row counts straight from manifest
@@ -626,6 +695,10 @@ SPECS = [
               "write.sort-order: sorted appends + manifest-pruned range read"),
     QuerySpec("table_changelog_rows", table_changelog_rows, CHANGELOG_SQL,
               "row-level CDC changelog between snapshots"),
+    QuerySpec("streaming_watermarked_windows", streaming_watermarked_windows,
+              STREAMING_WINDOWS_SQL,
+              "watermarked append-mode window agg via the real streaming "
+              "path; oracle encodes the finalization rule"),
     QuerySpec("streaming_dedup_ingest", streaming_dedup_ingest,
               STREAMING_DEDUP_SQL,
               "streaming exact-dedup ingestion with fingerprint state"),

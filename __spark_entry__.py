@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
     "streaming_watermarked_windows",
+    "dsir_importance_weights",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

@@ -69,6 +69,7 @@ HEADLINE = [
     "temperature_mix_weights",
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
+    "dsir_importance_weights",
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",

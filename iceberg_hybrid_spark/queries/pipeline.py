@@ -1672,7 +1672,110 @@ ORDER BY source
 """
 
 
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv 2302.03169):
+    score every document by its average unigram log-likelihood ratio
+    between a target-domain LM (here: the docs of source ``src0``) and
+    the whole-corpus LM, add-0.5 smoothing over the corpus vocabulary —
+    positive weight means "reads like the target domain".  Reports per
+    source: docs, mean weight, and the positively-weighted doc count
+    (the resample-in set) — the knob that tilts a pretraining mix toward
+    a target domain without hand-written rules.
+
+    Scale posture: the two LMs are vocabulary-sized relations built with
+    one counting shuffle each (the target side is a filtered partial
+    aggregation of the same exploded stream); scoring hash-joins the
+    doc-token stream to the LM relation on the token key — the
+    vocabulary is never broadcast (same posture as
+    ``unigram_logprob_quality``); per-doc and per-source rollups are
+    partial-aggregable.  Totals/vocab-size attach via single-row
+    broadcast crossJoins."""
+    docs = load_table(spark, sf_dir, "documents")
+    target_source = "src0"
+    tok = docs.select(
+        "source", "doc_id", F.explode(T.tokens("text")).alias("w")
+    )
+    corpus_counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_all"))
+    target_counts = (
+        tok.filter(F.col("source") == target_source)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    totals = corpus_counts.agg(
+        F.sum("c_all").alias("n_all"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(
+        F.broadcast(target_counts.agg(F.sum("c_t").alias("n_t")))
+    )
+    lm = (
+        corpus_counts.join(target_counts, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 0.5)
+                    / (F.col("n_t") + 0.5 * F.col("v"))
+                )
+                - F.log(
+                    (F.col("c_all") + 0.5) / (F.col("n_all") + 0.5 * F.col("v"))
+                )
+            ).alias("llr"),
+        )
+    )
+    per_doc = (
+        tok.join(lm, "w")
+        .groupBy("source", "doc_id")
+        .agg(F.avg("llr").alias("wgt"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            T.round_stable(F.avg("wgt"), 4).alias("mean_weight"),
+            F.sum(F.when(F.col("wgt") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+        )
+        .orderBy("source")
+    )
+
+
+DSIR_SQL = """
+WITH tok AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), corpus_counts AS (
+  SELECT w, COUNT(*) AS c_all FROM tok GROUP BY w
+), target_counts AS (
+  SELECT w, COUNT(*) AS c_t FROM tok WHERE source = 'src0' GROUP BY w
+), totals AS (
+  SELECT (SELECT SUM(c_all) FROM corpus_counts) AS n_all,
+         (SELECT COUNT(*) FROM corpus_counts) AS v,
+         (SELECT SUM(c_t) FROM target_counts) AS n_t
+), lm AS (
+  SELECT cc.w,
+         LN((COALESCE(tc.c_t, 0) + 0.5) / (t.n_t + 0.5 * t.v))
+         - LN((cc.c_all + 0.5) / (t.n_all + 0.5 * t.v)) AS llr
+  FROM corpus_counts cc LEFT JOIN target_counts tc ON cc.w = tc.w
+  CROSS JOIN totals t
+), per_doc AS (
+  SELECT tok.source, tok.doc_id, AVG(lm.llr) AS wgt
+  FROM tok JOIN lm ON tok.w = lm.w
+  GROUP BY tok.source, tok.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(wgt) - 0.000000001, 4) + 0.0 AS mean_weight,
+       CAST(SUM(CASE WHEN wgt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_SQL,
+              "DSIR importance weights: target-vs-corpus unigram "
+              "log-likelihood ratios per doc, rolled up per source"),
     QuerySpec("temperature_mix_weights", temperature_mix_weights,
               TEMPERATURE_MIX_SQL,
               "temperature-scaled source sampling weights (share^alpha, "

@@ -119,6 +119,7 @@ ALL_PAIRS_WHITELIST = {
     "source_token_divergence",
     "curriculum_stages",
     "temperature_mix_weights",
+    "dsir_importance_weights",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

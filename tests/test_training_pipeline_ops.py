@@ -8,6 +8,7 @@ from iceberg_hybrid_spark.queries.llm import near_dup_threshold_sweep
 from iceberg_hybrid_spark.queries.pipeline import (
     cross_split_contamination,
     curriculum_stages,
+    dsir_importance_weights,
     epoch_shuffle,
     source_token_divergence,
     temperature_mix_weights,
@@ -101,6 +102,19 @@ def test_curriculum_stages_partition_the_corpus(spark):
     counts = [r.n_docs for r in rows]
     assert sum(counts) == n
     assert max(counts) <= 2 * min(counts)
+
+
+def test_dsir_weights_discriminate_the_target_domain(spark):
+    rows = {r.source: r for r in dsir_importance_weights(spark, SF_DIR).collect()}
+    assert "src0" in rows and len(rows) > 1
+    target = rows["src0"]
+    others = [r for s, r in rows.items() if s != "src0"]
+    # the target domain must score itself higher than every other source
+    assert all(target.mean_weight > r.mean_weight for r in others)
+    # and attract the largest resample-in share
+    assert target.n_positive >= max(r.n_positive for r in others)
+    for r in rows.values():
+        assert 0 <= r.n_positive <= r.n_docs
 
 
 def test_temperature_mix_weights_flatten_toward_uniform(spark):

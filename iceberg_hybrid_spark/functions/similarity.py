@@ -525,8 +525,11 @@ def _kmeans_local(X, k: int, seed: int, iters: int = 25):
 
 
 # Deterministic training-sample cap: PQ codebooks are fitted on the
-# id-ordered prefix (production would hash-sample; the fixture corpora
-# fit entirely).  Bounded by contract — the collect is <= this many rows.
+# xxhash64(id)-ordered prefix — a deterministic UNBIASED sample (an
+# id-ordered prefix would correlate with crawl time/domain at 100 TB,
+# fitting codebooks to early-corpus geometry; the hash order is a
+# uniform draw that is still a pure function of the data).  Bounded by
+# contract — the collect is <= this many rows.
 _PQ_TRAIN_SAMPLE = 16384
 
 
@@ -548,8 +551,10 @@ def pq_build(
     embedding corpus serve ANN from memory).
 
     Training is DRIVER-SIDE on a bounded deterministic sample
-    (id-ordered prefix, <= ``_PQ_TRAIN_SAMPLE`` rows) — the FAISS
-    pattern, and deliberately different from ``ivf_build``'s distributed
+    (xxhash64-of-id ordered prefix, <= ``_PQ_TRAIN_SAMPLE`` rows — the
+    FAISS hash-sampling practice: unbiased w.r.t. crawl order, yet a
+    pure function of the data), and deliberately different from
+    ``ivf_build``'s distributed
     pyspark.ml trainer: codebooks for 16-dim subspaces converge on a
     tiny sample, a driver fit costs milliseconds instead of m Spark
     KMeans jobs (measured 14.2 s cold for m=4), and the fitted model
@@ -575,13 +580,26 @@ def pq_build(
         codebooks, sub = _PQ_MODEL_CACHE[key]
     else:
         sample = (
-            df.select(as_double_array(vec_col).alias("_a"))
-            .orderBy(id_col)
+            df.select(
+                as_double_array(vec_col).alias("_a"),
+                # deterministic unbiased draw: hash order, id tiebreak —
+                # TakeOrderedAndProject either way (no global sort)
+                F.xxhash64(F.col(id_col)).alias("_h"),
+                F.col(id_col).alias("_i"),
+            )
+            .orderBy("_h", "_i")
             .limit(_PQ_TRAIN_SAMPLE)
             .collect()
         )
+        if not sample:
+            raise ValueError("pq_build: empty training input")
         X = np.asarray([r["_a"] for r in sample], dtype=np.float64)
         dim = X.shape[1]
+        if dim % m:
+            # silent truncation would drop dim % m trailing coordinates
+            # from every codebook and code, changing ADC scores with no
+            # error — refuse instead (FAISS asserts d % M == 0 too).
+            raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
         sub = dim // m
         codebooks = [
             [list(map(float, c)) for c in _kmeans_local(

@@ -327,7 +327,14 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_dedup_ingest(
         spark, inbox, schema, corpus, fps, os.path.join(root, "ckpt")
     )
-    q.awaitTermination(300)
+    # AvailableNow self-terminates, so wait without a timeout: a timed
+    # wait whose False result is ignored would read the corpus while the
+    # drain is still writing (partial, nondeterministic result) and leak
+    # a running stream into the rest of the session.
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
     return (
         corpus.read()
         .groupBy("lang")
@@ -383,7 +390,12 @@ def streaming_watermarked_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # AvailableNow self-terminates; an ignored timed wait could read the
+    # sink mid-write on a loaded host (see streaming_dedup_ingest).
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
     sunk = spark.read.parquet(os.path.join(root, "sink"))
     return (
         sunk.select(

@@ -52,10 +52,10 @@ _RESCUE_PARTITIONS = 64
 
 def _ensure_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Rescue degenerate scan granularity: when a fold-heavy table arrives as
-    fewer splits than half the cluster's cores (single-file fixtures,
+    fewer splits than the constant rescue width (single-file fixtures,
     one-row-group parquet — which CANNOT split below a row group — or a
-    non-splittable codec), round-robin repartition to defaultParallelism
-    so per-row expression work runs on every core instead of one.
+    non-splittable codec), round-robin repartition to that width so
+    per-row expression work runs on every core instead of one.
 
     This is Spark's own documented remedy for unsplittable inputs, made
     conditional: at 100 TB a fact scan has thousands of row-group splits
@@ -65,8 +65,17 @@ def _ensure_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     otherwise re-merge into one partition and re-serialize the fold).
     Round-robin repartition is value-neutral and Catalyst pushes filters
     and column pruning through it into the scan (verified in
-    docs/PLANS.md: PushedFilters survive)."""
-    if df.rdd.getNumPartitions() * 2 < spark.sparkContext.defaultParallelism:
+    docs/PLANS.md: PushedFilters survive).
+
+    The trigger is MACHINE-INDEPENDENT by design: it compares the scan's
+    split count against the constant rescue width, never against
+    defaultParallelism.  The rescued layout feeds seeded distributed
+    KMeans training (IVF / SemDeDup) whose fitted centroids are pinned
+    as oracle literals, so both the width (the constant below) and the
+    *decision to fire* must be a pure function of the input files — a
+    core-count-dependent trigger would silently change the trained
+    model, and therefore correctness, between hosts."""
+    if df.rdd.getNumPartitions() < _RESCUE_PARTITIONS:
         return df.repartition(_RESCUE_PARTITIONS)
     return df
 

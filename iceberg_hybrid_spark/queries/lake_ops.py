@@ -425,6 +425,181 @@ ORDER BY window_start, event_type
 """
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION-window aggregation through the real streaming
+    path (readStream → withWatermark → session_window(30 min gap) per
+    user → append-mode parquet sink, drained with availableNow) — the
+    streaming twin of the batch ``user_sessions`` query, gated on values.
+
+    The oracle encodes BOTH session-window rules, not just the count:
+
+    - the GAP-MERGE rule: an event extends a session iff it falls at or
+      before last_ts + gap — TOUCHING intervals merge, so equal-to-gap
+      spacing continues the session and only ``diff > 1800`` starts a
+      new one (pinned empirically in
+      tests/test_streaming.py::test_session_window_gap_and_finalization_semantics;
+      the same rule as the batch ``user_sessions`` query), and each
+      session ends at last event + gap;
+    - the APPEND-MODE FINALIZATION rule: only sessions whose end <=
+      final watermark (max event time - 2 h) are emitted; trailing
+      unfinalized sessions are withheld as state and discarded at stop.
+
+    Deterministic for the same reason as streaming_watermarked_windows:
+    availableNow drains the single delivery before any watermark
+    advances, then the flush batch finalizes against max(ts)."""
+    from ..streaming.sync_stream import session_window_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    root = _scratch("streamsess")
+    inbox = os.path.join(root, "inbox")
+    ev.coalesce(1).write.mode("overwrite").parquet(inbox)
+    stream = spark.readStream.schema(ev.schema).parquet(inbox)
+    out = session_window_counts(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(root, "sink"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(os.path.join(root, "sink"))
+    return (
+        sunk.select(
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "event_count",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+STREAMING_SESSION_SQL = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+g AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events) x
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS event_count
+  FROM s GROUP BY user_id, sid
+)
+SELECT session_start, session_end, user_id, event_count
+FROM sess, wm
+WHERE sess.session_end <= wm.w
+ORDER BY user_id, session_start
+"""
+
+
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup-deduplicated ingestion (streaming/ingest.py's
+    persisted LSH band-state table — the 100 TB incremental dedup story)
+    driven through the oracle gate: the documents table is delivered to
+    an inbox twice (full batch + verbatim re-delivery, the at-least-once
+    upstream), drained with availableNow, and the surviving corpus is
+    reported per language.
+
+    Banding matches the batch pipeline's verified recall regime (32
+    hashes x 16 two-row bands; recall 1.0 over this corpus's threshold
+    pairs — same argument as MINHASH_NEAR_DUP_SQL, queries/llm.py), so
+    the oracle is the EXACT relation: min-id canonical per connected
+    component of the all-pairs Jaccard >= 0.3 graph (recursive CTE).
+    Batch-fold independent: one-batch folds collapse the re-delivery via
+    exact-row distinct, two-batch folds drop it via the band-state join
+    (every re-delivered doc is a 1.0-Jaccard match of its committed
+    copy) — either way the corpus equals the batch pipeline's output."""
+    from pyspark.sql import types as SPARK_T2
+
+    from ..streaming.ingest import BAND_STATE_DDL, start_near_dup_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = _scratch("streamneardup")
+    inbox = os.path.join(root, "inbox")
+    docs.coalesce(1).write.mode("append").parquet(inbox)
+    docs.coalesce(1).write.mode("append").parquet(inbox)  # re-delivery
+    corpus = HyTable(spark, os.path.join(root, "corpus"))
+    corpus.create(spark.createDataFrame([], docs.schema))
+    bands = HyTable(spark, os.path.join(root, "bands"))
+    bands.create(spark.createDataFrame([], BAND_STATE_DDL))
+    schema = SPARK_T2.StructType.fromDDL("doc_id bigint, lang string, text string")
+    q = start_near_dup_ingest(
+        spark, inbox, schema, corpus, bands, os.path.join(root, "ckpt"),
+        num_hashes=32, bands=16, threshold=0.3,
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        corpus.read()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang")
+    )
+
+
+# Exact near-dup canonicalization: survivors = every doc except
+# non-minimal members of a connected component of the Jaccard >= 0.3
+# pair graph (same recursive min-label CTE as NEAR_DUP_CLUSTERS_SQL;
+# shingle rule matches functions/text.py::shingle_hashes).
+STREAMING_NEARDUP_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+              - 0.000000001, 4) + 0.0 >= 0.3
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), victims AS (
+  SELECT node FROM (SELECT node, MIN(label) AS component
+                    FROM reach GROUP BY node) c
+  WHERE component < node
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM victims)
+GROUP BY lang ORDER BY lang
+"""
+
+
 def partitions_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``partitions`` metadata table (≙ Iceberg SELECT * FROM
     t.partitions): per-partition file/row counts straight from manifest
@@ -714,6 +889,14 @@ SPECS = [
     QuerySpec("streaming_dedup_ingest", streaming_dedup_ingest,
               STREAMING_DEDUP_SQL,
               "streaming exact-dedup ingestion with fingerprint state"),
+    QuerySpec("streaming_session_windows", streaming_session_windows,
+              STREAMING_SESSION_SQL,
+              "session windows (30 min gap) via the real streaming path; "
+              "oracle encodes gap-merge + append-mode finalization"),
+    QuerySpec("streaming_neardup_ingest", streaming_neardup_ingest,
+              STREAMING_NEARDUP_SQL,
+              "streaming near-dup ingestion with persisted LSH band "
+              "state; oracle = exact canonical survivors"),
     QuerySpec("partitions_metadata_stats", partitions_metadata_stats,
               PARTITIONS_METADATA_SQL,
               "partitions metadata table from manifest stats"),

@@ -166,6 +166,14 @@ def near_dup_ingest_batch(
         )
     if not batch_df.limit(1).count():
         return 0
+    # Batch-fold independence under at-least-once delivery: a verbatim
+    # re-delivery folded into the SAME micro-batch duplicates every row
+    # (same id, same text) — the pair relation can't see it (id_a < id_b
+    # never pairs a row with its own copy), so without this both copies
+    # of every survivor would reach the corpus.  Exact-row distinct is
+    # deterministic and collapses the one-batch fold to the two-batch
+    # result (where the state join drops the re-delivery instead).
+    batch_df = batch_df.dropDuplicates()
     # 1) in-batch resolution
     pairs = D.minhash_lsh_candidates(
         batch_df, id_col, text_col, num_hashes, bands, k
@@ -244,15 +252,22 @@ def start_near_dup_ingest(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
     threshold: float = 0.3,
     available_now: bool = True,
 ):
     """Tail ``inbox_dir`` and near-dup-dedup-ingest each micro-batch
-    (see :func:`near_dup_ingest_batch`)."""
+    (see :func:`near_dup_ingest_batch`).  Banding parameters pass through
+    so callers can match the batch pipeline's verified recall regime
+    (e.g. 32 hashes x 16 two-row bands, queries/llm.py
+    ``minhash_near_dup``)."""
 
     def drain(batch_df: DataFrame, _batch_id: int) -> None:
         near_dup_ingest_batch(
-            batch_df, corpus, bands_state, text_col, id_col, threshold=threshold
+            batch_df, corpus, bands_state, text_col, id_col,
+            num_hashes, bands, k, threshold,
         )
 
     writer = (

@@ -69,6 +69,45 @@ def test_session_windows(spark, events_dir, tmp_path):
     assert sorted(r.event_count for r in out) == [1, 2]
 
 
+def test_session_window_gap_and_finalization_semantics(spark, events_dir, tmp_path):
+    """Pins the two rules the streaming_session_windows oracle encodes:
+    TOUCHING event intervals merge (an event exactly GAP after the
+    previous one CONTINUES the session; only diff > gap starts a new
+    one), and append mode emits only sessions whose end <= final
+    watermark — trailing sessions are withheld."""
+    _write_events(spark, events_dir, [
+        # user 1: exactly 30:00 gap → ONE session (touching intervals
+        # merge), end = last event + gap = 01:00
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 30, 0), 1, "click", 1.0),
+        # user 2: 30:01 gap → TWO sessions
+        (3, dt.datetime(2024, 1, 1, 0, 0, 0), 2, "click", 1.0),
+        (4, dt.datetime(2024, 1, 1, 0, 30, 1), 2, "click", 1.0),
+        # user 3: the watermark anchor (max ts 10:00 → watermark 08:00);
+        # its own session ends 10:30 > watermark → withheld
+        (5, dt.datetime(2024, 1, 1, 10, 0, 0), 3, "click", 1.0),
+    ])
+    stream = ST.read_event_stream(spark, events_dir)
+    out = (
+        ST.session_window_counts(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_semantics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    rows = spark.sql("SELECT * FROM sess_semantics").collect()
+    got = {(r.user_id, r.session_start, r.session_end, r.event_count) for r in rows}
+    assert got == {
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 1, 0, 0), 2),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 0, 30, 0), 1),
+        (2, dt.datetime(2024, 1, 1, 0, 30, 1), dt.datetime(2024, 1, 1, 1, 0, 1), 1),
+        # user 3's unfinalized session must NOT appear
+    }
+
+
 def test_stateful_tracker_accumulates_across_batches(spark, events_dir, tmp_path):
     """State survives micro-batches AND restarts: the second run resumes
     from the checkpoint and continues the per-key counts."""

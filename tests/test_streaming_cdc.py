@@ -212,6 +212,36 @@ def test_streaming_near_dup_ingest(spark, tmp_path):
     assert {r.doc_id for r in bands.read().select("doc_id").distinct().collect()} == {1, 5}
 
 
+def test_near_dup_ingest_same_batch_redelivery(spark, tmp_path):
+    """Batch-fold independence: a verbatim re-delivery folded into the
+    SAME micro-batch (identical doc_id + text rows) must not commit the
+    survivor twice — the pair relation cannot see same-id duplicates
+    (id_a < id_b never pairs a row with its own copy), so the batch
+    entry point collapses exact-row duplicates first."""
+    from pyspark.sql import types as T
+
+    from iceberg_hybrid_spark.streaming.ingest import (
+        BAND_STATE_DDL,
+        near_dup_ingest_batch,
+    )
+
+    DOC_SCHEMA = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    text = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before the rain begins to fall")
+    corpus = HyTable(spark, str(tmp_path / "corpus"))
+    corpus.create(spark.createDataFrame([], DOC_SCHEMA))
+    bands = HyTable(spark, str(tmp_path / "bands"))
+    bands.create(spark.createDataFrame([], BAND_STATE_DDL))
+
+    batch = spark.createDataFrame([(1, text), (1, text)], DOC_SCHEMA)
+    n = near_dup_ingest_batch(batch, corpus, bands)
+    assert n == 1
+    assert corpus.read().count() == 1  # one ROW, not just one distinct id
+
+
 def test_dedup_ingest_repairs_torn_state_commit(spark, tmp_path):
     """A prior attempt that died between the corpus commit and the
     fingerprint commit must not cause duplicates on retry: the next

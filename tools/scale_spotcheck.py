@@ -138,6 +138,99 @@ def build_corpus(spark, replicas: int) -> str:
     return out
 
 
+# --- lake-format scale scenarios -------------------------------------------
+# The registry's lake-ops queries drive their lifecycles from TINY dims
+# (nation/region), so running them against the replicated corpus would
+# measure nothing.  These scenarios drive the same HyTable code paths
+# (manifest commit, MOR delete apply-on-read, changelog diff, bucketed
+# exchange-free join) from the REPLICATED documents corpus, so the
+# table-format overheads get honest 1x-vs-Nx evidence.  Invoke by name:
+#   python tools/scale_spotcheck.py lake_mor_lifecycle lake_changelog ...
+
+def _fresh(tag: str) -> str:
+    import shutil
+    root = os.path.join(WORK, "lake", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def lake_mor_lifecycle(spark, sf_dir):
+    """create (manifest write) → equality-delete file → MOR upsert →
+    delete-applying read.  Measures commit + apply-on-read cost vs
+    corpus size; the delete hits ~10% of rows."""
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    n = docs.count()
+    t = HyTable(spark, _fresh(f"mor_{os.path.basename(sf_dir)}"))
+    t.create(docs)
+    t.delete_where_mor([("doc_id", "<", n // 10)], ["doc_id"])
+    t.upsert_mor(
+        spark.createDataFrame(
+            [(int(n // 2), "xx", "UPSERTED_ROW")], "doc_id bigint, lang string, text string"
+        ),
+        ["doc_id"],
+    )
+    return t.read().groupBy("lang").count().orderBy("lang")
+
+
+def lake_changelog(spark, sf_dir):
+    """create half → append half → delete 5% → row-level changelog
+    across the three snapshots (insert + delete rows)."""
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    n = docs.count()
+    t = HyTable(spark, _fresh(f"cl_{os.path.basename(sf_dir)}"))
+    t.create(docs.filter(F.col("doc_id") < n // 2))
+    t.append(docs.filter(F.col("doc_id") >= n // 2))
+    t.delete_where([("doc_id", "<", n // 20)])
+    return t.changelog(1, 3).groupBy("_change_type").count().orderBy("_change_type")
+
+
+def lake_bucketed_join(spark, sf_dir):
+    """bucketBy(8) write of two narrow projections + the exchange-free
+    sort-merge self-join on doc_id (the write.distribution-mode=hash
+    payoff) — measures whether the bucketed path stays shuffle-free and
+    scan-bound as the fact side grows."""
+    import hashlib
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    sides = {}
+    for side, cols in (("a", ("doc_id", "lang")), ("b", ("doc_id", "n_chars"))):
+        name = f"ihs_spot_bkt_{side}_{tag}"
+        path = os.path.join(tempfile.gettempdir(), "ihs_spot_bkt", f"{side}_{tag}")
+        if not spark.catalog.tableExists(name):
+            (
+                docs.select(*cols)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(8, "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(name)
+            )
+        sides[side] = spark.table(name)
+    return (
+        sides["a"].join(sides["b"], "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy("lang")
+    )
+
+
+LAKE_SCENARIOS = {
+    "lake_mor_lifecycle": lake_mor_lifecycle,
+    "lake_changelog": lake_changelog,
+    "lake_bucketed_join": lake_bucketed_join,
+}
+
+
 def main() -> None:
     replicas = int(os.environ.get("SPOT_REPLICAS", "16"))
     names = sys.argv[1:] or list(DEFAULT_QUERIES)
@@ -163,7 +256,7 @@ def main() -> None:
     spark.range(1000).select(_warm(_F.col("id"))).collect()
 
     for name in names:
-        fn = specs[name].fn
+        fn = LAKE_SCENARIOS.get(name) or specs[name].fn
         times = {}
         for label, sf_dir in (("x1", base_dir), (f"x{replicas}", big_dir)):
             best = None

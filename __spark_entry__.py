@@ -37,6 +37,9 @@ _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
     "streaming_session_windows",
     "streaming_neardup_ingest",
+    "bm25_doc_ranking",
+    "data_constrained_epochs",
+    "quality_calibration_bins",
     # pinned oracles regenerated this round (hash-ordered PQ training
     # sample; xxhash64 boundary rule) — prior rows validated old values
     "embedding_pq_ann",
@@ -85,11 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "top_nation_per_region",
     "top_return_customers",
     "video_frame_counts",
-    # last driver row: round 4 — oldest table-format rows first
+    # last driver row: round 4 — oldest table-format row as top-up
     "merge_upsert_result",
-    "spec_evolution_read",
-    "refs_listing",
-    "tag_mor_pinned_read",
 )
 
 

@@ -1772,7 +1772,276 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query — the retrieval primitive
+    a targeted-curation pipeline runs to pull domain-relevant documents
+    out of a crawl (and the lexical half of hybrid retrieval next to the
+    ANN family).  Robertson/Sparck-Jones BM25 with k1=1.2, b=0.75:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)); top 20, doc_id tiebreak.
+
+    Scale shape: one token explode feeds both the per-doc lengths (one
+    counting shuffle) and the tf relation, which is FILTERED to the
+    query terms before its shuffle — corpus-sized relations never carry
+    the scoring join.  df/N/avgdl are term-count/single-row aggregates
+    (broadcast); ranking is TakeOrderedAndProject.  No global sort, no
+    vocabulary broadcast."""
+    k1, b = 1.2, 0.75
+    terms = ("scan", "merge", "vector")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(T.round_stable(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), lens AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  WHERE w IN ('scan', 'merge', 'vector') GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w
+)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+       ) - 0.000000001, 4) + 0.0 AS bm25
+FROM tf
+JOIN dfreq d ON tf.w = d.w
+JOIN lens l ON tf.doc_id = l.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id ASC
+LIMIT 20
+"""
+
+
+def data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repetition planning (Muennighoff et al.,
+    "Scaling Data-Constrained Language Models", arXiv 2305.16264): when
+    the training budget exceeds the unique corpus, sources are repeated
+    for multiple epochs, but repeated tokens decay in value — the paper
+    fits effective data D' = U·(1 + R*·(1 - e^(-R/R*))) with R* = 15.39
+    repetitions.  Given a 4×-unique-tokens budget allocated by
+    temperature-weighted share (τ = 0.7, the temperature_mix_weights
+    rule), reports per source: allocated tokens, epochs, effective
+    tokens under the decay, and the marginal efficiency — the planner's
+    input for deciding where extra epochs are still worth compute.
+
+    Scale shape: ONE counting shuffle (tokens per source, a partial
+    agg); everything downstream operates on the #sources-row relation.
+    """
+    r_star = 15.39
+    tau = 0.7
+    budget_x = 4.0
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("source", T.token_count("text").cast("double").alias("tc"))
+    per_src = src.groupBy("source").agg(F.sum("tc").alias("u"))
+    totals = per_src.agg(
+        F.sum("u").alias("total_u"),
+        F.sum(F.pow(F.col("u"), tau)).alias("z"),
+    )
+    planned = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.col("u").cast("bigint").alias("unique_tokens"),
+        (F.lit(budget_x) * F.col("total_u") * F.pow(F.col("u"), tau) / F.col("z"))
+        .alias("alloc"),
+        F.col("u").alias("_u"),
+    )
+    eff = F.least(
+        F.col("alloc"),
+        F.col("_u")
+        * (
+            1.0
+            + r_star
+            * (1.0 - F.exp(-F.greatest(F.col("alloc") / F.col("_u") - 1.0, F.lit(0.0)) / r_star))
+        ),
+    )
+    return planned.select(
+        "source",
+        "unique_tokens",
+        T.round_stable(F.col("alloc"), 2).alias("alloc_tokens"),
+        T.round_stable(F.col("alloc") / F.col("_u"), 4).alias("epochs"),
+        T.round_stable(eff, 2).alias("effective_tokens"),
+        T.round_stable(eff / F.col("alloc"), 4).alias("efficiency"),
+    ).orderBy("source")
+
+
+DATA_CONSTRAINED_SQL = """
+WITH per_src AS (
+  SELECT source, SUM(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS u
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT SUM(u) AS total_u, SUM(power(u, 0.7)) AS z FROM per_src
+), planned AS (
+  SELECT source, CAST(u AS BIGINT) AS unique_tokens,
+         4.0 * t.total_u * power(u, 0.7) / t.z AS alloc, u AS _u
+  FROM per_src CROSS JOIN totals t
+), e AS (
+  SELECT *,
+         LEAST(alloc,
+               _u * (1.0 + 15.39 * (1.0 - exp(-GREATEST(alloc / _u - 1.0, 0.0)
+                                              / 15.39)))) AS eff
+  FROM planned
+)
+SELECT source, unique_tokens,
+       ROUND(alloc - 0.000000001, 2) + 0.0 AS alloc_tokens,
+       ROUND(alloc / _u - 0.000000001, 4) + 0.0 AS epochs,
+       ROUND(eff - 0.000000001, 2) + 0.0 AS effective_tokens,
+       ROUND(eff / alloc - 0.000000001, 4) + 0.0 AS efficiency
+FROM e ORDER BY source
+"""
+
+
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration: the heuristic quality score
+    (functions/text.py::quality_score — the cheap gate) binned into
+    corpus deciles and audited against the CCNet unigram cross-entropy
+    (the expensive LM signal) — the curve a pipeline inspects before
+    trusting the cheap score as a selection proxy; a non-monotone bin
+    means the heuristic misorders that quality band.
+
+    Scale posture: NO global NTILE/sort — deciles come from the same
+    bounded score-distribution trick as curriculum_stages (the corpus
+    collapses to its 4dp quality histogram, cumulative window over that
+    tiny relation, doc → decile is a broadcast join on the score);
+    per-doc bits reuse the unigram model's one counting shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score("text").alias("q")
+    )
+    dist = scored.groupBy("q").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    total = dist.agg(F.sum("n_docs").alias("n_total"))
+    deciles = (
+        dist.select("q", F.coalesce(F.sum("n_docs").over(w_cum), F.lit(0)).alias("before"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "q",
+            F.least(
+                F.floor(F.lit(10) * F.col("before") / F.col("n_total")) + 1, F.lit(10)
+            ).cast("bigint").alias("decile"),
+        )
+    )
+    tok = docs.select("lang", "doc_id", F.explode(T.tokens("text")).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    lang_totals = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    probs = counts.join(F.broadcast(lang_totals), "lang").select(
+        "lang", "w", F.log2(F.col("c") / F.col("n")).alias("logp")
+    )
+    doc_bits = (
+        tok.join(probs, ["lang", "w"])
+        .groupBy("lang", "doc_id")
+        .agg(T.round_stable(-F.avg("logp"), 4).alias("bits"))
+    )
+    return (
+        scored.join(F.broadcast(deciles), "q")
+        .join(doc_bits, ["lang", "doc_id"])
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            T.round_stable(F.avg("q"), 4).alias("avg_quality"),
+            T.round_stable(F.avg("bits"), 4).alias("avg_bits"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUALITY_CALIBRATION_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         ROUND(0.5 * (dt / tc)
+               + 0.3 * least((sc / tc) * 10.0, 1.0)
+               + 0.2 * least(tc / 100.0, 1.0) - 0.000000001, 4) + 0.0 AS q
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS tc,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS dt,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ('the', 'a'))) AS DOUBLE) AS sc
+    FROM documents
+  ) d
+), dist AS (
+  SELECT q, COUNT(*) AS n_docs FROM scored GROUP BY q
+), total AS (SELECT SUM(n_docs) AS n_total FROM dist),
+deciles AS (
+  SELECT q,
+         CAST(LEAST(FLOOR(10.0 * COALESCE(SUM(n_docs) OVER (
+             ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / t.n_total) + 1, 10) AS BIGINT) AS decile
+  FROM dist CROSS JOIN total t
+), tok AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+  SELECT lang, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY lang, w
+), lt AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY lang),
+probs AS (
+  SELECT counts.lang AS lang, w, log2(c / n) AS logp
+  FROM counts JOIN lt ON counts.lang = lt.lang
+), doc_bits AS (
+  SELECT t.lang, t.doc_id,
+         ROUND(-AVG(p.logp) - 0.000000001, 4) + 0.0 AS bits
+  FROM tok t JOIN probs p ON t.lang = p.lang AND t.w = p.w
+  GROUP BY t.lang, t.doc_id
+)
+SELECT decile,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(s.q) - 0.000000001, 4) + 0.0 AS avg_quality,
+       ROUND(AVG(b.bits) - 0.000000001, 4) + 0.0 AS avg_bits
+FROM scored s
+JOIN deciles USING (q)
+JOIN doc_bits b ON s.lang = b.lang AND s.doc_id = b.doc_id
+GROUP BY decile ORDER BY decile
+"""
+
+
 SPECS = [
+    QuerySpec("bm25_doc_ranking", bm25_doc_ranking, BM25_SQL,
+              "BM25 top-20 retrieval for targeted curation (k1=1.2, "
+              "b=0.75, ln idf)"),
+    QuerySpec("data_constrained_epochs", data_constrained_epochs,
+              DATA_CONSTRAINED_SQL,
+              "multi-epoch repetition planning with effective-token "
+              "decay (2305.16264, R*=15.39)"),
+    QuerySpec("quality_calibration_bins", quality_calibration_bins,
+              QUALITY_CALIBRATION_SQL,
+              "heuristic-quality deciles audited against unigram "
+              "cross-entropy (calibration curve)"),
     QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_SQL,
               "DSIR importance weights: target-vs-corpus unigram "
               "log-likelihood ratios per doc, rolled up per source"),

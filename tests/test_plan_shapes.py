@@ -120,6 +120,11 @@ ALL_PAIRS_WHITELIST = {
     "curriculum_stages",
     "temperature_mix_weights",
     "dsir_importance_weights",
+    # round 6: same scalar-subquery shape — corpus totals (1 row) /
+    # bounded score-distribution relations cross-joined onto reports
+    "bm25_doc_ranking",
+    "data_constrained_epochs",
+    "quality_calibration_bins",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

@@ -73,6 +73,10 @@ HEADLINE = [
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",
+    # round-6 operators
+    "bm25_doc_ranking",
+    "data_constrained_epochs",
+    "quality_calibration_bins",
 ]
 
 

@@ -48,6 +48,10 @@ QUERIES = [
     "epoch_shuffle",
     "token_budget_selection",
     "source_token_divergence",
+    # round-6 operators
+    "bm25_doc_ranking",
+    "data_constrained_epochs",
+    "quality_calibration_bins",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

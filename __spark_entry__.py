@@ -40,6 +40,8 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_doc_ranking",
     "data_constrained_epochs",
     "quality_calibration_bins",
+    "maximal_shared_spans",
+    "bpe_merge_candidates",
     # pinned oracles regenerated this round (hash-ordered PQ training
     # sample; xxhash64 boundary rule) — prior rows validated old values
     "embedding_pq_ann",
@@ -87,9 +89,10 @@ _PRIORITY: tuple[str, ...] = (
     "top_customers_by_spend",
     "top_nation_per_region",
     "top_return_customers",
-    "video_frame_counts",
-    # last driver row: round 4 — oldest table-format row as top-up
-    "merge_upsert_result",
+    # (merge_upsert_result — the round-4 top-up — and video_frame_counts
+    # fell out when the two final round-6 queries took their slots: the
+    # window is exactly 50 and brand-new queries outrank old vintage;
+    # both remain covered by the full-registry replica gate)
 )
 
 

@@ -77,6 +77,8 @@ HEADLINE = [
     "bm25_doc_ranking",
     "data_constrained_epochs",
     "quality_calibration_bins",
+    "maximal_shared_spans",
+    "bpe_merge_candidates",
 ]
 
 

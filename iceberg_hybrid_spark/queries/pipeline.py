@@ -2030,7 +2030,152 @@ GROUP BY decile ORDER BY decile
 """
 
 
+def maximal_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication as MAXIMAL spans (the operation behind
+    suffix-array dedup, Lee et al. "Deduplicating Training Data Makes
+    Language Models Better", arXiv 2107.06499, re-expressed relationally):
+    consecutive matching 8-token windows between two documents merge into
+    their maximal shared run, reported per pair as longest-span length +
+    span count — the repair plan for partial-copy contamination that
+    whole-document and single-window reports both miss.
+
+    Plan shape: window fingerprints are 8-byte chained xxhash64 longs
+    (map-only); a BOILERPLATE GUARD drops fingerprints appearing in more
+    than 8 distinct documents BEFORE the pair join (one counting agg —
+    the high-df windows are exactly the ubiquitous boilerplate whose
+    pair fanout would otherwise be quadratic; 2107.06499 drops them
+    too), so join output tracks true shared-run volume.  Island merge is
+    the classic gaps-and-islands trick: matches on one (pair, diagonal)
+    with consecutive positions share ``pos - row_number()`` — the window
+    key (pair, diag) is high-cardinality, never a corpus-global sort.
+    The oracle recomputes spans from raw text with content-equality
+    windows (hash-vs-content equality agree up to xxhash64 collisions).
+    """
+    k = 8
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    wh = F.transform(w, lambda t: F.xxhash64(t))
+    m = F.size(wh) - (k - 1)
+    acc = F.slice(wh, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(wh, j + 1, m), lambda x, y: F.xxhash64(x, y))
+    fps = F.when(m >= 1, acc).otherwise(F.array().cast("array<bigint>"))
+    win = docs.select("doc_id", F.posexplode(fps).alias("p0", "fp")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "fp"
+    )
+    rare = (
+        win.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 8)
+        .select("fp")
+    )
+    # plain hash join — `rare` is corpus-derived and must never broadcast
+    win = win.join(rare, "fp").repartition(F.col("fp"))
+    a, b = win.alias("a"), win.alias("b").hint("shuffle_hash")
+    matches = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w_isl = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    spans = (
+        matches.withColumn("isl", F.col("pos_a") - F.row_number().over(w_isl))
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("span_tokens"))
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            F.max("span_tokens").cast("bigint").alias("longest_span_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .orderBy(F.desc("longest_span_tokens"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+MAXIMAL_SPANS_SQL = """
+WITH win AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[i:i+7], ' ') AS fp
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       UNNEST(range(1, greatest(len(w) - 6, 1))) AS t(i)
+), rare AS (
+  SELECT fp FROM win GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 8
+), fw AS (
+  SELECT win.* FROM win JOIN rare USING (fp)
+), matches AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM fw a JOIN fw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+), islands AS (
+  SELECT id_a, id_b, diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                    ORDER BY pos_a) AS isl
+  FROM matches
+), spans AS (
+  SELECT id_a, id_b, diag, isl, COUNT(*) + 7 AS span_tokens
+  FROM islands GROUP BY id_a, id_b, diag, isl
+)
+SELECT id_a, id_b,
+       CAST(MAX(span_tokens) AS BIGINT) AS longest_span_tokens,
+       COUNT(*) AS n_spans
+FROM spans GROUP BY id_a, id_b
+ORDER BY longest_span_tokens DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training round over the corpus: count adjacent token
+    pairs and report the top-20 merge candidates (Sennrich et al. BPE,
+    arXiv 1508.07909 — each training iteration merges the most frequent
+    adjacent pair; this is the counting kernel that iteration runs, and
+    the profile a tokenizer-budget decision reads).
+
+    Plan shape: the pair stream comes from two shifted slices zipped
+    map-side (never slice-inside-lambda), then ONE counting shuffle on
+    the pair key; ranking is TakeOrderedAndProject.  At 100 TB this is
+    a word-count — the canonical partial-agg shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    m = F.size(w) - 1
+    pairs = F.when(
+        m >= 1,
+        F.zip_with(F.slice(w, 1, m), F.slice(w, 2, m), lambda x, y: F.concat_ws(" ", x, y)),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+BPE_MERGE_SQL = """
+SELECT pair, COUNT(*) AS pair_count
+FROM (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+           AS pair
+  FROM (SELECT string_split(text, ' ') AS w FROM documents) d
+) p
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT 20
+"""
+
+
 SPECS = [
+    QuerySpec("maximal_shared_spans", maximal_shared_spans, MAXIMAL_SPANS_SQL,
+              "maximal exact shared-substring spans per doc pair "
+              "(2107.06499), boilerplate-df-capped window join"),
+    QuerySpec("bpe_merge_candidates", bpe_merge_candidates, BPE_MERGE_SQL,
+              "BPE first-merge-round adjacent-pair counts (1508.07909)"),
     QuerySpec("bm25_doc_ranking", bm25_doc_ranking, BM25_SQL,
               "BM25 top-20 retrieval for targeted curation (k1=1.2, "
               "b=0.75, ln idf)"),

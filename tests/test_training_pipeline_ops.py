@@ -215,3 +215,45 @@ def test_quality_calibration_bins_partition_the_corpus(spark):
     assert sum(r.n_docs for r in rows) == n_total
     qualities = [r.avg_quality for r in rows]
     assert qualities == sorted(qualities), "bins must ascend in quality"
+
+
+def test_maximal_shared_spans_merges_planted_run(spark, tmp_path):
+    """A planted 12-token shared run between two docs must surface as
+    ONE maximal span of exactly 12 tokens, and a window shared by more
+    than 8 documents must be excluded by the boilerplate df-cap."""
+    import os
+
+    from iceberg_hybrid_spark.queries.pipeline import maximal_shared_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    assert len(shared.split()) == 12
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"  # one 8-token window, in 10 docs
+    rows = [
+        (1, "xx", f"one unique prefix {shared} and a unique tail here one"),
+        (2, "xx", f"two other start {shared} differing suffix tokens two"),
+    ] + [
+        (10 + i, "xx", f"filler{i} pad{i} {boiler} trail{i} more{i}")
+        for i in range(10)
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = maximal_shared_spans(spark, sf).collect()
+    got = {(r.id_a, r.id_b): (r.longest_span_tokens, r.n_spans) for r in out}
+    assert got.get((1, 2)) == (12, 1), got
+    # the boilerplate window (df = 10 > 8) produces no pair rows
+    assert all(a == 1 and b == 2 for a, b in got), got
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from iceberg_hybrid_spark.queries.pipeline import bpe_merge_candidates
+
+    rows = bpe_merge_candidates(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.pair.split(" ")) == 2 for r in rows)

@@ -52,6 +52,8 @@ QUERIES = [
     "bm25_doc_ranking",
     "data_constrained_epochs",
     "quality_calibration_bins",
+    "maximal_shared_spans",
+    "bpe_merge_candidates",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -1258,16 +1258,39 @@ class HyTable:
         """
         if not eq_dels and not pos_dels:
             return df
-        for ref in eq_dels:
-            cols = list(ref.delete_cols)
-            del_rows = self.spark.read.parquet(os.path.join(self.root, ref.path))
-            # STRICTLY smaller sequence (Iceberg rule): a same-commit
-            # upsert's new data file is not hidden by its own delete file
-            applies = F.col("__seq") < F.lit(ref.added_seq)
-            old = df.filter(applies)
-            new = df.filter(~applies)
-            old = old.join(F.broadcast(del_rows.select(cols).distinct()), cols, "left_anti")
-            df = old.unionByName(new)
+        if eq_dels:
+            # ONE broadcast anti-join per delete-column-set, with the
+            # sequence rule as a join residual: a row is dropped iff SOME
+            # delete entry matches its identity columns AND was added at
+            # a STRICTLY larger sequence (Iceberg rule — a same-commit
+            # upsert's new data file is not hidden by its own delete
+            # file).  Anti-joins only remove rows, so folding every
+            # delete file into one EXISTS relation is equivalent to
+            # applying them iteratively — and avoids the previous
+            # filter-split-union per file, whose plan tree DOUBLED per
+            # delete file (2^N scan branches; a table with 20 streamed
+            # delete commits would not even compile a plan).
+            from collections import defaultdict
+
+            by_cols: dict[tuple, list] = defaultdict(list)
+            for ref in eq_dels:
+                by_cols[tuple(ref.delete_cols)].append(ref)
+            for cols_t in sorted(by_cols):
+                cols = list(cols_t)
+                parts = [
+                    self.spark.read.parquet(os.path.join(self.root, r.path))
+                    .select(*cols)
+                    .distinct()
+                    .withColumn("__dseq", F.lit(r.added_seq).cast("long"))
+                    for r in by_cols[cols_t]
+                ]
+                del_all = parts[0]
+                for p in parts[1:]:
+                    del_all = del_all.unionByName(p)
+                cond = F.col("__seq") < del_all["__dseq"]
+                for c in cols:
+                    cond = cond & (df[c] == del_all[c])
+                df = df.join(F.broadcast(del_all), cond, "left_anti")
         if pos_dels:
             del_rows = self.spark.read.parquet(
                 *[os.path.join(self.root, r.path) for r in pos_dels]

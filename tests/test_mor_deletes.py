@@ -159,3 +159,20 @@ def test_read_branch_applies_mor_deletes(spark, table):
     branched = table.read_branch("pinned")
     assert branched.count() == 95
     assert set(branched.columns) == {"id", "grp"}
+
+
+def test_many_delete_files_stay_linear(spark, table):
+    """Plan growth regression: 15 equality-delete commits must read
+    correctly and produce a plan LINEAR in delete files.  The pre-fix
+    apply path split the scan into old/new branches per delete file
+    (2^15 = 32768 scan leaves — unplannable); the folded EXISTS
+    anti-join keeps one join per delete-column-set."""
+    for i in range(15):
+        table.delete_where_mor([("id", "=", i)], delete_cols=["id"])
+    df = table.read()
+    assert df.count() == 85
+    assert df.filter("id < 15").count() == 0
+    # the analyzed plan must contain exactly ONE anti-join over the
+    # folded delete relation, not one (or 2^N) per file
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 1, plan[:2000]

@@ -360,9 +360,18 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
     DIVIDE_BY_ZERO, and under non-ANSI it yields NaN — which Spark
     orders above every number, so ``j >= threshold`` would silently
     ADMIT empty-empty pairs while the SQL oracles (NULL division)
-    exclude them.  The guard makes all three engines agree."""
+    exclude them.
+
+    The guard is BRANCH-FREE on purpose: ``inter / greatest(union, 1)``
+    equals the plain division whenever union > 0 and equals 0.0 when
+    both sets are empty (inter is 0 then).  A CASE WHEN guard here cost
+    3× on the pair-verify hot path — Spark's subexpression elimination
+    does not extract expressions into/out of lazily-evaluated CASE
+    branches, so the dominant ``array_intersect`` evaluated once for
+    the condition and again inside the branch (measured 27.7 s vs
+    9.5 s on the 16× shingle-pair spotcheck)."""
     from .text import round_stable
 
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
-    return F.when(union > 0, round_stable(inter / union, 4)).otherwise(F.lit(0.0))
+    return round_stable(inter / F.greatest(union, F.lit(1)), 4)

@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "quality_calibration_bins",
     "maximal_shared_spans",
     "bpe_merge_candidates",
+    "streaming_interval_join",
     # pinned oracles regenerated this round (hash-ordered PQ training
     # sample; xxhash64 boundary rule) — prior rows validated old values
     "embedding_pq_ann",
@@ -88,11 +89,10 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_part_volume",
     "top_customers_by_spend",
     "top_nation_per_region",
-    "top_return_customers",
-    # (merge_upsert_result — the round-4 top-up — and video_frame_counts
-    # fell out when the two final round-6 queries took their slots: the
-    # window is exactly 50 and brand-new queries outrank old vintage;
-    # both remain covered by the full-registry replica gate)
+    # (merge_upsert_result — the round-4 top-up — plus video_frame_counts
+    # and top_return_customers fell out as the final round-6 queries took
+    # their slots: the window is exactly 50 and brand-new queries outrank
+    # old vintage; all remain covered by the full-registry replica gate)
 )
 
 

@@ -562,6 +562,76 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join through the real
+    Structured Streaming path: click and purchase streams (two
+    readStream sources over the same inbox, filtered by type) joined on
+    user with ``click_ts`` in the hour preceding each purchase
+    (streaming/sync_stream.py::clicks_to_purchases_join), drained with
+    availableNow into an append parquet sink.
+
+    Value-gates the interval-join semantics themselves: an inner
+    stream-stream join EMITS every match regardless of the watermark
+    (the watermark only bounds state and drops late arrivals), so with
+    a single delivery the emitted relation equals the batch interval
+    join — which is exactly what the DuckDB oracle computes.  A
+    regression in the join-condition translation (bounds flipped,
+    interval off-by-one) or in the drain (partial sink) fails the
+    value hash, not just a unit test."""
+    from ..streaming.sync_stream import clicks_to_purchases_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    root = _scratch("streamjoin")
+    inbox = os.path.join(root, "inbox")
+    ev.coalesce(1).write.mode("overwrite").parquet(inbox)
+
+    def stream():
+        return spark.readStream.schema(ev.schema).parquet(inbox)
+
+    clicks = stream().filter(F.col("event_type") == "click")
+    purchases = stream().filter(F.col("event_type") == "purchase")
+    out = clicks_to_purchases_join(clicks, purchases, within="1 hour")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(root, "sink"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(os.path.join(root, "sink"))
+    return (
+        sunk.select(
+            "p_user",
+            "purchase_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "click_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+SELECT p.user_id AS p_user, p.event_id AS purchase_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id
+"""
+
+
 # Exact near-dup canonicalization: survivors = every doc except
 # non-minimal members of a connected component of the Jaccard >= 0.3
 # pair graph (same recursive min-label CTE as NEAR_DUP_CLUSTERS_SQL;
@@ -897,6 +967,10 @@ SPECS = [
               STREAMING_NEARDUP_SQL,
               "streaming near-dup ingestion with persisted LSH band "
               "state; oracle = exact canonical survivors"),
+    QuerySpec("streaming_interval_join", streaming_interval_join,
+              STREAMING_INTERVAL_JOIN_SQL,
+              "watermarked stream-stream interval join (clicks within "
+              "1 h before each purchase) via the real streaming path"),
     QuerySpec("partitions_metadata_stats", partitions_metadata_stats,
               PARTITIONS_METADATA_SQL,
               "partitions metadata table from manifest stats"),

@@ -621,6 +621,86 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator through the oracle gate:
+    ``applyInPandasWithState`` keyed by user tracks (event count, last
+    type, #type-transitions) — the SyncEvent status state machine
+    generalized (streaming/sync_stream.py::status_transition_tracker) —
+    drained with availableNow through foreachBatch into parquet (a file
+    sink cannot take update-mode stateful output directly).
+
+    Update-mode emissions are CUMULATIVE per key, so the final state per
+    user equals the batch aggregation over the whole delivery; the query
+    keeps each user's highest-total emission (one row per user when the
+    drain folds to a single batch, and still the final state if the
+    source ever split batches).  The DuckDB oracle recomputes all three
+    state fields relationally — count, arg-max-by-(ts,event_id) last
+    type, and consecutive-transition count via LAG — so a regression in
+    the state fold, the in-batch ordering rule, or the Arrow batch
+    iteration fails the value hash."""
+    from pyspark.sql import Window
+
+    from ..streaming.sync_stream import status_transition_tracker
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    root = _scratch("streamstate")
+    inbox = os.path.join(root, "inbox")
+    ev.coalesce(1).write.mode("overwrite").parquet(inbox)
+    stream = spark.readStream.schema(ev.schema).parquet(inbox)
+    out = status_transition_tracker(stream)
+    sink = os.path.join(root, "sink")
+
+    # update-mode stateful output cannot write to a file sink directly;
+    # foreachBatch appends each micro-batch's (cumulative) emissions —
+    # the standard pattern for update-mode → storage.
+    def drain(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.foreachBatch(drain)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(os.path.join(root, "sink"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    return (
+        sunk.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "total_events", "last_event_type", "transitions")
+        .orderBy("user_id")
+    )
+
+
+STREAMING_STATEFUL_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS total_events,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS last_event_type,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND event_type <> prev
+                THEN 1 ELSE 0 END) AS BIGINT) AS transitions
+FROM o GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_INTERVAL_JOIN_SQL = """
 SELECT p.user_id AS p_user, p.event_id AS purchase_id, p.ts AS purchase_ts,
        c.event_id AS click_id, c.ts AS click_ts
@@ -971,6 +1051,10 @@ SPECS = [
               STREAMING_INTERVAL_JOIN_SQL,
               "watermarked stream-stream interval join (clicks within "
               "1 h before each purchase) via the real streaming path"),
+    QuerySpec("streaming_stateful_tracker", streaming_stateful_tracker,
+              STREAMING_STATEFUL_SQL,
+              "applyInPandasWithState per-user status state machine, "
+              "value-gated against the relational recomputation"),
     QuerySpec("partitions_metadata_stats", partitions_metadata_stats,
               PARTITIONS_METADATA_SQL,
               "partitions metadata table from manifest stats"),

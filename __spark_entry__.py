@@ -44,6 +44,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_merge_candidates",
     "streaming_interval_join",
     "streaming_stateful_tracker",
+    "jsonl_ingest_stats",
     # pinned oracles regenerated this round (hash-ordered PQ training
     # sample; xxhash64 boundary rule) — prior rows validated old values
     "embedding_pq_ann",
@@ -88,12 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     "segment_nation_rollup",
     "string_function_showcase",
     "supplier_part_volume",
-    "top_customers_by_spend",
     # (merge_upsert_result — the round-4 top-up — plus video_frame_counts,
-    # top_return_customers and top_nation_per_region fell out as the final
-    # round-6 queries took their slots: the window is exactly 50 and
-    # brand-new queries outrank old vintage; all remain covered by the
-    # full-registry replica gate)
+    # top_return_customers, top_nation_per_region and top_customers_by_spend
+    # fell out as the final round-6 queries took their slots: the window is
+    # exactly 50 and brand-new queries outrank old vintage; all remain
+    # covered by the full-registry replica gate)
 )
 
 

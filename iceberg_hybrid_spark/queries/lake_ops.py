@@ -621,6 +621,74 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jsonl_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source format through the oracle gate — crawl dumps arrive
+    as JSON-lines, not parquet, so the ingestion edge must parse typed
+    records AND quarantine malformed lines without failing the job.
+
+    The documents table is round-tripped through a JSONL inbox plus
+    three injected corrupt lines (truncated JSON, bare text, half a
+    record); the read uses an explicit schema with PERMISSIVE mode and
+    a corrupt-record column (the production crawl-ingestion setting —
+    schema inference would silently re-type the corpus, and FAILFAST
+    would kill a 100 TB job on one bad line).  Output: per-language doc
+    count + char mass from the PARSED rows, plus a ``__corrupt__`` row
+    counting the quarantined lines.  The oracle recomputes the clean
+    side from the original parquet and pins the corrupt count as a
+    literal — a regression in escaping, typing, or corrupt-row routing
+    fails the value hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    root = _scratch("jsonl")
+    inbox = os.path.join(root, "inbox")
+    docs.coalesce(1).write.mode("overwrite").json(inbox)
+    with open(os.path.join(inbox, "corrupt-extra.json"), "w") as fh:
+        fh.write('{"doc_id": 999999, "lang": "xx", "text": "trunc\n')
+        fh.write("this line is not json at all\n")
+        fh.write('{"doc_id": \n')
+    schema = (
+        "doc_id bigint, lang string, text string, n_chars int, "
+        "_corrupt_record string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(inbox)
+    )
+    # Spark's PERMISSIVE contract: a query over ONLY the corrupt-record
+    # column of a json scan is disallowed — so clean and corrupt rows
+    # are labeled and aggregated in ONE pass (which is also the right
+    # plan: one scan, one partial-agg shuffle).
+    labeled = parsed.select(
+        F.when(F.col("_corrupt_record").isNull(), F.col("lang"))
+        .otherwise(F.lit("__corrupt__"))
+        .alias("lang"),
+        F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+        .cast("bigint")
+        .alias("nc"),
+    )
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+JSONL_INGEST_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '__corrupt__', 3, NULL
+ORDER BY lang
+"""
+
+
 def streaming_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator through the oracle gate:
     ``applyInPandasWithState`` keyed by user tracks (event count, last
@@ -1055,6 +1123,9 @@ SPECS = [
               STREAMING_STATEFUL_SQL,
               "applyInPandasWithState per-user status state machine, "
               "value-gated against the relational recomputation"),
+    QuerySpec("jsonl_ingest_stats", jsonl_ingest_stats, JSONL_INGEST_SQL,
+              "JSONL crawl-dump ingestion: explicit schema, PERMISSIVE "
+              "corrupt-line quarantine, typed round-trip"),
     QuerySpec("partitions_metadata_stats", partitions_metadata_stats,
               PARTITIONS_METADATA_SQL,
               "partitions metadata table from manifest stats"),

@@ -79,6 +79,12 @@ HEADLINE = [
     "quality_calibration_bins",
     "maximal_shared_spans",
     "bpe_merge_candidates",
+    # round-6 late additions
+    "bpe_merge_rounds",
+    "bigram_lm_quality",
+    "inverted_index_stats",
+    "shingle_novelty_scores",
+    "cluster_quality_canonicals",
 ]
 
 

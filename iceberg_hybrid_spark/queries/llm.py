@@ -1007,7 +1007,90 @@ FROM ex GROUP BY threshold ORDER BY threshold
 """.format(shingles=_DUCK_SHINGLES)
 
 
+def cluster_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonical selection by QUALITY, not id: within
+    each connected component of the verified near-dup graph, keep the
+    longest document (``n_chars`` desc, doc_id asc on ties) — the
+    retention policy real pipelines use, since the min-id member of a
+    cluster is often the truncated or boilerplate variant.  Reports
+    every cluster with its size, the chosen canonical, and how many
+    docs the policy drops.
+
+    Scale shape: the component relation comes from the LSH pipeline
+    (banded candidates → exact verify → min-label propagation — never
+    all-pairs); attaching quality is a hash join on the doc id; the
+    per-cluster argmax is a window over ``component`` — a key whose
+    cardinality grows with the corpus, so the window parallelizes like
+    the shuffle.  Oracle: DuckDB recomputes components with the
+    recursive min-label CTE (same recall-1.0 argument as
+    MINHASH_NEAR_DUP_SQL) and the same window rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    verified = minhash_near_dup(spark, sf_dir)
+    comps = D.connected_components(verified, "id_a", "id_b")
+    sized = comps.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    win = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("node")
+    )
+    ranked = sized.select(
+        "component",
+        "node",
+        "n_chars",
+        F.row_number().over(win).alias("rk"),
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("canonical_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("canonical_chars"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("dropped_docs"),
+        )
+        .orderBy("component")
+    )
+
+
+CLUSTER_CANONICALS_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+              - 0.000000001, 4) + 0.0 >= 0.3
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), ranked AS (
+  SELECT c.component, c.node, doc.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY doc.n_chars DESC, c.node ASC) AS rk
+  FROM comp c JOIN documents doc ON doc.doc_id = c.node
+)
+SELECT component, COUNT(*) AS cluster_size,
+       MAX(CASE WHEN rk = 1 THEN node END) AS canonical_id,
+       MAX(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+       COUNT(*) - 1 AS dropped_docs
+FROM ranked GROUP BY component ORDER BY component
+"""
+
+
 SPECS = [
+    QuerySpec("cluster_quality_canonicals", cluster_quality_canonicals,
+              CLUSTER_CANONICALS_SQL,
+              "quality-argmax canonical per near-dup cluster (longest "
+              "doc wins, not min id)"),
     QuerySpec("near_dup_threshold_sweep", near_dup_threshold_sweep,
               THRESHOLD_SWEEP_SQL,
               "near-dup pair/doc volume per Jaccard threshold (dedup "

@@ -15,8 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import bpe as B
 from ..functions import contamination as C
 from ..functions import text as T
+from ._bpe_oracle import BPE_ROUNDS_SQL
 from ..sources.tables import load_table
 from .spec import QuerySpec
 
@@ -2170,7 +2172,293 @@ LIMIT 20
 """
 
 
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality scoring — the next rung above the
+    unigram CCNet score (``unigram_logprob_quality``): per language,
+    train bigram + unigram models on the corpus itself and score each
+    document by its average cross-entropy in bits under the Jelinek-
+    Mercer mixture ``0.7·P(w|prev) + 0.3·P(w)``, reporting the
+    per-language histogram over integer-bit buckets.  A bigram mixture
+    separates fluent text from shuffled-token spam that a unigram model
+    scores identically — the standard cheap-LM filter step.
+
+    Scale shape: the pair stream is built map-side from two shifted
+    slices (same kernel as ``bpe_merge_candidates``); the bigram model
+    is ONE counting shuffle on (lang, prev, w) and the context totals
+    re-aggregate that counts relation (no second pass over the corpus).
+    Scoring hash-joins the pair stream to both models — corpus-derived
+    vocabularies are never broadcast; per-doc agg shuffles on
+    (lang, doc_id); the histogram is a tiny final agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    m = F.size(w) - 1
+    pair_arr = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(w, 1, m),
+            F.slice(w, 2, m),
+            lambda x, y: F.struct(x.alias("prev"), y.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    pairs = docs.select(
+        "lang", "doc_id", F.explode(pair_arr).alias("pr")
+    ).select("lang", "doc_id", F.col("pr.prev").alias("prev"), F.col("pr.w").alias("w"))
+
+    tok = docs.select("lang", F.explode(T.tokens("text")).alias("w"))
+    uni = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    totals = uni.groupBy("lang").agg(F.sum("c").alias("n"))  # ~#langs rows
+    big = pairs.groupBy("lang", "prev", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    ctx = big.groupBy("lang", "prev").agg(F.sum("c2").alias("cp"))
+
+    scored = (
+        pairs.join(big, ["lang", "prev", "w"])
+        .join(ctx, ["lang", "prev"])
+        .join(uni, ["lang", "w"])
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            # operand order mirrored literally in the DuckDB oracle
+            F.log2(
+                F.lit(0.7) * (F.col("c2") / F.col("cp"))
+                + F.lit(0.3) * (F.col("c") / F.col("n"))
+            ).alias("logp"),
+        )
+    )
+    doc_bits = scored.groupBy("lang", "doc_id").agg(
+        T.round_stable(-F.avg("logp"), 4).alias("bits")
+    )
+    return (
+        doc_bits.groupBy(
+            "lang", F.floor("bits").cast("bigint").alias("bits_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            T.round_stable(F.avg("bits"), 4).alias("avg_bits"),
+        )
+        .orderBy("lang", "bits_bucket")
+    )
+
+
+BIGRAM_QUALITY_SQL = """
+WITH d AS (
+  SELECT lang, doc_id, string_split(text, ' ') AS w FROM documents
+), pflat AS (
+  SELECT lang, doc_id, pr[1] AS prev, pr[2] AS w
+  FROM (
+    SELECT lang, doc_id,
+           unnest(list_transform(range(1, len(w)), i -> [w[i], w[i+1]])) AS pr
+    FROM d
+  ) p
+), tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+), uni AS (
+  SELECT lang, w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY lang, w
+), totals AS (
+  SELECT lang, SUM(c) AS n FROM uni GROUP BY lang
+), big AS (
+  SELECT lang, prev, w, CAST(COUNT(*) AS DOUBLE) AS c2
+  FROM pflat GROUP BY lang, prev, w
+), ctx AS (
+  SELECT lang, prev, SUM(c2) AS cp FROM big GROUP BY lang, prev
+), doc_bits AS (
+  SELECT p.lang, p.doc_id,
+         ROUND(-AVG(log2(0.7 * (b.c2 / x.cp) + 0.3 * (u.c / t.n)))
+               - 0.000000001, 4) + 0.0 AS bits
+  FROM pflat p
+  JOIN big b ON p.lang = b.lang AND p.prev = b.prev AND p.w = b.w
+  JOIN ctx x ON p.lang = x.lang AND p.prev = x.prev
+  JOIN uni u ON p.lang = u.lang AND p.w = u.w
+  JOIN totals t ON p.lang = t.lang
+  GROUP BY p.lang, p.doc_id
+)
+SELECT lang, CAST(floor(bits) AS BIGINT) AS bits_bucket,
+       COUNT(*) AS doc_count,
+       ROUND(AVG(bits) - 0.000000001, 4) + 0.0 AS avg_bits
+FROM doc_bits GROUP BY lang, bits_bucket ORDER BY lang, bits_bucket
+"""
+
+
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build audit: per token, document frequency, total
+    term frequency, and the posting-list size in bytes under varint
+    delta-gap encoding (the physical layout every retrieval index —
+    Lucene, and the BM25 serving path — stores), for the 20 highest-df
+    tokens.  This is the index-size estimate run before materializing a
+    corpus-scale retrieval index.
+
+    Scale shape: ONE partial-agg counting shuffle builds the
+    (token, doc) term-frequency relation; the delta-gap window
+    partitions on the token — a corpus-cardinality key, so the window
+    is as parallel as the shuffle, never a low-cardinality funnel; the
+    final ranking is TakeOrderedAndProject.  Varint width is computed
+    with integer threshold sums, not log2 (Spark lowers LOG2 to
+    ln(x)/ln(2), which is not exactly rounded at powers of two — a
+    float-boundary trap the DuckDB twin would not reproduce)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    win = Window.partitionBy("w").orderBy("doc_id")
+    gaps = tf.select(
+        "w",
+        "tf",
+        (F.col("doc_id") - F.coalesce(F.lag("doc_id").over(win), F.lit(0)))
+        .alias("gap"),
+    )
+    vbytes = (
+        F.lit(1)
+        + (F.col("gap") >= F.lit(1 << 7)).cast("int")
+        + (F.col("gap") >= F.lit(1 << 14)).cast("int")
+        + (F.col("gap") >= F.lit(1 << 21)).cast("int")
+        + (F.col("gap") >= F.lit(1 << 28)).cast("int")
+    )
+    return (
+        gaps.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.sum(vbytes.cast("bigint")).alias("posting_bytes"),
+        )
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(20)
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH tf AS (
+  SELECT w, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  GROUP BY w, doc_id
+), gaps AS (
+  SELECT w, tf,
+         doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY w ORDER BY doc_id), 0)
+           AS gap
+  FROM tf
+)
+SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(SUM(1 + CAST(gap >= 128 AS INT) + CAST(gap >= 16384 AS INT)
+                + CAST(gap >= 2097152 AS INT)
+                + CAST(gap >= 268435456 AS INT)) AS BIGINT) AS posting_bytes
+FROM gaps
+GROUP BY w
+ORDER BY df DESC, w ASC
+LIMIT 20
+"""
+
+
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content novelty: the fraction of each document's
+    distinct shingles whose FIRST corpus occurrence (minimum doc_id) is
+    that document, averaged per source.  Novelty decay is the
+    curation signal behind crawl-snapshot pruning — a source whose new
+    documents are mostly old shingles is re-crawl echo, not new data —
+    and the min-doc formulation makes the order-dependent "seen before"
+    notion order-independent and exactly recomputable.
+
+    Scale shape: shingles travel as 8-byte xxhash64 longs; first-owner
+    is ONE min-agg shuffle on the shingle key; attribution joins the
+    (doc, shingle) stream back on the same key — a plain hash join that
+    AQE may locally optimize but never broadcasts (the shingle
+    vocabulary is corpus-sized); per-doc and per-source rollups follow.
+    The DuckDB twin uses string shingles — identical up to ~n²/2⁶⁴ hash
+    collisions (same argument as MINHASH_NEAR_DUP_SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.select(
+        "source",
+        "doc_id",
+        F.explode(T.shingle_hashes("text")).alias("sh"),
+    )
+    first = ds.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ds.join(first, "sh")
+        .groupBy("source", "doc_id")
+        .agg(
+            (
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("double"))
+                / F.count(F.lit(1))
+            ).alias("novelty")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            T.round_stable(F.avg("novelty"), 4).alias("avg_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+SHINGLE_NOVELTY_SQL = """
+WITH d AS (
+  SELECT source, doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM (SELECT source, doc_id, string_split(text, ' ') AS w FROM documents) x
+), ds AS (
+  SELECT source, doc_id, unnest(sh) AS s FROM d
+), first AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM ds GROUP BY s
+), per_doc AS (
+  SELECT ds.source, ds.doc_id,
+         SUM(CAST(first.first_doc = ds.doc_id AS DOUBLE)) / COUNT(*)
+           AS novelty
+  FROM ds JOIN first ON ds.s = first.s
+  GROUP BY ds.source, ds.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(novelty) - 0.000000001, 4) + 0.0 AS avg_novelty
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (six merge rounds) — the
+    data-dependent loop ``bpe_merge_candidates`` is one iteration of
+    (Sennrich et al., arXiv 1508.07909).  Each round: count adjacent
+    symbol pairs over the word-type relation weighted by word count
+    (one partial-agg shuffle), pick the argmax pair (1-row bounded
+    collect, tie-broken lexicographically so the result is
+    partitioning-independent), apply the merge as a single JVM-side
+    string replace, and report the resulting symbol-vocabulary size.
+
+    Scale shape: training iterates over word TYPES (Heaps-law
+    sublinear), never the token stream — see ``functions/bpe.py`` for
+    the double-space merge-application encoding and the 100-TB
+    argument.  Oracle: DuckDB recomputes every round's pair counts,
+    argmax AND post-merge vocabulary from the corpus via the identical
+    replace chain — only the chosen merge pairs are pinned (they must
+    appear as replace literals in static SQL; tools/gen_bpe_oracle.py
+    regenerates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = B.train_bpe(docs, rounds=6)
+    return spark.createDataFrame(
+        rows, "round int, pair string, pair_count bigint, vocab_size bigint"
+    ).orderBy("round")
+
+
 SPECS = [
+    QuerySpec("bpe_merge_rounds", bpe_merge_rounds, BPE_ROUNDS_SQL,
+              "six-round iterative BPE training: per-round argmax merge "
+              "+ vocab size, fully recomputed by the oracle"),
+    QuerySpec("bigram_lm_quality", bigram_lm_quality, BIGRAM_QUALITY_SQL,
+              "interpolated bigram LM cross-entropy histogram per "
+              "language (Jelinek-Mercer 0.7/0.3)"),
+    QuerySpec("inverted_index_stats", inverted_index_stats,
+              INVERTED_INDEX_SQL,
+              "posting-list df/tf/varint-byte audit for the top-df "
+              "tokens"),
+    QuerySpec("shingle_novelty_scores", shingle_novelty_scores,
+              SHINGLE_NOVELTY_SQL,
+              "per-source first-occurrence shingle novelty averages"),
     QuerySpec("maximal_shared_spans", maximal_shared_spans, MAXIMAL_SPANS_SQL,
               "maximal exact shared-substring spans per doc pair "
               "(2107.06499), boilerplate-df-capped window join"),

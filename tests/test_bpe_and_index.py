@@ -1,0 +1,116 @@
+"""Round-6 late additions: iterative BPE training (merge application
+edge cases, end-to-end hand-computed rounds), inverted-index varint
+widths, bigram-LM arithmetic, and shingle novelty semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_hybrid_spark.functions import bpe as B
+
+
+@pytest.fixture(scope="module")
+def words(spark):
+    # hand-sized corpus: "aaa" exercises greedy overlap, "abab"
+    # consecutive non-overlapping occurrences, low/lower/lowest the
+    # classic shared-prefix family
+    rows = [("aaa ab abab low lower lowest",)]
+    return spark.createDataFrame(rows, "text string")
+
+
+def _apply(spark, word, a, b):
+    df = spark.createDataFrame([(word,)], "word string")
+    out = df.select(
+        B.symbols(B.apply_merge(B.char_symbol_string(F.col("word")), a, b)).alias("s")
+    ).collect()[0]["s"]
+    return list(out)
+
+
+def test_apply_merge_greedy_overlap(spark):
+    # greedy leftmost non-overlap: "aaa" + (a,a) -> [aa, a], never [a, aa]
+    assert _apply(spark, "aaa", "a", "a") == ["aa", "a"]
+    assert _apply(spark, "aaaa", "a", "a") == ["aa", "aa"]
+
+
+def test_apply_merge_consecutive_occurrences(spark):
+    # boundary-borrowing must leave the next occurrence matchable
+    assert _apply(spark, "abab", "a", "b") == ["ab", "ab"]
+    assert _apply(spark, "cabab", "a", "b") == ["c", "ab", "ab"]
+
+
+def test_apply_merge_no_cross_symbol_match(spark):
+    # (a,b) must not fire inside multi-char symbols: merge (x,a) first,
+    # then (a,b) — the "xa"+"b" adjacency is NOT an "a"+"b" adjacency
+    df = spark.createDataFrame([("xab",)], "word string")
+    s1 = B.apply_merge(B.char_symbol_string(F.col("word")), "x", "a")
+    out = df.select(B.symbols(B.apply_merge(s1, "a", "b")).alias("s")).collect()[0]["s"]
+    assert list(out) == ["xa", "b"]
+
+
+def test_train_bpe_hand_computed(spark, words):
+    # corpus tokens: aaa, ab, abab, low, lower, lowest
+    # round 1 pairs: (a,a)x2[aaa] (a,b)x3 (b,a)x1 (l,o)x3 (o,w)x3 (w,e)x2
+    #                (e,r)x1 (e,s)x1 (s,t)x1
+    # argmax ties at 3 -> lexicographic: "a b" < "l o" < "o w"
+    rounds = B.train_bpe(words, rounds=2)
+    assert rounds[0][0:3] == (1, "a b", 3)
+    # after merging (a,b): ab -> [ab], abab -> [ab, ab]
+    # round 2 pairs: (a,a)x2 (ab,ab)x1 (l,o)x3 (o,w)x3 (w,e)x2 ...
+    assert rounds[1][1] == "l o"
+    assert rounds[1][2] == 3
+
+
+def test_train_bpe_vocab_shrinks_or_grows_correctly(spark, words):
+    rounds = B.train_bpe(words, rounds=1)
+    # post-merge vocabulary after (a,b): symbols present =
+    # {a, ab, l, o, w, e, r, s, t} = 9
+    assert rounds[0][3] == 9
+
+
+def test_word_types_ascii_guard(spark):
+    df = spark.createDataFrame([("ok café fine",)], "text string")
+    kept = {r["word"] for r in B.word_types(df).collect()}
+    assert kept == {"ok", "fine"}  # non-ASCII word filtered on BOTH engines
+
+
+def test_inverted_index_varint_boundaries(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_hybrid_spark.queries.pipeline import inverted_index_stats
+
+    # token "t" appears in docs 0 and 128: gaps are 0-0=0 -> 1 byte,
+    # 128-0=128 -> 2 bytes (the >=128 boundary), total 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 128], pa.int64()),
+            "text": pa.array(["t", "t"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    row = inverted_index_stats(spark, str(tmp_path)).collect()[0]
+    assert (row["df"], row["total_tf"], row["posting_bytes"]) == (2, 2, 3)
+
+
+def test_shingle_novelty_first_doc_wins(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_hybrid_spark.queries.pipeline import shingle_novelty_scores
+
+    # doc 1 introduces every shingle (novelty 1.0); doc 2 repeats doc 1
+    # verbatim (novelty 0.0) -> source avg 0.5
+    text = "one two three four five"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([text, text]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["web", "web"]),
+            "n_chars": pa.array([len(text)] * 2, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    row = shingle_novelty_scores(spark, str(tmp_path)).collect()[0]
+    assert row["n_docs"] == 2
+    assert row["avg_novelty"] == 0.5

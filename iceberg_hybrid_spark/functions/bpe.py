@@ -110,7 +110,8 @@ def train_bpe(docs: DataFrame, rounds: int = 6) -> list[tuple[int, str, int, int
     )
     types.persist()
     try:
-        out: list[tuple[int, str, int, int]] = []
+        picked: list[tuple[int, str, int]] = []
+        states: list[DataFrame] = []
         cur = types
         for r in range(1, rounds + 1):
             top = (
@@ -126,12 +127,26 @@ def train_bpe(docs: DataFrame, rounds: int = 6) -> list[tuple[int, str, int, int
             pair, cnt = top[0]["pair"], int(top[0]["cnt"])
             a, b = pair.split(" ")
             cur = cur.select(apply_merge(F.col("s"), a, b).alias("s"), "wc")
-            vocab = int(
-                cur.select(F.explode(symbols(F.col("s"))).alias("sym"))
-                .agg(F.countDistinct("sym").alias("v"))
-                .collect()[0]["v"]
+            picked.append((r, pair, cnt))
+            states.append(cur)
+        # all post-merge vocabulary sizes in ONE job: union the (round,
+        # symbol) streams — each branch replays its replace chain over
+        # the persisted type relation map-side — and count distinct per
+        # round in a single shuffle, instead of one job per round.
+        vocab_df = None
+        for (r, _, _), st in zip(picked, states):
+            br = st.select(
+                F.lit(r).alias("r"), F.explode(symbols(F.col("s"))).alias("sym")
             )
-            out.append((r, pair, cnt, vocab))
-        return out
+            vocab_df = br if vocab_df is None else vocab_df.unionAll(br)
+        vocab_by_round: dict[int, int] = {}
+        if vocab_df is not None:
+            vocab_by_round = {
+                row["r"]: int(row["v"])
+                for row in vocab_df.groupBy("r")
+                .agg(F.countDistinct("sym").alias("v"))
+                .collect()
+            }
+        return [(r, pair, cnt, vocab_by_round[r]) for r, pair, cnt in picked]
     finally:
         types.unpersist()

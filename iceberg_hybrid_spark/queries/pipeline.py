@@ -2200,6 +2200,11 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: F.struct(x.alias("prev"), y.alias("w")),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    # The pair stream is deliberately NOT pre-repartitioned: the model
+    # side collapses through map-side partial aggregation (its shuffle
+    # carries pre-aggregated (lang, prev, w, count) rows), which an
+    # explicit materializing repartition of the raw doc_id-bearing
+    # stream would defeat — measured 15% slower at sf0.1.
     pairs = docs.select(
         "lang", "doc_id", F.explode(pair_arr).alias("pr")
     ).select("lang", "doc_id", F.col("pr.prev").alias("prev"), F.col("pr.w").alias("w"))

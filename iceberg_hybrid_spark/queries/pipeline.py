@@ -2450,7 +2450,81 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+# Shared Spark-SQL / DuckDB arithmetic: deterministic uniform u in (0,1)
+# from the first 8 hex chars of an md5 column `m` — identical expression
+# TEXT on both engines so the doubles are bit-identical.  (+1e-12 keeps
+# u > 0 for the ~16^-8 all-zero-nibble case on both sides.)
+_HEX_UNIFORM = (
+    "("
+    + " + ".join(
+        f"(instr('0123456789abcdef', substring(m, {i}, 1)) - 1) / {16.0 ** i:.1f}"
+        for i in range(1, 9)
+    )
+    + " + 1e-12)"
+)
+
+
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    exponential-key trick (Inf. Proc. Letters 97(5), 2006): each doc
+    draws a deterministic uniform u from md5(doc_id) and takes key
+    ``ln(u) / weight``; the k LARGEST keys are exactly a weight-
+    proportional sample without replacement.  Weight = n_chars, so the
+    sample is token-mass-proportional — the standard way to subsample a
+    corpus for a pilot run without a central random state.
+
+    Scale shape: the key is map-side arithmetic on the scan (no
+    shuffle); top-k compiles to TakeOrderedAndProject — per-partition
+    heaps + a k-row driver merge, never a global sort.  At 100 TB this
+    is the cheapest possible distributed sampler: one pass, no state,
+    reproducible.  The uniform comes from md5 hex nibbles (not
+    xxhash64) because the oracle must reproduce it: the arithmetic
+    fragment is the SAME expression text in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))).alias("m"),
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        f"ln{_HEX_UNIFORM} / n_chars AS raw_key",
+    )
+    top = keyed.orderBy(F.desc("raw_key"), F.asc("doc_id")).limit(25)
+    w = Window.orderBy(F.desc("raw_key"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        T.round_stable(F.col("raw_key"), 6).alias("es_key"),
+    ).orderBy("rank")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln{_HEX_UNIFORM.replace("m,", "md5(CAST(doc_id AS VARCHAR) || ':ws'),")}
+           / n_chars AS raw_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars, raw_key,
+         ROW_NUMBER() OVER (ORDER BY raw_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, n_chars,
+       ROUND(raw_key - 0.000000001, 6) + 0.0 AS es_key
+FROM ranked WHERE rank <= 25 ORDER BY rank
+"""
+
+
 SPECS = [
+    QuerySpec("weighted_corpus_sample", weighted_corpus_sample,
+              WEIGHTED_SAMPLE_SQL,
+              "Efraimidis-Spirakis weighted sample without replacement "
+              "(token-mass-proportional, one-pass top-k)"),
     QuerySpec("bpe_merge_rounds", bpe_merge_rounds, BPE_ROUNDS_SQL,
               "six-round iterative BPE training: per-round argmax merge "
               "+ vocab size, fully recomputed by the oracle"),

@@ -93,6 +93,46 @@ def test_inverted_index_varint_boundaries(spark, tmp_path):
     assert (row["df"], row["total_tf"], row["posting_bytes"]) == (2, 2, 3)
 
 
+def test_weighted_sample_matches_reference_implementation(spark, tmp_path):
+    """Independent pure-Python Efraimidis-Spirakis replication: same
+    md5-nibble uniform, same ln(u)/w key, same ordering."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from iceberg_hybrid_spark.queries.pipeline import weighted_corpus_sample
+
+    ids = list(range(40))
+    chars = [(i % 7 + 1) * 100 for i in ids]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["x"] * len(ids)),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array(chars, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def key(i, w):
+        m = hashlib.md5(f"{i}:ws".encode()).hexdigest()
+        u = sum(
+            int(m[j], 16) / 16.0 ** (j + 1) for j in range(8)
+        ) + 1e-12
+        return math.log(u) / w
+
+    expected = sorted(
+        ((key(i, w), i) for i, w in zip(ids, chars)),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = weighted_corpus_sample(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in got] == [i for _, i in expected]
+    for r, (k, _) in zip(got, expected):
+        assert abs(r["es_key"] - round(k - 1e-9, 6)) < 1e-9
+
+
 def test_shingle_novelty_first_doc_wins(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

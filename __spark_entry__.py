@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
+    "cms_token_counts",
     "weighted_corpus_sample",
     "bpe_merge_rounds",
     "bigram_lm_quality",

@@ -80,6 +80,7 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "cms_token_counts",
     "weighted_corpus_sample",
     "bpe_merge_rounds",
     "bigram_lm_quality",

@@ -2450,6 +2450,110 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+# Shared Spark-SQL / DuckDB integer hash: first 8 hex nibbles of an md5
+# column `m` as an exact BIGINT (identical expression text both engines;
+# the CAST keeps the nibble*16^k products in 64-bit under ANSI — Spark's
+# instr returns INT and 15*16^7 overflows int32).
+_HEX_INT = (
+    "("
+    + " + ".join(
+        f"CAST(instr('0123456789abcdef', substring(m, {i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    + ")"
+)
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 55(1))
+    built RELATIONALLY, audited against exact counts for the top-20
+    tokens: 4 hash rows × 1024 counters, estimate = min over rows of
+    the addressed cell.  The CMS is how a 100 TB pipeline tracks
+    heavy-hitter vocabulary in bounded memory; the audit reports the
+    estimate alongside the exact count (estimate >= exact always; the
+    gap is the collision mass the 4096-cell budget admits).
+
+    Scale shape: the sketch is ONE partial-agg counting shuffle of
+    (row, cell) pairs — 4 map-side hashes per token occurrence
+    collapsing to <= 4096 rows, the textbook mergeable-sketch shuffle;
+    the exact side is the word-count shuffle; the probe joins 80
+    (row, cell) addresses of 20 tokens against the 4096-row sketch —
+    broadcast-sized BY CONSTRUCTION (the sketch is fixed-size whatever
+    the corpus).  Hashes are md5-nibble integers with expression text
+    shared verbatim with the DuckDB twin — fully recomputed, nothing
+    pinned."""
+    width = 1024
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens("text")).alias("w"))
+    four_rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    # (token, row) -> cell address; same md5 text as the oracle.  The
+    # 4-way row fan-out is a map-side explode, not a join.
+    addressed = (
+        tok.select("w", four_rows)
+        .select(
+            "w",
+            "r",
+            F.md5(
+                F.concat(F.col("w"), F.lit(":"), F.col("r").cast("string"))
+            ).alias("m"),
+        )
+        .selectExpr("w", "r", f"{_HEX_INT} % {width} AS cell")
+    )
+    sketch = addressed.groupBy("r", "cell").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("w")).limit(20)
+    probes = (
+        top.select("w", "exact_count", four_rows)
+        .select(
+            "w",
+            "exact_count",
+            "r",
+            F.md5(
+                F.concat(F.col("w"), F.lit(":"), F.col("r").cast("string"))
+            ).alias("m"),
+        )
+        .selectExpr("w", "exact_count", "r", f"{_HEX_INT} % {width} AS cell")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("w", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.desc("exact_count"), F.asc("w"))
+    )
+
+
+_CMS_ADDR = _HEX_INT.replace(
+    "m,", "md5(w || ':' || CAST(r AS VARCHAR)),"
+)
+
+CMS_TOKEN_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), rows_t(r) AS (VALUES (0), (1), (2), (3)),
+addressed AS (
+  SELECT w, r, {_CMS_ADDR} % 1024 AS cell FROM tok CROSS JOIN rows_t
+), sketch AS (
+  SELECT r, cell, COUNT(*) AS c FROM addressed GROUP BY r, cell
+), exact AS (
+  SELECT w, COUNT(*) AS exact_count FROM tok GROUP BY w
+), top AS (
+  SELECT w, exact_count FROM exact
+  ORDER BY exact_count DESC, w ASC LIMIT 20
+), probes AS (
+  SELECT w, exact_count, r, {_CMS_ADDR} % 1024 AS cell
+  FROM top CROSS JOIN rows_t
+)
+SELECT p.w AS w, p.exact_count,
+       CAST(MIN(s.c) AS BIGINT) AS cms_estimate
+FROM probes p JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+GROUP BY p.w, p.exact_count
+ORDER BY p.exact_count DESC, p.w ASC
+"""
+
+
 # Shared Spark-SQL / DuckDB arithmetic: deterministic uniform u in (0,1)
 # from the first 8 hex chars of an md5 column `m` — identical expression
 # TEXT on both engines so the doubles are bit-identical.  (+1e-12 keeps
@@ -2521,6 +2625,9 @@ FROM ranked WHERE rank <= 25 ORDER BY rank
 
 
 SPECS = [
+    QuerySpec("cms_token_counts", cms_token_counts, CMS_TOKEN_SQL,
+              "count-min sketch heavy-hitter audit (4x1024, relational "
+              "mergeable-sketch shuffle) vs exact counts"),
     QuerySpec("weighted_corpus_sample", weighted_corpus_sample,
               WEIGHTED_SAMPLE_SQL,
               "Efraimidis-Spirakis weighted sample without replacement "

@@ -93,6 +93,16 @@ def test_inverted_index_varint_boundaries(spark, tmp_path):
     assert (row["df"], row["total_tf"], row["posting_bytes"]) == (2, 2, 3)
 
 
+def test_cms_estimate_dominates_exact(spark):
+    from iceberg_hybrid_spark.queries.pipeline import cms_token_counts
+
+    rows = cms_token_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        # the count-min invariant: estimates never undercount
+        assert r["cms_estimate"] >= r["exact_count"]
+
+
 def test_weighted_sample_matches_reference_implementation(spark, tmp_path):
     """Independent pure-Python Efraimidis-Spirakis replication: same
     md5-nibble uniform, same ln(u)/w key, same ordering."""

@@ -35,6 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
+    "hll_distinct_audit",
+    "bloom_fpr_audit",
     "cms_token_counts",
     "weighted_corpus_sample",
     "bpe_merge_rounds",
@@ -94,10 +96,11 @@ _PRIORITY: tuple[str, ...] = (
     # (merge_upsert_result — the round-4 top-up — plus video_frame_counts,
     # top_return_customers, top_nation_per_region, top_customers_by_spend,
     # revenue_by_nation, running_revenue_by_month, segment_nation_rollup,
-    # string_function_showcase and supplier_part_volume fell out as the
-    # final round-6 queries took their slots: the window is exactly 50 and
-    # brand-new queries outrank old vintage; all remain covered by the
-    # full-registry replica gate)
+    # string_function_showcase, supplier_part_volume, and the tail of this
+    # list past position 50 (q3_shipping_priority, q5_nation_revenue,
+    # region_segment_cube) fell out as the final round-6 queries took
+    # their slots: the window is exactly 50 and brand-new queries outrank
+    # old vintage; all remain covered by the full-registry replica gate)
 )
 
 

@@ -80,6 +80,8 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "hll_distinct_audit",
+    "bloom_fpr_audit",
     "cms_token_counts",
     "weighted_corpus_sample",
     "bpe_merge_rounds",

@@ -2554,6 +2554,266 @@ ORDER BY p.exact_count DESC, p.w ASC
 """
 
 
+# HLL register rank over the 22 sub-bucket bits of column `w`:
+# rho = 1 + (trailing zeros of w), computed as exact integer threshold
+# sums (w % 2^k = 0 for k = 1..22), NEVER via log2 — Spark lowers LOG2
+# to ln/ln which is not exactly rounded at powers of two.  w = 0 makes
+# every term true, giving the capped rho = 23.  Identical expression
+# text on both engines.
+_HLL_RHO = (
+    "(1 + "
+    + " + ".join(
+        f"(CASE WHEN w % {1 << k} = 0 THEN 1 ELSE 0 END)" for k in range(1, 23)
+    )
+    + ")"
+)
+
+# alpha_m * m^2 * 2^23 / snum for m = 1024 registers, written with
+# identical literal text and operand order in both engines: the leading
+# double makes the whole chain double-typed, every step is a
+# correctly-rounded IEEE op, so the quotient is bit-identical.
+_HLL_EST = (
+    "ROUND((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024.0))"
+    " * 1024 * 1024 * 8388608 / snum - 0.000000001, 3) + 0.0"
+)
+
+
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality sketch (Flajolet et al., AOFA 2007) built
+    RELATIONALLY and audited against exact counts: per-language distinct
+    3-shingle estimate from 1024 max-rank registers vs the exact
+    COUNT(DISTINCT).  With CMS (frequency) and Bloom (membership) this
+    completes the mergeable-sketch family a 100 TB pipeline runs where
+    exact state does not fit: HLL tracks corpus cardinality in 1 KB per
+    stream regardless of input size.
+
+    Scale shape: ONE partial-agg max shuffle of (lang, bucket, rho) rows
+    collapsing to <= langs x 1024 registers — the textbook mergeable
+    sketch (register-wise max distributes over any partitioning); the
+    raw estimate is pure arithmetic on the tiny register relation.  The
+    exact side (the thing HLL replaces at scale) is kept here because
+    the query IS the audit.  Hash = md5-nibble 32-bit integer split
+    10/22 into bucket/sub-bits; rho via integer threshold sums (see
+    _HLL_RHO); the harmonic sum is an EXACT integer numerator
+    (sum of 2^(23-rho) via shiftleft) so only the final division is
+    float — bit-identical in both engines.  No bias correction branch:
+    the raw estimator plus the empty-register count is reported, which
+    keeps the arithmetic branch-free and engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("lang", F.explode(T.shingles("text", 3)).alias("s"))
+    addressed = (
+        sh.select("lang", F.md5("s").alias("m"))
+        .selectExpr("lang", f"{_HEX_INT} AS h")
+        .selectExpr("lang", "h % 1024 AS bucket", "h DIV 1024 AS w")
+        .selectExpr("lang", "bucket", f"{_HLL_RHO} AS rho")
+    )
+    reg = addressed.groupBy("lang", "bucket").agg(F.max("rho").alias("mr"))
+    per_lang = (
+        reg.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("present"),
+            F.sum(F.expr("CAST(shiftleft(1, 23 - mr) AS BIGINT)")).alias(
+                "snum_p"
+            ),
+        )
+        .selectExpr(
+            "lang",
+            "1024 - present AS empty_registers",
+            "(1024 - present) * 8388608 + snum_p AS snum",
+        )
+    )
+    exact = sh.groupBy("lang").agg(
+        F.count_distinct("s").alias("exact_distinct")
+    )
+    return (
+        per_lang.join(exact, "lang")
+        .selectExpr(
+            "lang",
+            "exact_distinct",
+            f"{_HLL_EST} AS hll_estimate",
+            "empty_registers",
+        )
+        .orderBy("lang")
+    )
+
+
+_HLL_ADDR = _HEX_INT.replace("(m,", "(md5(s),")
+
+HLL_DISTINCT_SQL = f"""
+WITH sh AS (
+  SELECT lang, unnest({_duck_shingles(3)}) AS s
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+), hashed AS (
+  SELECT lang, {_HLL_ADDR} AS h FROM sh
+), addressed AS (
+  SELECT lang, h % 1024 AS bucket, h // 1024 AS w FROM hashed
+), rho_t AS (
+  SELECT lang, bucket, {_HLL_RHO} AS rho FROM addressed
+), reg AS (
+  SELECT lang, bucket, MAX(rho) AS mr FROM rho_t GROUP BY lang, bucket
+), per_lang AS (
+  SELECT lang,
+         1024 - COUNT(*) AS empty_registers,
+         (1024 - COUNT(*)) * 8388608
+           + CAST(SUM(CAST(1 AS BIGINT) << (23 - mr)) AS BIGINT) AS snum
+  FROM reg GROUP BY lang
+), exact AS (
+  SELECT lang, COUNT(DISTINCT s) AS exact_distinct FROM sh GROUP BY lang
+)
+SELECT p.lang AS lang, e.exact_distinct,
+       {_HLL_EST} AS hll_estimate,
+       p.empty_registers
+FROM per_lang p JOIN exact e ON p.lang = e.lang
+ORDER BY lang
+"""
+
+
+def bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (CACM 13(7)) false-positive-rate sweep, k = 1..5
+    hash functions over a 65536-bit array: membership = the distinct
+    3-shingles of source src0; probes = shingles of the OTHER sources
+    that are exact non-members (left anti), so every positive is a
+    false positive by construction.  This is the audit a pipeline runs
+    to size the Bloom pre-filter in front of an expensive dedup join —
+    the k-vs-FPR curve at the real load factor, not the textbook
+    formula.
+
+    Scale shape: the bit array is a bounded relation — member bits
+    collapse to <= 65536 (bit -> MIN(j)) rows whatever the corpus, so
+    the probe join is broadcast-sized BY CONSTRUCTION, like the CMS
+    probe.  All five k configs share one pass: a probe bit is set in
+    the k-config iff MIN(j) < k, so a prefix-max window over the
+    probe's 5 hash rows (partitioned on the shingle, a
+    corpus-cardinality key) answers every k at once — no per-k rescan.
+    Integer arithmetic end-to-end; only the final FPR ratio divides,
+    on exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def distinct_shingles(pred):
+        return (
+            docs.filter(pred)
+            .select(F.explode(T.shingles("text", 3)).alias("s"))
+            .distinct()
+        )
+
+    members = distinct_shingles(F.col("source") == "src0")
+    negatives = distinct_shingles(F.col("source") != "src0").join(
+        members, "s", "left_anti"
+    )
+    five = F.explode(F.array(*[F.lit(j) for j in range(5)])).alias("j")
+
+    def bits(df):
+        return df.select("s", five).select(
+            "s",
+            "j",
+            F.md5(
+                F.concat(F.col("s"), F.lit("#"), F.col("j").cast("string"))
+            ).alias("m"),
+        ).selectExpr("s", "j", f"{_HEX_INT} % 65536 AS bit")
+
+    # bit -> earliest hash index that sets it; <= 65536 rows total
+    mmb = bits(members).groupBy("bit").agg(F.min("j").alias("minj"))
+    cov = (
+        bits(negatives)
+        .join(F.broadcast(mmb), "bit", "left")
+        .selectExpr("s", "j", "COALESCE(minj + 1, 99) AS c")
+    )
+    w = (
+        Window.partitionBy("s")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = cov.select(
+        "s",
+        (F.col("j") + 1).alias("k"),
+        F.max("c").over(w).alias("prefix_max"),
+    )
+    fp = pref.groupBy("k").agg(
+        F.count(F.lit(1)).alias("negatives_probed"),
+        F.sum(
+            F.when(F.col("prefix_max") <= F.col("k"), 1).otherwise(0)
+        ).alias("false_positives"),
+    )
+    ks = spark.range(5).selectExpr("CAST(id + 1 AS INT) AS k")
+    bits_set = (
+        ks.crossJoin(F.broadcast(mmb))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("minj") < F.col("k"), 1).otherwise(0)
+            ).alias("bits_set")
+        )
+    )
+    n_members = members.agg(
+        F.count(F.lit(1)).alias("n_member_shingles")
+    )
+    return (
+        fp.join(bits_set, "k")
+        .crossJoin(F.broadcast(n_members))
+        .selectExpr(
+            "k",
+            "n_member_shingles",
+            "bits_set",
+            "negatives_probed",
+            "false_positives",
+            "ROUND(false_positives / negatives_probed - 0.000000001, 4)"
+            " + 0.0 AS observed_fpr",
+        )
+        .orderBy("k")
+    )
+
+
+_BLOOM_ADDR = _HEX_INT.replace(
+    "(m,", "(md5(s || '#' || CAST(j AS VARCHAR)),"
+)
+
+BLOOM_FPR_SQL = f"""
+WITH msh AS (
+  SELECT DISTINCT unnest({_duck_shingles(3)}) AS s
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE source = 'src0')
+), osh AS (
+  SELECT DISTINCT unnest({_duck_shingles(3)}) AS s
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE source <> 'src0')
+), neg AS (
+  SELECT s FROM osh WHERE s NOT IN (SELECT s FROM msh)
+), js(j) AS (VALUES (0), (1), (2), (3), (4)),
+mmb AS (
+  SELECT bit, MIN(j) AS minj
+  FROM (SELECT s, j, {_BLOOM_ADDR} % 65536 AS bit FROM msh CROSS JOIN js)
+  GROUP BY bit
+), pbits AS (
+  SELECT s, j, {_BLOOM_ADDR} % 65536 AS bit FROM neg CROSS JOIN js
+), cov AS (
+  SELECT p.s, p.j, COALESCE(m.minj + 1, 99) AS c
+  FROM pbits p LEFT JOIN mmb m ON p.bit = m.bit
+), pref AS (
+  SELECT s, j + 1 AS k,
+         MAX(c) OVER (PARTITION BY s ORDER BY j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prefix_max
+  FROM cov
+), fp AS (
+  SELECT k, COUNT(*) AS negatives_probed,
+         CAST(SUM(CASE WHEN prefix_max <= k THEN 1 ELSE 0 END) AS BIGINT)
+           AS false_positives
+  FROM pref GROUP BY k
+), bits_set_t AS (
+  SELECT js.j + 1 AS k,
+         CAST(SUM(CASE WHEN m.minj < js.j + 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bits_set
+  FROM js CROSS JOIN mmb m GROUP BY js.j
+)
+SELECT f.k, (SELECT COUNT(*) FROM msh) AS n_member_shingles,
+       b.bits_set, f.negatives_probed, f.false_positives,
+       ROUND(f.false_positives / f.negatives_probed - 0.000000001, 4)
+         + 0.0 AS observed_fpr
+FROM fp f JOIN bits_set_t b ON f.k = b.k
+ORDER BY f.k
+"""
+
+
 # Shared Spark-SQL / DuckDB arithmetic: deterministic uniform u in (0,1)
 # from the first 8 hex chars of an md5 column `m` — identical expression
 # TEXT on both engines so the doubles are bit-identical.  (+1e-12 keeps
@@ -2625,6 +2885,12 @@ FROM ranked WHERE rank <= 25 ORDER BY rank
 
 
 SPECS = [
+    QuerySpec("hll_distinct_audit", hll_distinct_audit, HLL_DISTINCT_SQL,
+              "HyperLogLog distinct-shingle estimate (1024 relational "
+              "max-rank registers) audited against exact counts"),
+    QuerySpec("bloom_fpr_audit", bloom_fpr_audit, BLOOM_FPR_SQL,
+              "Bloom filter k=1..5 false-positive-rate sweep over a "
+              "65536-bit relational array, exact non-member probes"),
     QuerySpec("cms_token_counts", cms_token_counts, CMS_TOKEN_SQL,
               "count-min sketch heavy-hitter audit (4x1024, relational "
               "mergeable-sketch shuffle) vs exact counts"),

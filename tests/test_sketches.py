@@ -1,0 +1,97 @@
+"""Mergeable-sketch family (round 6 late): HyperLogLog cardinality and
+Bloom membership audits, each replicated independently in pure Python
+(hashlib md5, the same estimator arithmetic) against the Spark result.
+The CMS sibling's invariant test lives in test_bpe_and_index.py."""
+
+import hashlib
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_hll_matches_reference_implementation(spark):
+    """Pure-Python HLL replication: same md5-nibble 32-bit hash, same
+    10/22 bucket/sub-bit split, same integer-numerator harmonic sum."""
+    from iceberg_hybrid_spark.queries.pipeline import hll_distinct_audit
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set[str]] = {}
+    for _, row in docs.iterrows():
+        lang = row["lang"]
+        for s in _shingles(row["text"]):
+            exact.setdefault(lang, set()).add(s)
+            h = _h32(s)
+            bucket, w = h % 1024, h // 1024
+            rho = 23 if w == 0 else 1 + ((w & -w).bit_length() - 1)
+            r = regs.setdefault(lang, {})
+            r[bucket] = max(r.get(bucket, 0), rho)
+
+    got = {r["lang"]: r for r in hll_distinct_audit(spark, SF).collect()}
+    assert set(got) == set(regs)
+    alpha = 0.7213 / (1 + 1.079 / 1024.0)
+    for lang, r in regs.items():
+        snum = (1024 - len(r)) * 8388608 + sum(2 ** (23 - mr) for mr in r.values())
+        est = alpha * 1024 * 1024 * 8388608 / snum
+        row = got[lang]
+        assert row["exact_distinct"] == len(exact[lang])
+        assert row["empty_registers"] == 1024 - len(r)
+        assert abs(row["hll_estimate"] - est) < 1e-3
+        # the estimator itself must be in its advertised error regime:
+        # sigma = 1.04/sqrt(1024) ~ 3.3%; allow 5 sigma
+        assert abs(est / len(exact[lang]) - 1) < 0.17
+
+
+def test_bloom_matches_reference_implementation(spark):
+    """Pure-Python Bloom replication: same per-index md5 hash family,
+    same 65536-bit array, exact non-member probes, k = 1..5 sweep."""
+    from iceberg_hybrid_spark.queries.pipeline import bloom_fpr_audit
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    members: set[str] = set()
+    others: set[str] = set()
+    for _, row in docs.iterrows():
+        (members if row["source"] == "src0" else others).update(
+            _shingles(row["text"])
+        )
+    negatives = others - members
+
+    def bit(s: str, j: int) -> int:
+        return _h32(f"{s}#{j}") % 65536
+
+    minj: dict[int, int] = {}
+    for s in members:
+        for j in range(5):
+            b = bit(s, j)
+            minj[b] = min(minj.get(b, 9), j)
+
+    rows = {r["k"]: r for r in bloom_fpr_audit(spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    prev_bits = 0
+    for k in range(1, 6):
+        bitset = {b for b, j in minj.items() if j < k}
+        fp = sum(
+            1
+            for s in negatives
+            if all(bit(s, j) in bitset for j in range(k))
+        )
+        row = rows[k]
+        assert row["n_member_shingles"] == len(members)
+        assert row["bits_set"] == len(bitset)
+        assert row["negatives_probed"] == len(negatives)
+        assert row["false_positives"] == fp
+        assert 0.0 <= row["observed_fpr"] <= 1.0
+        assert abs(row["observed_fpr"] - fp / len(negatives)) < 1e-3
+        # the bit array only gains bits as k grows
+        assert len(bitset) >= prev_bits
+        prev_bits = len(bitset)

@@ -54,6 +54,17 @@ QUERIES = [
     "quality_calibration_bins",
     "maximal_shared_spans",
     "bpe_merge_candidates",
+    # round-6 late additions
+    "jsonl_ingest_stats",
+    "bpe_merge_rounds",
+    "bigram_lm_quality",
+    "inverted_index_stats",
+    "shingle_novelty_scores",
+    "cluster_quality_canonicals",
+    "weighted_corpus_sample",
+    "cms_token_counts",
+    "hll_distinct_audit",
+    "bloom_fpr_audit",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -2884,7 +2884,198 @@ FROM ranked WHERE rank <= 25 ORDER BY rank
 """
 
 
+# KMV estimators on a 190-row pair relation, written with identical
+# literal text in both engines: 1095216660480.0 = (K-1) * 2^32 for
+# K = 256; (v + 1.0) maps the integer hash to a strictly-positive
+# uniform so the kth-order-statistic estimator never divides by zero.
+_KMV_UNION = (
+    "(CASE WHEN m_union_vals < 256 THEN CAST(m_union_vals AS DOUBLE)"
+    " ELSE CAST(1095216660480.0 AS DOUBLE) / (vk + 1.0) END)"
+)
+_KMV_INTER = (
+    "(CASE WHEN m_union_vals < 256 THEN CAST(c_both AS DOUBLE)"
+    f" ELSE (CAST(c_both AS DOUBLE) / 256.0) * {_KMV_UNION} END)"
+)
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch (Beyer et al., SIGMOD 2007) SET
+    OPERATIONS, audited against exact counts: pairwise source
+    union/intersection cardinality estimated from two 256-value
+    sketches instead of the full distinct-shingle relations.  This is
+    the sketch the mirror-detection sweep (`source_overlap_matrix`)
+    degrades to at 100 TB: per-source state is 256 longs regardless of
+    corpus size, sketches union by keeping the 256 smallest of the
+    merged values (mergeable like CMS/HLL/Bloom), and the intersection
+    estimate is ``(|both| / K) * D_union`` over the union sketch's K
+    smallest values — the standard KMV Jaccard trick.
+
+    Scale shape: ONE distinct shuffle materializes the (source,
+    hash-value) relation for all consumers (ReusedExchange); per-source
+    bottom-K is two-phase — rank within (source, v % 64) salt buckets
+    first, then rank the <= 64*K survivors — so the corpus-cardinality
+    relation is never window-partitioned on the bare low-cardinality
+    source key.  Everything after the sketch build runs on <= 190 pairs
+    x 512 values.  The exact side (kept because the query IS the audit)
+    joins on the same 32-bit values, so both engines see identical
+    collision behavior.  Hash = md5-nibble 32-bit with the expression
+    text shared verbatim; the estimator divides once, on identical
+    literals."""
+    k_min = 256
+    docs = load_table(spark, sf_dir, "documents")
+    hv = (
+        docs.select("source", F.explode(T.shingles("text", 3)).alias("s"))
+        .select(
+            "source", F.md5(F.concat(F.col("s"), F.lit(":kmv"))).alias("m")
+        )
+        .selectExpr("source", f"{_HEX_INT} AS v")
+        .distinct()
+        # materialize once for the three consumers below (sketch build,
+        # per-source counts, exact pair join) — ReusedExchange
+        .repartition(F.col("v"))
+    )
+    counts = hv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = hv.alias("a"), hv.hint("shuffle_hash").alias("b")
+    exact_pairs = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    # two-phase bottom-K per source (exact: the global bottom-K is a
+    # subset of the union of per-salt bottom-Ks)
+    w1 = Window.partitionBy("source", F.col("v") % 64).orderBy("v")
+    w2 = Window.partitionBy("source").orderBy("v")
+    kmv = (
+        hv.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k_min)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= k_min)
+        .select("source", "v")
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    plist = (
+        ca.join(cb, F.col("ca.source") < F.col("cb.source"))
+        .select(
+            F.col("ca.source").alias("src_a"),
+            F.col("cb.source").alias("src_b"),
+            F.col("ca.n").alias("na"),
+            F.col("cb.n").alias("nb"),
+        )
+    )
+    ka, kb = kmv.alias("ka"), kmv.alias("kb")
+    rows_a = plist.join(
+        ka, F.col("ka.source") == F.col("src_a")
+    ).select("src_a", "src_b", "v", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+    rows_b = plist.join(
+        kb, F.col("kb.source") == F.col("src_b")
+    ).select("src_a", "src_b", "v", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("src_a", "src_b", "v")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("v")
+    per_pair = (
+        merged.withColumn("r", F.row_number().over(wp))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("m_union_vals"),
+            F.max(F.when(F.col("r") <= k_min, F.col("v"))).alias("vk"),
+            F.sum(
+                F.when(
+                    (F.col("r") <= k_min)
+                    & (F.col("fa") == 1)
+                    & (F.col("fb") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("c_both"),
+        )
+    )
+    return (
+        plist.join(exact_pairs, ["src_a", "src_b"], "left")
+        .join(per_pair, ["src_a", "src_b"])
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "na + nb - COALESCE(shared, 0) AS exact_union",
+            "COALESCE(shared, 0) AS exact_intersection",
+            f"ROUND({_KMV_UNION} - 0.000000001, 2) + 0.0 AS kmv_union_est",
+            f"ROUND({_KMV_INTER} - 0.000000001, 2) + 0.0"
+            " AS kmv_intersection_est",
+            "ROUND(c_both / (CASE WHEN m_union_vals < 256 THEN m_union_vals"
+            " ELSE 256 END) - 0.000000001, 4) + 0.0 AS kmv_jaccard_est",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_KMV_ADDR = _HEX_INT.replace("(m,", "(md5(s || ':kmv'),")
+
+KMV_OVERLAP_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({_duck_shingles(3)}) AS s
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+), hv AS (
+  SELECT DISTINCT source, {_KMV_ADDR} AS v FROM sh
+), counts AS (
+  SELECT source, COUNT(*) AS n FROM hv GROUP BY source
+), exact_pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+  FROM hv a JOIN hv b ON a.v = b.v AND a.source < b.source
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS r
+  FROM hv
+), kmv AS (
+  SELECT source, v FROM ranked WHERE r <= 256
+), plist AS (
+  SELECT ca.source AS src_a, cb.source AS src_b, ca.n AS na, cb.n AS nb
+  FROM counts ca JOIN counts cb ON ca.source < cb.source
+), rows_ab AS (
+  SELECT p.src_a, p.src_b, k.v, 1 AS fa, 0 AS fb
+  FROM plist p JOIN kmv k ON k.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, k.v, 0 AS fa, 1 AS fb
+  FROM plist p JOIN kmv k ON k.source = p.src_b
+), merged AS (
+  SELECT src_a, src_b, v, MAX(fa) AS fa, MAX(fb) AS fb
+  FROM rows_ab GROUP BY 1, 2, 3
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY v) AS r
+  FROM merged
+), per_pair AS (
+  SELECT src_a, src_b, COUNT(*) AS m_union_vals,
+         MAX(CASE WHEN r <= 256 THEN v END) AS vk,
+         CAST(SUM(CASE WHEN r <= 256 AND fa = 1 AND fb = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_both
+  FROM rk GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       p.na + p.nb - COALESCE(e.shared, 0) AS exact_union,
+       COALESCE(e.shared, 0) AS exact_intersection,
+       ROUND({_KMV_UNION} - 0.000000001, 2) + 0.0 AS kmv_union_est,
+       ROUND({_KMV_INTER} - 0.000000001, 2) + 0.0 AS kmv_intersection_est,
+       ROUND(c_both / (CASE WHEN m_union_vals < 256 THEN m_union_vals
+                            ELSE 256 END) - 0.000000001, 4) + 0.0
+         AS kmv_jaccard_est
+FROM plist p
+LEFT JOIN exact_pairs e ON p.src_a = e.src_a AND p.src_b = e.src_b
+JOIN per_pair pp ON p.src_a = pp.src_a AND p.src_b = pp.src_b
+ORDER BY p.src_a, p.src_b
+"""
+
+
 SPECS = [
+    QuerySpec("kmv_source_overlap", kmv_source_overlap, KMV_OVERLAP_SQL,
+              "KMV bottom-256 sketch set operations: pairwise source "
+              "union/intersection estimates audited against exact"),
     QuerySpec("hll_distinct_audit", hll_distinct_audit, HLL_DISTINCT_SQL,
               "HyperLogLog distinct-shingle estimate (1024 relational "
               "max-rank registers) audited against exact counts"),

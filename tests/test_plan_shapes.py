@@ -125,6 +125,12 @@ ALL_PAIRS_WHITELIST = {
     "bm25_doc_ranking",
     "data_constrained_epochs",
     "quality_calibration_bins",
+    # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
+    # by construction — a 5-row k table x the <=65536-row bit relation
+    # (bloom), the #sources-row counts relation self-paired (kmv);
+    # corpus cardinality never reaches these joins
+    "bloom_fpr_audit",
+    "kmv_source_overlap",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

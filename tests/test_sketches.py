@@ -1,7 +1,8 @@
-"""Mergeable-sketch family (round 6 late): HyperLogLog cardinality and
-Bloom membership audits, each replicated independently in pure Python
-(hashlib md5, the same estimator arithmetic) against the Spark result.
-The CMS sibling's invariant test lives in test_bpe_and_index.py."""
+"""Mergeable-sketch family (round 6 late): HyperLogLog cardinality,
+Bloom membership, and KMV set-operation audits, each replicated
+independently in pure Python (hashlib md5, the same estimator
+arithmetic) against the Spark result.  The CMS sibling's invariant test
+lives in test_bpe_and_index.py."""
 
 import hashlib
 
@@ -50,6 +51,50 @@ def test_hll_matches_reference_implementation(spark):
         # the estimator itself must be in its advertised error regime:
         # sigma = 1.04/sqrt(1024) ~ 3.3%; allow 5 sigma
         assert abs(est / len(exact[lang]) - 1) < 0.17
+
+
+def test_kmv_matches_reference_implementation(spark):
+    """Pure-Python KMV replication: same md5-nibble 32-bit values, same
+    bottom-256 sketches, same union/intersection estimators."""
+    from iceberg_hybrid_spark.queries.pipeline import kmv_source_overlap
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vals: dict[str, set[int]] = {}
+    for _, row in docs.iterrows():
+        vals.setdefault(row["source"], set()).update(
+            _h32(f"{s}:kmv") for s in _shingles(row["text"])
+        )
+    K = 256
+    sketch = {src: set(sorted(v)[:K]) for src, v in vals.items()}
+
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_source_overlap(spark, SF).collect()
+    }
+    srcs = sorted(vals)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    for (a, b), row in got.items():
+        exact_inter = len(vals[a] & vals[b])
+        exact_union = len(vals[a] | vals[b])
+        assert row["exact_union"] == exact_union
+        assert row["exact_intersection"] == exact_inter
+        un = sorted(sketch[a] | sketch[b])
+        m = len(un)
+        kept = un[:K]
+        c = sum(1 for v in kept if v in sketch[a] and v in sketch[b])
+        if m < K:
+            u_est, i_est = float(m), float(c)
+        else:
+            u_est = 1095216660480.0 / (kept[-1] + 1.0)
+            i_est = (c / 256.0) * u_est
+        assert abs(row["kmv_union_est"] - u_est) < 0.02
+        assert abs(row["kmv_intersection_est"] - i_est) < 0.02
+        assert abs(row["kmv_jaccard_est"] - c / min(m, K)) < 1e-3
+        # estimator sanity: union estimate within its error regime
+        # (sigma ~ 1/sqrt(K-2) ~ 6.3%; allow 5 sigma)
+        assert abs(u_est / exact_union - 1) < 0.32
 
 
 def test_bloom_matches_reference_implementation(spark):

@@ -65,6 +65,7 @@ QUERIES = [
     "cms_token_counts",
     "hll_distinct_audit",
     "bloom_fpr_audit",
+    "kmv_source_overlap",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

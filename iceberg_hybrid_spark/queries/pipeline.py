@@ -3072,7 +3072,152 @@ ORDER BY p.src_a, p.src_b
 """
 
 
+# Shared Spark-SQL / DuckDB fragments for the histogram quantile sketch:
+# bin width (floored at 1e-9 so a constant column bins to 0 instead of
+# dividing by zero), bin address, and the interpolated estimate.  The
+# CAST(128.0 AS DOUBLE) keeps Spark off its DECIMAL literal type.
+_QSK_W = "greatest((mx - mn) / CAST(128.0 AS DOUBLE), 0.000000001)"
+_QSK_BIN = (
+    f"CAST(least(127, CAST(floor((tc - mn) / {_QSK_W}) AS BIGINT)) AS INT)"
+)
+_QSK_EST = f"(mn + {_QSK_W} * (bin + (t - cumb) / c))"
+
+
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch audited against exact percentiles: the
+    mergeable one-pass estimator `doc_length_percentiles` promises to
+    swap in at 100 TB (its exact ``percentile`` aggregate buffers every
+    value per group — fine at audit scale, impossible at corpus scale).
+    Per-language token-count quantiles (p25/p50/p90/p99) estimated by
+    linear interpolation inside a 128-bin equi-width histogram, reported
+    next to the exact sort-based value so the audit IS the error bound.
+
+    Scale shape: two bounded counting shuffles — an O(1)-state min/max/
+    count agg, then the (lang, bin) histogram agg, <= langs x 128 rows
+    whatever the corpus (bin counts partial-aggregate map-side and merge
+    by addition: the textbook mergeable sketch).  The quantile pick,
+    interpolation, and exact join all run on the bounded histogram
+    relation.  The exact side (the thing the sketch replaces at scale)
+    is kept because the query IS the audit.  Every float step is shared
+    expression text — one division in the width, one in the
+    interpolation, on identical literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", T.token_count("text").cast("double").alias("tc")
+    )
+    bounds = base.groupBy("lang").agg(
+        F.min("tc").alias("mn"),
+        F.max("tc").alias("mx"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    binned = base.join(F.broadcast(bounds), "lang").selectExpr(
+        "lang", f"{_QSK_BIN} AS bin"
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumt = hist.withColumn("cum", F.sum("c").over(wcum))
+    # 4 quantile targets per language: a map-side explode over the tiny
+    # bounds relation — no join introduced
+    qlits = F.array(*[F.expr(f"CAST({q} AS DOUBLE)") for q in
+                      ("0.25", "0.5", "0.9", "0.99")])
+    qrows = bounds.select(
+        "lang", "mn", "mx", "n_docs", F.explode(qlits).alias("q")
+    ).selectExpr(
+        "lang", "mn", "mx", "n_docs", "q",
+        "CAST(1.0 AS DOUBLE) + q * (n_docs - 1) AS t",
+    )
+    hit = (
+        qrows.join(cumt, "lang")
+        .filter((F.col("cum") >= F.col("t")) & (F.col("cum") - F.col("c") < F.col("t")))
+        .selectExpr(
+            "lang", "q", "n_docs",
+            "cum - c AS cumb", "c", "bin", "mn", "mx", "t",
+        )
+    )
+    exact = base.groupBy("lang").agg(
+        *[
+            T.round_stable(F.expr(f"percentile(tc, {q})"), 2).alias(f"e{i}")
+            for i, q in enumerate(("0.25", "0.5", "0.9", "0.99"))
+        ]
+    )
+    exact_long = exact.selectExpr(
+        "lang",
+        "stack(4, CAST(0.25 AS DOUBLE), e0, CAST(0.5 AS DOUBLE), e1,"
+        " CAST(0.9 AS DOUBLE), e2, CAST(0.99 AS DOUBLE), e3)"
+        " AS (q, exact_pctl)",
+    )
+    return (
+        hit.join(exact_long, ["lang", "q"])
+        .selectExpr(
+            "lang",
+            "q",
+            "n_docs",
+            "exact_pctl",
+            f"ROUND({_QSK_EST} - 0.000000001, 2) + 0.0 AS hist_estimate",
+        )
+        .orderBy("lang", "q")
+    )
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH base AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS tc
+  FROM documents
+), bounds AS (
+  SELECT lang, MIN(tc) AS mn, MAX(tc) AS mx, COUNT(*) AS n_docs
+  FROM base GROUP BY lang
+), binned AS (
+  SELECT lang, {_QSK_BIN} AS bin FROM base JOIN bounds USING (lang)
+), hist AS (
+  SELECT lang, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+), cumt AS (
+  SELECT lang, bin, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cum
+  FROM hist
+), qs(q) AS (
+  VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+         (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))
+), qrows AS (
+  SELECT lang, mn, mx, n_docs, q,
+         CAST(1.0 AS DOUBLE) + q * (n_docs - 1) AS t
+  FROM bounds CROSS JOIN qs
+), hit AS (
+  SELECT r.lang, r.q, r.n_docs, h.cum - h.c AS cumb, h.c, h.bin,
+         r.mn, r.mx, r.t
+  FROM qrows r JOIN cumt h ON r.lang = h.lang
+  WHERE h.cum >= r.t AND h.cum - h.c < r.t
+), exact AS (
+  SELECT lang,
+         ROUND(quantile_cont(tc, 0.25) - 0.000000001, 2) + 0.0 AS e0,
+         ROUND(quantile_cont(tc, 0.5) - 0.000000001, 2) + 0.0 AS e1,
+         ROUND(quantile_cont(tc, 0.9) - 0.000000001, 2) + 0.0 AS e2,
+         ROUND(quantile_cont(tc, 0.99) - 0.000000001, 2) + 0.0 AS e3
+  FROM base GROUP BY lang
+), exact_long AS (
+  SELECT lang, CAST(0.25 AS DOUBLE) AS q, e0 AS exact_pctl FROM exact
+  UNION ALL
+  SELECT lang, CAST(0.5 AS DOUBLE), e1 FROM exact
+  UNION ALL
+  SELECT lang, CAST(0.9 AS DOUBLE), e2 FROM exact
+  UNION ALL
+  SELECT lang, CAST(0.99 AS DOUBLE), e3 FROM exact
+)
+SELECT h.lang AS lang, h.q AS q, h.n_docs, e.exact_pctl,
+       ROUND({_QSK_EST} - 0.000000001, 2) + 0.0 AS hist_estimate
+FROM hit h JOIN exact_long e ON h.lang = e.lang AND h.q = e.q
+ORDER BY lang, q
+"""
+
+
 SPECS = [
+    QuerySpec("quantile_sketch_audit", quantile_sketch_audit,
+              QUANTILE_SKETCH_SQL,
+              "128-bin histogram quantile sketch (mergeable, bounded "
+              "state) audited against exact per-language percentiles"),
     QuerySpec("kmv_source_overlap", kmv_source_overlap, KMV_OVERLAP_SQL,
               "KMV bottom-256 sketch set operations: pairwise source "
               "union/intersection estimates audited against exact"),

@@ -53,6 +53,57 @@ def test_hll_matches_reference_implementation(spark):
         assert abs(est / len(exact[lang]) - 1) < 0.17
 
 
+def test_quantile_sketch_matches_reference_implementation(spark):
+    """Pure-Python histogram-sketch replication: same 128 equi-width
+    bins, same interpolated pick, same continuous-rank target."""
+    from iceberg_hybrid_spark.queries.pipeline import quantile_sketch_audit
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["tc"] = docs["text"].str.split(" ").str.len().astype(float)
+
+    got = {
+        (r["lang"], r["q"]): r
+        for r in quantile_sketch_audit(spark, SF).collect()
+    }
+    qs = (0.25, 0.5, 0.9, 0.99)
+    assert set(got) == {
+        (lang, q) for lang in docs["lang"].unique() for q in qs
+    }
+    for lang, grp in docs.groupby("lang"):
+        vals = sorted(grp["tc"])
+        n = len(vals)
+        mn, mx = vals[0], vals[-1]
+        width = max((mx - mn) / 128.0, 1e-9)
+        hist: dict[int, int] = {}
+        for v in vals:
+            b = min(127, int((v - mn) // width))
+            hist[b] = hist.get(b, 0) + 1
+        for q in qs:
+            t = 1.0 + q * (n - 1)
+            cum = 0
+            for b in sorted(hist):
+                if cum + hist[b] >= t:
+                    est = mn + width * (b + (t - cum) / hist[b])
+                    break
+                cum += hist[b]
+            row = got[(lang, q)]
+            assert row["n_docs"] == n
+            assert abs(row["hist_estimate"] - est) < 0.02
+            # exact side matches numpy's linear-interpolated percentile
+            i = int(t) - 1
+            frac = t - int(t)
+            exact = vals[i] if frac == 0 else (
+                vals[i] + frac * (vals[i + 1] - vals[i])
+            )
+            assert abs(row["exact_pctl"] - exact) < 0.02
+            # the estimate lands inside the bin holding the rank-ceil(t)
+            # value; exact interpolates toward rank floor(t), which can
+            # sit one bin earlier — so two bin widths is the practical
+            # bound (a pathological value gap could exceed it; these
+            # fixtures do not)
+            assert abs(row["hist_estimate"] - exact) <= 2 * width + 0.02
+
+
 def test_kmv_matches_reference_implementation(spark):
     """Pure-Python KMV replication: same md5-nibble 32-bit values, same
     bottom-256 sketches, same union/intersection estimators."""

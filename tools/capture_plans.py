@@ -66,6 +66,7 @@ QUERIES = [
     "hll_distinct_audit",
     "bloom_fpr_audit",
     "kmv_source_overlap",
+    "quantile_sketch_audit",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

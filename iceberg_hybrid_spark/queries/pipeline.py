@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions import bpe as B
 from ..functions import contamination as C
 from ..functions import text as T
+from ._bpe_apply_oracle import BPE_APPLY_SQL
 from ._bpe_oracle import BPE_ROUNDS_SQL
 from ..sources.tables import load_table
 from .spec import QuerySpec
@@ -2450,6 +2451,66 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("round")
 
 
+def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the six trained
+    BPE merges (`bpe_merge_rounds` is the training half) and report the
+    per-language tokenizer-quality numbers a pipeline signs off on —
+    fertility (BPE tokens per whitespace word; high fertility on a
+    language means the tokenizer under-serves it) and chars-per-token
+    (compression).  This is the apply step that prices a training run's
+    token budget against the actual tokenizer instead of whitespace
+    estimates.
+
+    Scale shape: encoding runs over the per-language word-TYPE relation
+    (one counting shuffle; Heaps-law sublinear), never the token stream
+    — each type is encoded once and re-weighted by its count, so the
+    apply pass costs vocabulary-sized string work plus one bounded agg.
+    The merge chain is six JVM-side ``replace`` calls (the
+    boundary-borrowing encoding in ``functions/bpe.py``), codegen
+    throughout.  Oracle: DuckDB re-derives the type relation, replays
+    the identical replace chain, and recomputes every aggregate — only
+    the six trained pairs are pinned (tools/gen_bpe_apply_oracle.py;
+    valid at the driver's sf0.01 check scale like the training
+    oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [pair for (_r, pair, _c, _v) in B.train_bpe(docs, rounds=6)]
+    types = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter((F.col("word") != "") & F.col("word").rlike(B.ASCII_WORD_RE))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    s = B.char_symbol_string(F.col("word"))
+    for pair in merges:
+        a, b = pair.split(" ")
+        s = B.apply_merge(s, a, b)
+    enc = types.select(
+        "lang",
+        "wc",
+        F.length("word").alias("nch"),
+        F.size(B.symbols(s)).alias("nsym"),
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("wc").alias("word_tokens"),
+            F.sum(F.col("wc") * F.col("nsym")).alias("bpe_tokens"),
+            F.sum(F.col("wc") * F.col("nch")).alias("chars"),
+        )
+        .selectExpr(
+            "lang",
+            "word_tokens",
+            "bpe_tokens",
+            "chars",
+            "ROUND(CAST(bpe_tokens AS DOUBLE) / word_tokens - 0.000000001,"
+            " 4) + 0.0 AS fertility",
+            "ROUND(CAST(chars AS DOUBLE) / bpe_tokens - 0.000000001, 4)"
+            " + 0.0 AS chars_per_token",
+        )
+        .orderBy("lang")
+    )
+
+
 # Shared Spark-SQL / DuckDB integer hash: first 8 hex nibbles of an md5
 # column `m` as an exact BIGINT (identical expression text both engines;
 # the CAST keeps the nibble*16^k products in 64-bit under ANSI — Spark's
@@ -3237,6 +3298,10 @@ SPECS = [
     QuerySpec("bpe_merge_rounds", bpe_merge_rounds, BPE_ROUNDS_SQL,
               "six-round iterative BPE training: per-round argmax merge "
               "+ vocab size, fully recomputed by the oracle"),
+    QuerySpec("bpe_tokenize_fertility", bpe_tokenize_fertility,
+              BPE_APPLY_SQL,
+              "tokenizer apply: per-language fertility and compression "
+              "under the trained BPE merges (type-relation encode)"),
     QuerySpec("bigram_lm_quality", bigram_lm_quality, BIGRAM_QUALITY_SQL,
               "interpolated bigram LM cross-entropy histogram per "
               "language (Jelinek-Mercer 0.7/0.3)"),

@@ -164,3 +164,56 @@ def test_shingle_novelty_first_doc_wins(spark, tmp_path):
     row = shingle_novelty_scores(spark, str(tmp_path)).collect()[0]
     assert row["n_docs"] == 2
     assert row["avg_novelty"] == 0.5
+
+
+def test_bpe_tokenize_fertility_replicates_apply(spark):
+    """Pure-Python replication of the APPLY step: encode every word with
+    the merges Spark trained, re-aggregate, and compare — training
+    itself is oracle-gated separately (bpe_merge_rounds)."""
+    import re
+
+    import pandas as pd
+
+    from iceberg_hybrid_spark.functions import bpe as B
+    from iceberg_hybrid_spark.queries.pipeline import bpe_tokenize_fertility
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    merges = [p for (_r, p, _c, _v) in B.train_bpe(docs, rounds=6)]
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for pair in merges:
+            a, b = pair.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    agg: dict[str, list[int]] = {}
+    for _, row in pdf.iterrows():
+        for w in row["text"].split(" "):
+            if w and re.fullmatch(r"[ -~]+", w):
+                t = agg.setdefault(row["lang"], [0, 0, 0])
+                t[0] += 1
+                t[1] += encode(w)
+                t[2] += len(w)
+
+    got = {r["lang"]: r for r in bpe_tokenize_fertility(spark, sf).collect()}
+    assert set(got) == set(agg)
+    for lang, (wt, bt, ch) in agg.items():
+        row = got[lang]
+        assert row["word_tokens"] == wt
+        assert row["bpe_tokens"] == bt
+        assert row["chars"] == ch
+        assert abs(row["fertility"] - bt / wt) < 1e-3
+        # merges only shrink the encoding; chars is the ceiling
+        assert wt <= row["bpe_tokens"] <= ch

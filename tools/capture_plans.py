@@ -67,6 +67,7 @@ QUERIES = [
     "bloom_fpr_audit",
     "kmv_source_overlap",
     "quantile_sketch_audit",
+    "bpe_tokenize_fertility",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
+    "hard_negative_mining",
     "bpe_tokenize_fertility",
     "quantile_sketch_audit",
     "kmv_source_overlap",

@@ -670,6 +670,76 @@ WHERE rank <= 3 ORDER BY q_vec_id, rank
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query vector, the top-5 most-similar vectors with a DIFFERENT
+    label — the near-miss examples that make an embedding model learn
+    boundaries (random negatives are too easy; same-label neighbors are
+    positives).  The standard mining pass behind DPR/Contriever-style
+    training data.
+
+    Scale shape: same serving contract as `embedding_multi_query_topk`
+    — the bounded query batch broadcasts, scoring is map-side over the
+    corpus scan, and ranking is two-phase (partition-local top-k, then
+    a partitions x k merge) so the scored relation is never
+    hash-partitioned on the bare query id.  The label-differs predicate
+    lands pre-rank, map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        S.as_double_array("embedding").alias("_qvec"),
+    )
+    c = emb.select(
+        "vec_id", "label", S.as_double_array("embedding").alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .withColumn("cosine_sim", S.cosine(F.col("_cvec"), F.col("_qvec")))
+        .withColumn("_scan_part", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_scan_part", "q_vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    surv = scored.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        surv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "q_label", "rank", "vec_id", "label",
+                "cosine_sim")
+        .orderBy("q_vec_id", "rank")
+    )
+
+
+HARD_NEGATIVE_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_vec_id, label AS q_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.q_vec_id, q.q_label, e.vec_id, e.label,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+               6) AS cosine_sim
+  FROM embeddings e, q
+  WHERE e.label <> q.q_label
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_vec_id ORDER BY cosine_sim DESC, vec_id ASC)
+    AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_vec_id, q_label, rank, vec_id, label, cosine_sim FROM ranked
+WHERE rank <= 5 ORDER BY q_vec_id, rank
+"""
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = S.as_double_array("embedding")
@@ -1138,6 +1208,10 @@ SPECS = [
               "exact brute-force near-dup baseline (bounded corpora)"),
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, EMBEDDING_TOPK_SQL,
               "brute-force cosine top-k"),
+    QuerySpec("hard_negative_mining", hard_negative_mining,
+              HARD_NEGATIVE_SQL,
+              "contrastive hard negatives: top-5 most-similar "
+              "different-label vectors per query (two-phase rank)"),
     QuerySpec("embedding_multi_query_topk", embedding_multi_query_topk,
               EMBEDDING_MULTI_TOPK_SQL, "batched multi-query ANN serving"),
     QuerySpec("embedding_norm_stats", embedding_norm_stats, EMBEDDING_NORM_SQL,

@@ -264,3 +264,46 @@ def test_semantic_dedup_victims_tie_drops_larger_id(spark):
     )
     victims = D.semantic_dedup_victims(assigned, [[1.0, 0.0]], threshold=0.9)
     assert [r.vec_id for r in victims.collect()] == [9]
+
+
+def test_hard_negative_mining_label_and_rank_contract(spark):
+    """Every mined negative has a different label from its query; ranks
+    are dense 1..5 per query in descending similarity; the result equals
+    a pure-Python brute-force recompute."""
+    from iceberg_hybrid_spark.queries.llm import hard_negative_mining
+
+    sf = "/root/testdata/sf0.001"
+    rows = hard_negative_mining(spark, sf).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.label != r.q_label
+        by_q.setdefault(r.q_vec_id, []).append(r)
+    assert set(by_q) == set(range(8))
+    import math
+
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = {r.vec_id: list(map(float, r.embedding)) for r in emb.itertuples()}
+    labels = {r.vec_id: r.label for r in emb.itertuples()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for qid, got in by_q.items():
+        assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+        sims = [r.cosine_sim for r in got]
+        assert sims == sorted(sims, reverse=True)
+        cand = sorted(
+            (
+                (round(cos(vecs[v], vecs[qid]), 6), -v)
+                for v in vecs
+                if labels[v] != labels[qid]
+            ),
+            reverse=True,
+        )[:5]
+        expect = [(-i, s) for s, i in cand]
+        assert [(r.vec_id, r.cosine_sim) for r in got] == [
+            (v, s) for v, s in expect
+        ]

@@ -103,6 +103,7 @@ ALL_PAIRS_WHITELIST = {
     # broadcast side is bounded by the serving contract
     "embedding_topk_cosine",
     "embedding_multi_query_topk",
+    "hard_negative_mining",
     # deliberately-quadratic exact baseline for bounded corpora
     "embedding_near_dup_pairs_exact",
     # single-row-aggregate crossJoins attaching corpus totals to a
@@ -140,6 +141,7 @@ ALL_PAIRS_WHITELIST = {
 BROADCAST_HINT_WHITELIST = {
     "embedding_topk_cosine",
     "embedding_multi_query_topk",
+    "hard_negative_mining",
 }
 
 

@@ -68,6 +68,7 @@ QUERIES = [
     "kmv_source_overlap",
     "quantile_sketch_audit",
     "bpe_tokenize_fertility",
+    "hard_negative_mining",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -562,6 +562,98 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CARDINALITY tracking: the HLL register table maintained
+    as persisted state per micro-batch (streaming/ingest.py
+    ``hll_ingest_batch``) and driven through the oracle gate — the
+    bounded-memory way a 100 TB ingest tracks distinct-shingle volume
+    per language without retaining the corpus (state is <= langs x 1024
+    rows at any scale).
+
+    The documents table is delivered twice (full batch + verbatim
+    re-delivery, the at-least-once upstream) and drained with
+    availableNow.  Register-wise max is associative AND idempotent, so
+    the final state equals the batch sketch over the delivery union —
+    which equals the single-copy sketch — REGARDLESS of how the stream
+    folded files into micro-batches: mergeability is exactly what the
+    value gate certifies.  The oracle recomputes the full sketch from
+    the documents table with the shared fragment text
+    (functions/sketch.py; same arithmetic as ``hll_distinct_audit``)."""
+    from pyspark.sql import types as SPARK_T2
+
+    from ..functions import sketch as SK
+    from ..streaming.ingest import HLL_REGISTER_DDL, start_hll_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    root = _scratch("streamhll")
+    inbox = os.path.join(root, "inbox")
+    docs.coalesce(1).write.mode("append").parquet(inbox)
+    docs.coalesce(1).write.mode("append").parquet(inbox)  # re-delivery
+    registers = HyTable(spark, os.path.join(root, "registers"))
+    registers.create(spark.createDataFrame([], HLL_REGISTER_DDL))
+    schema = SPARK_T2.StructType.fromDDL(
+        "doc_id bigint, lang string, text string"
+    )
+    q = start_hll_ingest(
+        spark, inbox, schema, registers, os.path.join(root, "ckpt")
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    per_lang = (
+        registers.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("present"),
+            F.sum(F.expr("CAST(shiftleft(1, 23 - mr) AS BIGINT)")).alias(
+                "snum_p"
+            ),
+        )
+        .selectExpr(
+            "lang",
+            "1024 - present AS empty_registers",
+            "(1024 - present) * 8388608 + snum_p AS snum",
+        )
+    )
+    return per_lang.selectExpr(
+        "lang", f"{SK.HLL_EST} AS hll_estimate", "empty_registers"
+    ).orderBy("lang")
+
+
+def _streaming_hll_sql() -> str:
+    from ..functions import sketch as SK
+    from .pipeline import _duck_shingles
+
+    return f"""
+WITH sh AS (
+  SELECT lang, unnest({_duck_shingles(3)}) AS s
+  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+), hashed AS (
+  SELECT lang, {SK.HLL_ADDR} AS h FROM sh
+), addressed AS (
+  SELECT lang, h % 1024 AS bucket, h // 1024 AS w FROM hashed
+), rho_t AS (
+  SELECT lang, bucket, {SK.HLL_RHO} AS rho FROM addressed
+), reg AS (
+  SELECT lang, bucket, MAX(rho) AS mr FROM rho_t GROUP BY lang, bucket
+), per_lang AS (
+  SELECT lang,
+         1024 - COUNT(*) AS empty_registers,
+         (1024 - COUNT(*)) * 8388608
+           + CAST(SUM(CAST(1 AS BIGINT) << (23 - mr)) AS BIGINT) AS snum
+  FROM reg GROUP BY lang
+)
+SELECT lang, {SK.HLL_EST} AS hll_estimate, empty_registers
+FROM per_lang ORDER BY lang
+"""
+
+
+STREAMING_HLL_SQL = _streaming_hll_sql()
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join through the real
     Structured Streaming path: click and purchase streams (two
@@ -1115,6 +1207,10 @@ SPECS = [
               STREAMING_NEARDUP_SQL,
               "streaming near-dup ingestion with persisted LSH band "
               "state; oracle = exact canonical survivors"),
+    QuerySpec("streaming_hll_ingest", streaming_hll_ingest,
+              STREAMING_HLL_SQL,
+              "streaming HLL register-state maintenance (mergeable, "
+              "idempotent under redelivery); oracle = batch sketch"),
     QuerySpec("streaming_interval_join", streaming_interval_join,
               STREAMING_INTERVAL_JOIN_SQL,
               "watermarked stream-stream interval join (clicks within "

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bpe as B
 from ..functions import contamination as C
+from ..functions import sketch as SK
 from ..functions import text as T
 from ._bpe_apply_oracle import BPE_APPLY_SQL
 from ._bpe_oracle import BPE_ROUNDS_SQL
@@ -2512,18 +2513,10 @@ def bpe_tokenize_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared Spark-SQL / DuckDB integer hash: first 8 hex nibbles of an md5
-# column `m` as an exact BIGINT (identical expression text both engines;
-# the CAST keeps the nibble*16^k products in 64-bit under ANSI — Spark's
-# instr returns INT and 15*16^7 overflows int32).
-_HEX_INT = (
-    "("
-    + " + ".join(
-        f"CAST(instr('0123456789abcdef', substring(m, {i}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (8 - i)}"
-        for i in range(1, 9)
-    )
-    + ")"
-)
+# column `m` as an exact BIGINT — moved to functions/sketch.py (round 6)
+# so the streaming sketch-state path shares the identical text; aliased
+# here because every .replace-derived probe below builds on it.
+_HEX_INT = SK.HEX_INT
 
 
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2615,28 +2608,11 @@ ORDER BY p.exact_count DESC, p.w ASC
 """
 
 
-# HLL register rank over the 22 sub-bucket bits of column `w`:
-# rho = 1 + (trailing zeros of w), computed as exact integer threshold
-# sums (w % 2^k = 0 for k = 1..22), NEVER via log2 — Spark lowers LOG2
-# to ln/ln which is not exactly rounded at powers of two.  w = 0 makes
-# every term true, giving the capped rho = 23.  Identical expression
-# text on both engines.
-_HLL_RHO = (
-    "(1 + "
-    + " + ".join(
-        f"(CASE WHEN w % {1 << k} = 0 THEN 1 ELSE 0 END)" for k in range(1, 23)
-    )
-    + ")"
-)
-
-# alpha_m * m^2 * 2^23 / snum for m = 1024 registers, written with
-# identical literal text and operand order in both engines: the leading
-# double makes the whole chain double-typed, every step is a
-# correctly-rounded IEEE op, so the quotient is bit-identical.
-_HLL_EST = (
-    "ROUND((CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024.0))"
-    " * 1024 * 1024 * 8388608 / snum - 0.000000001, 3) + 0.0"
-)
+# HLL register rank / estimator fragments — see functions/sketch.py for
+# the full float-determinism notes (integer threshold sums, never log2;
+# leading CAST-to-DOUBLE against Spark's DECIMAL literal parsing).
+_HLL_RHO = SK.HLL_RHO
+_HLL_EST = SK.HLL_EST
 
 
 def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2662,13 +2638,7 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the arithmetic branch-free and engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("lang", F.explode(T.shingles("text", 3)).alias("s"))
-    addressed = (
-        sh.select("lang", F.md5("s").alias("m"))
-        .selectExpr("lang", f"{_HEX_INT} AS h")
-        .selectExpr("lang", "h % 1024 AS bucket", "h DIV 1024 AS w")
-        .selectExpr("lang", "bucket", f"{_HLL_RHO} AS rho")
-    )
-    reg = addressed.groupBy("lang", "bucket").agg(F.max("rho").alias("mr"))
+    reg = SK.hll_registers(sh, "lang")
     per_lang = (
         reg.groupBy("lang")
         .agg(

@@ -309,3 +309,69 @@ def start_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+HLL_REGISTER_DDL = "lang string, bucket bigint, mr int"
+
+
+def hll_ingest_batch(
+    batch_df: DataFrame,
+    registers: HyTable,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> None:
+    """Fold one micro-batch into the persisted HLL register table:
+    compute the batch's (group, bucket, max-rho) registers and merge
+    them into state by register-wise max — the textbook mergeable-sketch
+    update, so the final state is IDENTICAL to the batch sketch over the
+    union of all deliveries regardless of how the stream folded them
+    into micro-batches, and redeliveries are absorbed idempotently
+    (max is idempotent).  State is <= groups x 1024 rows whatever the
+    corpus — the whole point: streaming cardinality tracking without
+    retaining the corpus."""
+    from ..functions import sketch as SK
+    from ..functions import text as T
+
+    if not batch_df.limit(1).count():
+        return
+    sh = batch_df.select(
+        group_col, F.explode(T.shingles(text_col, 3)).alias("s")
+    )
+    br = SK.hll_registers(sh, group_col)
+    merged = (
+        registers.read()
+        .unionByName(br)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("mr").alias("mr"))
+        # materialize before the overwrite truncates the table the read
+        # lazily references (bounded relation: <= groups x 1024 rows)
+        .localCheckpoint(eager=True)
+    )
+    registers.overwrite(merged)
+
+
+def start_hll_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    schema,
+    registers: HyTable,
+    checkpoint_dir: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Tail ``inbox_dir`` and maintain the HLL register state table per
+    micro-batch (see :func:`hll_ingest_batch`)."""
+
+    def drain(batch_df: DataFrame, _batch_id: int) -> None:
+        hll_ingest_batch(batch_df, registers, group_col, text_col)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(inbox_dir)
+        .writeStream.foreachBatch(drain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

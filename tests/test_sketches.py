@@ -191,3 +191,40 @@ def test_bloom_matches_reference_implementation(spark):
         # the bit array only gains bits as k grows
         assert len(bitset) >= prev_bits
         prev_bits = len(bitset)
+
+
+def test_hll_ingest_state_merge_and_idempotence(spark, tmp_path):
+    """Register-state maintenance: folding the corpus in as two halves
+    plus a redelivered half yields EXACTLY the batch sketch over the
+    whole corpus — mergeability and idempotence, the two properties the
+    streaming path stands on."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions import sketch as SK
+    from iceberg_hybrid_spark.functions import text as T
+    from iceberg_hybrid_spark.lake.table import HyTable
+    from iceberg_hybrid_spark.sources.tables import load_table
+    from iceberg_hybrid_spark.streaming.ingest import (
+        HLL_REGISTER_DDL,
+        hll_ingest_batch,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1")
+
+    registers = HyTable(spark, str(tmp_path / "regs"))
+    registers.create(spark.createDataFrame([], HLL_REGISTER_DDL))
+    hll_ingest_batch(first, registers)
+    hll_ingest_batch(second, registers)
+    hll_ingest_batch(second, registers)  # redelivery — must be absorbed
+    got = {
+        (r["lang"], r["bucket"]): r["mr"] for r in registers.read().collect()
+    }
+
+    sh = docs.select("lang", F.explode(T.shingles("text", 3)).alias("s"))
+    want = {
+        (r["lang"], r["bucket"]): r["mr"]
+        for r in SK.hll_registers(sh, "lang").collect()
+    }
+    assert got == want

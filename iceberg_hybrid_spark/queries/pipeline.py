@@ -2174,6 +2174,97 @@ LIMIT 20
 """
 
 
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks, CL 16(1)): the phrase-detection rung above raw bigram counts
+    — raw counts surface "of the"; PMI surfaces pairs that co-occur far
+    above chance, the signal phrase-aware tokenizers and entity miners
+    rank by.  PMI(a,b) = ln(P(a,b) / (P(a)P(b))) with a min-support
+    floor (pair_count >= 5) so rare-pair noise (PMI's known failure
+    mode) is gated out; top-25 by rounded PMI, pair-string tiebreak.
+
+    Scale shape: two word-count shuffles (unigrams, adjacent bigrams —
+    both canonical partial-agg map-side combines), two hash joins of
+    the bigram relation to the unigram relation on corpus-cardinality
+    word keys, and two single-row totals attached broadcast-style (the
+    whitelisted scalar-subquery shape).  Ranking is
+    TakeOrderedAndProject on the rounded measure."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    m = F.size(w) - 1
+    pairs = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(w, 1, m), F.slice(w, 2, m),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = docs.select(F.explode(w).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    n_t = uni.agg(F.sum("cnt").alias("n_tok"))
+    big = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    m_t = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .agg(F.count(F.lit(1)).alias("m_pairs"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("cnt").alias("count_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cnt").alias("count_b"))
+    scored = (
+        big.withColumn("wa", F.element_at(F.split("pair", " "), 1))
+        .withColumn("wb", F.element_at(F.split("pair", " "), 2))
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(m_t))
+        .selectExpr(
+            "pair",
+            "c2 AS pair_count",
+            "count_a",
+            "count_b",
+            "ROUND(ln((CAST(c2 AS DOUBLE) * n_tok * n_tok)"
+            " / (CAST(m_pairs AS DOUBLE) * count_a * count_b))"
+            " - 0.000000001, 4) + 0.0 AS pmi",
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("pair")).limit(25)
+
+
+BIGRAM_PMI_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+), n_t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok FROM uni
+), bigs AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i+1])) AS pair
+  FROM (SELECT string_split(text, ' ') AS w FROM documents) d
+), big AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2 FROM bigs GROUP BY pair
+  HAVING COUNT(*) >= 5
+), m_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_pairs FROM bigs
+), scored AS (
+  SELECT b.pair, b.c2 AS pair_count, ua.cnt AS count_a, ub.cnt AS count_b,
+         ROUND(ln((CAST(b.c2 AS DOUBLE) * n_tok * n_tok)
+                  / (CAST(m_pairs AS DOUBLE) * ua.cnt * ub.cnt))
+               - 0.000000001, 4) + 0.0 AS pmi
+  FROM big b
+  JOIN uni ua ON string_split(b.pair, ' ')[1] = ua.w
+  JOIN uni ub ON string_split(b.pair, ' ')[2] = ub.w
+  CROSS JOIN n_t CROSS JOIN m_t
+)
+SELECT pair, pair_count, count_a, count_b, pmi FROM scored
+ORDER BY pmi DESC, pair ASC LIMIT 25
+"""
+
+
 def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality scoring — the next rung above the
     unigram CCNet score (``unigram_logprob_quality``): per language,
@@ -3272,6 +3363,10 @@ SPECS = [
               BPE_APPLY_SQL,
               "tokenizer apply: per-language fertility and compression "
               "under the trained BPE merges (type-relation encode)"),
+    QuerySpec("bigram_pmi_collocations", bigram_pmi_collocations,
+              BIGRAM_PMI_SQL,
+              "PMI collocation mining: top-25 above-chance adjacent "
+              "pairs with a min-support floor (Church & Hanks)"),
     QuerySpec("bigram_lm_quality", bigram_lm_quality, BIGRAM_QUALITY_SQL,
               "interpolated bigram LM cross-entropy histogram per "
               "language (Jelinek-Mercer 0.7/0.3)"),

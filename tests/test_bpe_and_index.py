@@ -217,3 +217,46 @@ def test_bpe_tokenize_fertility_replicates_apply(spark):
         assert abs(row["fertility"] - bt / wt) < 1e-3
         # merges only shrink the encoding; chars is the ceiling
         assert wt <= row["bpe_tokens"] <= ch
+
+
+def test_bigram_pmi_matches_reference_implementation(spark):
+    """Pure-Python PMI replication: same counts, same min-support
+    floor, same ln ratio, same rounded-measure tiebreak."""
+    import math
+
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.pipeline import bigram_pmi_collocations
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    uni: dict[str, int] = {}
+    big: dict[str, int] = {}
+    n_tok = m_pairs = 0
+    for text in docs["text"]:
+        w = text.split(" ")
+        n_tok += len(w)
+        m_pairs += len(w) - 1
+        for t in w:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(w, w[1:]):
+            big[f"{a} {b}"] = big.get(f"{a} {b}", 0) + 1
+
+    scored = []
+    for pair, c2 in big.items():
+        if c2 < 5:
+            continue
+        a, b = pair.split(" ")
+        pmi = math.log((c2 * n_tok * n_tok) / (m_pairs * uni[a] * uni[b]))
+        scored.append((round(pmi - 1e-9, 4) + 0.0, pair, c2))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expect = scored[:25]
+
+    got = bigram_pmi_collocations(spark, sf).collect()
+    assert len(got) == len(expect)
+    for row, (pmi, pair, c2) in zip(got, expect):
+        assert row["pair"] == pair
+        assert row["pair_count"] == c2
+        a, b = pair.split(" ")
+        assert row["count_a"] == uni[a] and row["count_b"] == uni[b]
+        assert abs(row["pmi"] - pmi) < 1e-3

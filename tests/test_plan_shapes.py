@@ -126,6 +126,7 @@ ALL_PAIRS_WHITELIST = {
     "bm25_doc_ranking",
     "data_constrained_epochs",
     "quality_calibration_bins",
+    "bigram_pmi_collocations",
     # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
     # by construction — a 5-row k table x the <=65536-row bit relation
     # (bloom), the #sources-row counts relation self-paired (kmv);

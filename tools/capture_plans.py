@@ -69,6 +69,7 @@ QUERIES = [
     "quantile_sketch_audit",
     "bpe_tokenize_fertility",
     "hard_negative_mining",
+    "bigram_pmi_collocations",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

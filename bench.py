@@ -80,6 +80,7 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "embedding_ann_recall_curve",
     "bigram_pmi_collocations",
     "streaming_hll_ingest",
     "hard_negative_mining",

@@ -19,6 +19,7 @@ from ..functions import similarity as S
 from ..functions import text as T
 from ..sources.tables import load_table
 from ._ivf_oracle import EMBEDDING_IVF_SQL
+from ._recall_oracle import ANN_RECALL_SQL
 from ._ivfpq_oracle import EMBEDDING_IVFPQ_SQL
 from ._pq_oracle import EMBEDDING_PQ_SQL
 from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
@@ -846,6 +847,55 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN EVALUATION: recall@10 of the IVF index against exact brute
+    force across the nprobe sweep (1, 2, 4) — the accuracy-vs-cost curve
+    an ANN deployment is tuned on (each nprobe step scans ~nprobe/k_lists
+    of the corpus; recall is what that buys).  Turns the test-only recall
+    pin into a first-class oracle-gated audit.
+
+    Scale shape: brute force is the one-off evaluation baseline (bounded
+    query batch, map-side scoring, two-phase rank — the whitelisted
+    serving shape); each IVF arm is the production probe-pruned path;
+    the overlap count and recall arithmetic run on 3 x |queries| x 10
+    rows.  Oracle: trained centroids + assignments pinned
+    (tools/gen_recall_oracle.py), both the brute-force AND the IVF side
+    recomputed independently by DuckDB at every nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    bf = S.brute_force_topk(emb, queries, k=10).select("q_vec_id", "vec_id")
+    parts = [
+        S.ivf_topk(assigned, centers, queries, k=10, nprobe=n).select(
+            F.lit(n).cast("int").alias("nprobe"), "q_vec_id", "vec_id"
+        )
+        for n in (1, 2, 4)
+    ]
+    ivf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hits = (
+        ivf.join(bf, ["q_vec_id", "vec_id"])
+        .groupBy("nprobe", "q_vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    scaffold = queries.select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.explode(
+            F.array(*[F.lit(n).cast("int") for n in (1, 2, 4)])
+        ).alias("nprobe"),
+    )
+    return (
+        scaffold.join(hits, ["nprobe", "q_vec_id"], "left")
+        .selectExpr(
+            "nprobe",
+            "q_vec_id",
+            "CAST(COALESCE(hits, 0) AS BIGINT) AS hits",
+            "ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0"
+            " - 0.000000001, 4) + 0.0 AS recall_at_10",
+        )
+        .orderBy("nprobe", "q_vec_id")
+    )
+
+
 def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011, IEEE TPAMI): 4
     subspace codebooks of 16 seeded-KMeans centroids compress each
@@ -1173,6 +1223,10 @@ SPECS = [
     QuerySpec("embedding_ivfpq_ann", embedding_ivfpq_ann, EMBEDDING_IVFPQ_SQL,
               "IVF-PQ composed ANN (probe pruning + ADC codes) vs "
               "artifact-literal oracle"),
+    QuerySpec("embedding_ann_recall_curve", embedding_ann_recall_curve,
+              ANN_RECALL_SQL,
+              "IVF recall@10 vs brute force across the nprobe sweep — "
+              "the ANN accuracy-vs-cost tuning curve, oracle-gated"),
     QuerySpec("embedding_ivf_ann", embedding_ivf_ann, EMBEDDING_IVF_SQL,
               "IVF (KMeans inverted lists) ANN top-k vs centroid-literal "
               "oracle"),

@@ -307,3 +307,38 @@ def test_hard_negative_mining_label_and_rank_contract(spark):
         assert [(r.vec_id, r.cosine_sim) for r in got] == [
             (v, s) for v, s in expect
         ]
+
+
+def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
+    """Recall@10 is non-decreasing in nprobe, and probing every list
+    reproduces brute force exactly (IVF with nprobe = k_lists is an
+    exact partition of the corpus)."""
+    from iceberg_hybrid_spark.queries.llm import embedding_ann_recall_curve
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = embedding_ann_recall_curve(spark, sf).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in rows:
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        by_q.setdefault(r.q_vec_id, {})[r.nprobe] = r.recall_at_10
+    for q, curve in by_q.items():
+        assert sorted(curve) == [1, 2, 4]
+        assert curve[1] <= curve[2] <= curve[4]
+
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions import similarity as S
+
+    emb = load_table(spark, sf, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=sf)
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    bf = {
+        (r.q_vec_id, r.rank): r.vec_id
+        for r in S.brute_force_topk(emb, queries, k=10).collect()
+    }
+    full = {
+        (r.q_vec_id, r.rank): r.vec_id
+        for r in S.ivf_topk(assigned, centers, queries, k=10, nprobe=8).collect()
+    }
+    assert full == bf

@@ -104,6 +104,9 @@ ALL_PAIRS_WHITELIST = {
     "embedding_topk_cosine",
     "embedding_multi_query_topk",
     "hard_negative_mining",
+    # evaluation audit: the brute-force baseline side is the same
+    # bounded serving shape; the IVF arms are probe-pruned
+    "embedding_ann_recall_curve",
     # deliberately-quadratic exact baseline for bounded corpora
     "embedding_near_dup_pairs_exact",
     # single-row-aggregate crossJoins attaching corpus totals to a
@@ -143,6 +146,7 @@ BROADCAST_HINT_WHITELIST = {
     "embedding_topk_cosine",
     "embedding_multi_query_topk",
     "hard_negative_mining",
+    "embedding_ann_recall_curve",
 }
 
 

@@ -70,6 +70,7 @@ QUERIES = [
     "bpe_tokenize_fertility",
     "hard_negative_mining",
     "bigram_pmi_collocations",
+    "embedding_ann_recall_curve",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -80,6 +80,8 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "csv_ingest_stats",
+    "orc_roundtrip_stats",
     "embedding_ann_recall_curve",
     "bigram_pmi_collocations",
     "streaming_hll_ingest",

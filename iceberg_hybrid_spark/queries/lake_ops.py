@@ -781,6 +781,118 @@ ORDER BY lang
 """
 
 
+def csv_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source format through the oracle gate — the other wire format
+    crawl partners actually ship.  Same contract as
+    ``jsonl_ingest_stats``: explicit schema (inference would re-type the
+    corpus), PERMISSIVE mode with a corrupt-record column (FAILFAST
+    would kill a 100 TB job on one bad line), quoting handled by the
+    reader so embedded commas/quotes in text survive the round-trip.
+
+    Three malformed lines are injected (non-numeric id, unterminated
+    quote, a bare non-CSV line); the oracle recomputes the clean side
+    from the original parquet and pins the corrupt count as a literal —
+    a regression in quoting, typing, or corrupt-row routing fails the
+    value hash.  One scan, one labeled partial-agg shuffle.
+
+    The aggregate deliberately consumes EVERY schema column (doc_id,
+    text included): Spark's CSV reader prunes unreferenced columns
+    before type conversion, so a query that skips doc_id never triggers
+    the "notanumber" failure and the row sails through as clean —
+    corrupt-record detection only covers the columns the query parses.
+    Pinned by the oracle: dropping a column from this aggregate flips
+    corrupt rows back to clean and fails the value hash."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    root = _scratch("csvsrc")
+    inbox = os.path.join(root, "inbox")
+    docs.coalesce(1).write.mode("overwrite").csv(inbox)
+    with open(os.path.join(inbox, "corrupt-extra.csv"), "w") as fh:
+        fh.write("notanumber,en,hello world,11\n")
+        fh.write('88,"en,unterminated quote\n')
+        fh.write("this line is not csv at all\n")
+    schema = (
+        "doc_id bigint, lang string, text string, n_chars int, "
+        "_corrupt_record string"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(inbox)
+    )
+    clean = F.col("_corrupt_record").isNull()
+    labeled = parsed.select(
+        F.when(clean, F.col("lang")).otherwise(F.lit("__corrupt__")).alias(
+            "lang"
+        ),
+        F.when(clean, F.col("n_chars")).cast("bigint").alias("nc"),
+        F.when(clean, F.col("doc_id")).alias("did"),
+        F.when(clean, F.length("text")).cast("bigint").alias("tl"),
+    )
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("total_chars"),
+            F.min("did").alias("min_doc_id"),
+            F.sum("tl").alias("text_len_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+CSV_INGEST_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM documents GROUP BY lang
+UNION ALL
+SELECT '__corrupt__', 3, NULL, NULL, NULL
+ORDER BY lang
+"""
+
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink format through the oracle gate: the documents
+    table round-trips through an ORC write + typed read (the other
+    columnar format Spark ships a vectorized reader for — warehouses
+    migrating from Hive arrive with ORC, not parquet), then aggregates
+    per language.  The oracle recomputes the identical aggregate from
+    the original parquet, so any type coercion, encoding, or value
+    corruption in the ORC round-trip fails the value hash.  One scan,
+    one partial-agg shuffle on the bounded lang key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    root = _scratch("orcsrc")
+    path = os.path.join(root, "tbl")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum(F.length("text").cast("bigint")).alias("text_len_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def streaming_stateful_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator through the oracle gate:
     ``applyInPandasWithState`` keyed by user tracks (event count, last
@@ -1219,6 +1331,13 @@ SPECS = [
               STREAMING_STATEFUL_SQL,
               "applyInPandasWithState per-user status state machine, "
               "value-gated against the relational recomputation"),
+    QuerySpec("csv_ingest_stats", csv_ingest_stats, CSV_INGEST_SQL,
+              "CSV ingestion edge: explicit schema, PERMISSIVE "
+              "corrupt-line quarantine, quoting round-trip"),
+    QuerySpec("orc_roundtrip_stats", orc_roundtrip_stats,
+              ORC_ROUNDTRIP_SQL,
+              "ORC write + typed read round-trip audited against the "
+              "parquet original"),
     QuerySpec("jsonl_ingest_stats", jsonl_ingest_stats, JSONL_INGEST_SQL,
               "JSONL crawl-dump ingestion: explicit schema, PERMISSIVE "
               "corrupt-line quarantine, typed round-trip"),

@@ -1101,6 +1101,83 @@ ORDER BY _change_type, k, name
 """
 
 
+def incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the table
+    CHANGELOG: a per-language (count, char-mass) aggregate is
+    materialized at snapshot 1, then brought current by applying ONLY
+    the signed CDC delta of the later commits (an append and a COW
+    DELETE) — insert rows contribute +1, delete rows −1 — never by
+    rescanning the table.  This is the lakehouse pattern that keeps a
+    100 TB rollup fresh for the cost of the delta (Iceberg changelog →
+    MERGE into the MV), and count/sum are the self-maintainable
+    aggregates it works for.
+
+    Scale shape: the MV is a bounded (lang) relation; the delta agg is
+    one partial-agg shuffle over the changelog rows (bounded by the
+    commits being folded in, not the table); the merge is a union +
+    re-agg on the bounded key.  Groups whose count reaches zero drop
+    out (the 'de' slice is fully deleted).  Oracle: DuckDB recomputes
+    the FINAL state from the fixture directly — any error in changelog
+    row emission, signing, or the merge arithmetic fails the value
+    hash.  A test additionally pins mv == full recompute of the final
+    snapshot."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = HyTable(spark, _scratch("ivm"))
+    t.create(docs.filter(F.col("doc_id") % 3 == 0).coalesce(1))
+    s1 = t.current_snapshot().sequence_number
+    mv = (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )
+    # bring the MV to a concrete value BEFORE the table moves on — a
+    # materialized view is state, not a lazy plan over a moving table
+    # (bounded relation: one row per language)
+    mv = spark.createDataFrame(
+        mv.collect(), "lang string, n_docs bigint, total_chars bigint"
+    )
+    t.append(docs.filter(F.col("doc_id") % 3 == 1).coalesce(1))
+    t.delete_where([("lang", "=", "de")])
+    s3 = t.current_snapshot().sequence_number
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    ).cast("bigint")
+    delta = (
+        t.changelog(s1, s3)
+        .groupBy("lang")
+        .agg(
+            F.sum(sign).alias("n_docs"),
+            F.sum(sign * F.col("n_chars").cast("bigint")).alias(
+                "total_chars"
+            ),
+        )
+    )
+    return (
+        mv.unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+        .orderBy("lang")
+    )
+
+
+IVM_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 3 IN (0, 1) AND lang <> 'de'
+GROUP BY lang ORDER BY lang
+"""
+
+
 def sorted_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write.sort-order (≙ WRITE ORDERED BY): the table carries a sort
     order applied to every append, so each commit's files keep tight
@@ -1331,6 +1408,10 @@ SPECS = [
               STREAMING_STATEFUL_SQL,
               "applyInPandasWithState per-user status state machine, "
               "value-gated against the relational recomputation"),
+    QuerySpec("incremental_view_maintenance", incremental_view_maintenance,
+              IVM_SQL,
+              "materialized aggregate kept current from the signed CDC "
+              "changelog delta alone — never a table rescan"),
     QuerySpec("csv_ingest_stats", csv_ingest_stats, CSV_INGEST_SQL,
               "CSV ingestion edge: explicit schema, PERMISSIVE "
               "corrupt-line quarantine, quoting round-trip"),

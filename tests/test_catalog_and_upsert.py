@@ -87,3 +87,43 @@ def test_metrics(spark):
     assert snap["files_copied"] == 5
     assert snap["rows_seen"] == 100
     assert snap["mirror_lag_seconds"] == 12.5
+
+
+def test_incremental_view_maintenance_equals_full_recompute(spark, tmp_path):
+    """The changelog-delta-maintained aggregate equals a full recompute
+    of the final snapshot — the IVM correctness invariant, checked
+    against the live table rather than the fixture-derived oracle."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.lake.table import HyTable
+    from iceberg_hybrid_spark.queries.lake_ops import (
+        incremental_view_maintenance,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: (r["n_docs"], r["total_chars"])
+        for r in incremental_view_maintenance(spark, sf).collect()
+    }
+
+    # full recompute of the same final state, built independently
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = HyTable(spark, str(tmp_path / "ivm_ref"))
+    t.create(docs.filter(F.col("doc_id") % 3 == 0).coalesce(1))
+    t.append(docs.filter(F.col("doc_id") % 3 == 1).coalesce(1))
+    t.delete_where([("lang", "=", "de")])
+    want = {
+        r["lang"]: (r["n_docs"], r["total_chars"])
+        for r in t.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "de" not in got  # fully-deleted group dropped out

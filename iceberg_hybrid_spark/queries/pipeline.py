@@ -2265,6 +2265,151 @@ ORDER BY pmi DESC, pair ASC LIMIT 25
 """
 
 
+# TextRank update rule, identical literal text in both engines (the
+# CASTs keep Spark off DECIMAL literals; COALESCE keeps sink-only nodes
+# at the (1-d) floor instead of dropping them).
+_TEXTRANK_STEP = (
+    "CAST(0.15 AS DOUBLE)"
+    " + CAST(0.85 AS DOUBLE) * COALESCE(cs, CAST(0.0 AS DOUBLE))"
+)
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    weighted PageRank over the token co-occurrence graph — nodes are
+    frequent tokens, edges are adjacent-token pairs weighted by count,
+    five damped power-iteration rounds (d = 0.85), top-20 by score.
+    The graph-centrality rung above raw frequency: a token ranks high
+    when frequent tokens link TO it, the standard unsupervised
+    keyword/keyphrase extractor.
+
+    Scale shape: nodes are the (support-filtered) vocabulary and edges
+    the distinct adjacent-pair relation — both Heaps-law sublinear in
+    corpus size; each iteration is ONE hash join of the edge relation
+    to the score relation on the token key plus one partial-agg sum
+    shuffle, and the iteration count is fixed (5), so the whole query
+    is 5 vocabulary-sized joins regardless of corpus.  Oracle: DuckDB
+    replays the identical five unrolled rounds (shared update-rule
+    text); double summation order differs between engines only in the
+    last ulps, absorbed by the 4 dp rounding.  Ranking is
+    TakeOrderedAndProject on the rounded score."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    m = F.size(w) - 1
+    adj = F.when(
+        m >= 1,
+        F.zip_with(
+            F.slice(w, 1, m), F.slice(w, 2, m),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        docs.select(F.explode(w).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nodes = uni.filter(F.col("cnt") >= 10).select("token")
+    pair_counts = (
+        docs.select(F.explode(adj).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("a", F.element_at(F.split("pair", " "), 1))
+        .withColumn("b", F.element_at(F.split("pair", " "), 2))
+        .filter(F.col("a") != F.col("b"))
+    )
+    na = nodes.select(F.col("token").alias("a"))
+    nb = nodes.select(F.col("token").alias("b"))
+    qual = pair_counts.join(na, "a").join(nb, "b")
+    # undirected: each adjacency contributes both directions
+    edges = (
+        qual.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            qual.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(outw, "src")
+    scores = nodes.select("token", F.expr("CAST(1.0 AS DOUBLE)").alias("s"))
+    for _ in range(5):
+        contrib = (
+            e.join(scores, e["src"] == scores["token"])
+            .select(
+                F.col("dst").alias("token"),
+                (F.col("w") / F.col("outw") * F.col("s")).alias("c"),
+            )
+            .groupBy("token")
+            .agg(F.sum("c").alias("cs"))
+        )
+        scores = nodes.join(contrib, "token", "left").selectExpr(
+            "token", f"{_TEXTRANK_STEP} AS s"
+        )
+    return (
+        scores.select(
+            "token", T.round_stable(F.col("s"), 4).alias("textrank")
+        )
+        .orderBy(F.desc("textrank"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _textrank_sql() -> str:
+    rounds = []
+    for i in range(1, 6):
+        prev = f"s{i - 1}"
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.dst AS token, SUM(e.w / e.outw * p.s) AS cs
+  FROM e JOIN {prev} p ON p.token = e.src GROUP BY e.dst
+), s{i} AS (
+  SELECT n.token, {_TEXTRANK_STEP} AS s
+  FROM nodes n LEFT JOIN c{i} USING (token)
+)"""
+        )
+    return f"""
+WITH uni AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token
+), nodes AS (
+  SELECT token FROM uni WHERE cnt >= 10
+), pc AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS w,
+         string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+  FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM (SELECT string_split(text, ' ') AS w FROM documents) d
+  ) p GROUP BY pair
+), qual AS (
+  SELECT a, b, w FROM pc
+  WHERE a <> b AND a IN (SELECT token FROM nodes)
+    AND b IN (SELECT token FROM nodes)
+), edges AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT a AS src, b AS dst, w FROM qual
+    UNION ALL
+    SELECT b AS src, a AS dst, w FROM qual
+  ) u GROUP BY src, dst
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, outw.outw
+  FROM edges JOIN outw USING (src)
+), s0 AS (
+  SELECT token, CAST(1.0 AS DOUBLE) AS s FROM nodes
+), {", ".join(rounds)}
+SELECT token, ROUND(s - 0.000000001, 4) + 0.0 AS textrank
+FROM s5 ORDER BY textrank DESC, token ASC LIMIT 20
+"""
+
+
+TEXTRANK_SQL = _textrank_sql()
+
+
 def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality scoring — the next rung above the
     unigram CCNet score (``unigram_logprob_quality``): per language,
@@ -3363,6 +3508,9 @@ SPECS = [
               BPE_APPLY_SQL,
               "tokenizer apply: per-language fertility and compression "
               "under the trained BPE merges (type-relation encode)"),
+    QuerySpec("textrank_keywords", textrank_keywords, TEXTRANK_SQL,
+              "TextRank keyword extraction: 5-round weighted PageRank "
+              "over the token co-occurrence graph (Mihalcea & Tarau)"),
     QuerySpec("bigram_pmi_collocations", bigram_pmi_collocations,
               BIGRAM_PMI_SQL,
               "PMI collocation mining: top-25 above-chance adjacent "

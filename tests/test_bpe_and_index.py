@@ -260,3 +260,48 @@ def test_bigram_pmi_matches_reference_implementation(spark):
         a, b = pair.split(" ")
         assert row["count_a"] == uni[a] and row["count_b"] == uni[b]
         assert abs(row["pmi"] - pmi) < 1e-3
+
+
+def test_textrank_matches_reference_implementation(spark):
+    """Pure-Python TextRank replication: same support filter, same
+    undirected weighted graph, same 5 damped rounds, same tiebreak."""
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.pipeline import textrank_keywords
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    uni: dict[str, int] = {}
+    pairs: dict[tuple[str, str], int] = {}
+    for text in docs["text"]:
+        w = text.split(" ")
+        for t in w:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(w, w[1:]):
+            if a != b:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    nodes = {t for t, c in uni.items() if c >= 10}
+    edges: dict[tuple[str, str], int] = {}
+    for (a, b), c in pairs.items():
+        if a in nodes and b in nodes:
+            edges[(a, b)] = edges.get((a, b), 0) + c
+            edges[(b, a)] = edges.get((b, a), 0) + c
+    outw: dict[str, int] = {}
+    for (src, _), c in edges.items():
+        outw[src] = outw.get(src, 0) + c
+    s = {t: 1.0 for t in nodes}
+    for _ in range(5):
+        cs: dict[str, float] = {}
+        for (src, dst), c in edges.items():
+            cs[dst] = cs.get(dst, 0.0) + c / outw[src] * s[src]
+        s = {t: 0.15 + 0.85 * cs.get(t, 0.0) for t in nodes}
+    ranked = sorted(
+        ((round(v - 1e-9, 4) + 0.0, t) for t, v in s.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+
+    got = textrank_keywords(spark, sf).collect()
+    assert len(got) == len(ranked)
+    for row, (score, token) in zip(got, ranked):
+        assert row["token"] == token
+        assert abs(row["textrank"] - score) < 1e-3

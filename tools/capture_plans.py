@@ -71,6 +71,7 @@ QUERIES = [
     "hard_negative_mining",
     "bigram_pmi_collocations",
     "embedding_ann_recall_curve",
+    "textrank_keywords",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

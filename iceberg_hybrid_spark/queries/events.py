@@ -462,7 +462,132 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset
 """
 
 
+# Jensen-Shannon term fragments, identical literal text in both engines
+# (CASTs keep Spark off DECIMAL literals; the p > 0 guards give the
+# standard 0·ln0 = 0 convention; all evaluated on a <= weeks x types
+# bounded relation, so CASE branching costs nothing).
+_JS_M = "((pc + pp) / CAST(2.0 AS DOUBLE))"
+_JS_TP = (
+    f"CASE WHEN pc > 0 THEN pc * ln(pc / {_JS_M})"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+_JS_TQ = (
+    f"CASE WHEN pp > 0 THEN pp * ln(pp / {_JS_M})"
+    " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+def event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: week-over-week Jensen-Shannon
+    divergence of the event-type mix — the data-quality alarm a
+    production ingest runs so a schema change, bot surge, or broken
+    emitter shows up as a distribution shift, not as a silent model
+    regression three stages later.  JS (symmetric, bounded by ln 2) is
+    the standard drift metric; 0 means the mix is stable.
+
+    Scale shape: ONE counting shuffle on (week, type); everything
+    after — week totals, the consecutive-week pairing, the full
+    week-pair x type scaffold, the JS terms — runs on a bounded
+    relation (weeks x types).  The scaffold cross-join is
+    aggregate-bounded by construction (whitelisted scalar shape).
+    Oracle: identical term text; the <= types-sized double sums differ
+    only in last-ulp ordering, absorbed by the 6 dp rounding."""
+    ev = _ev(spark, sf_dir)
+    cnt = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+            "event_type",
+        )
+        .groupBy("wk", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("wk").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "wk").selectExpr(
+        "wk", "event_type", "CAST(c AS DOUBLE) / n AS prob"
+    )
+    w = Window.orderBy("wk")  # bounded: one row per week
+    wk_pairs = (
+        tot.select("wk", "n", F.lag("wk").over(w).alias("prev_wk"))
+        .filter(F.col("prev_wk").isNotNull())
+    )
+    types = ev.select("event_type").distinct()
+    grid = wk_pairs.crossJoin(types)
+    pc = p.selectExpr("wk AS cw", "event_type AS ct", "prob AS pc")
+    pp = p.selectExpr("wk AS pw", "event_type AS pt", "prob AS pp")
+    joined = (
+        grid.join(
+            pc,
+            (F.col("wk") == F.col("cw")) & (F.col("event_type") == F.col("ct")),
+            "left",
+        )
+        .join(
+            pp,
+            (F.col("prev_wk") == F.col("pw"))
+            & (F.col("event_type") == F.col("pt")),
+            "left",
+        )
+        .selectExpr(
+            "wk",
+            "prev_wk",
+            "n",
+            "COALESCE(pc, CAST(0.0 AS DOUBLE)) AS pc",
+            "COALESCE(pp, CAST(0.0 AS DOUBLE)) AS pp",
+        )
+        .selectExpr("wk", "prev_wk", "n",
+                    f"{_JS_TP} AS tp", f"{_JS_TQ} AS tq")
+    )
+    return (
+        joined.groupBy("wk", "prev_wk", "n")
+        .agg(
+            F.expr(
+                "ROUND(CAST(0.5 AS DOUBLE) * SUM(tp)"
+                " + CAST(0.5 AS DOUBLE) * SUM(tq) - 0.000000001, 6) + 0.0"
+            ).alias("js_divergence")
+        )
+        .selectExpr("wk", "prev_wk", "n AS n_events", "js_divergence")
+        .orderBy("wk")
+    )
+
+
+EVENT_DRIFT_SQL = f"""
+WITH cnt AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT wk, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY wk
+), p AS (
+  SELECT cnt.wk, cnt.event_type, CAST(c AS DOUBLE) / n AS prob
+  FROM cnt JOIN tot ON cnt.wk = tot.wk
+), wk_pairs AS (
+  SELECT wk, n, LAG(wk) OVER (ORDER BY wk) AS prev_wk FROM tot
+  QUALIFY prev_wk IS NOT NULL
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), grid AS (
+  SELECT wk, prev_wk, n, event_type FROM wk_pairs CROSS JOIN types
+), joined AS (
+  SELECT g.wk, g.prev_wk, g.n,
+         COALESCE(pc.prob, CAST(0.0 AS DOUBLE)) AS pc,
+         COALESCE(pp.prob, CAST(0.0 AS DOUBLE)) AS pp
+  FROM grid g
+  LEFT JOIN p pc ON pc.wk = g.wk AND pc.event_type = g.event_type
+  LEFT JOIN p pp ON pp.wk = g.prev_wk AND pp.event_type = g.event_type
+), terms AS (
+  SELECT wk, prev_wk, n, {_JS_TP} AS tp, {_JS_TQ} AS tq FROM joined
+)
+SELECT wk, prev_wk, n AS n_events,
+       ROUND(CAST(0.5 AS DOUBLE) * SUM(tp)
+             + CAST(0.5 AS DOUBLE) * SUM(tq) - 0.000000001, 6) + 0.0
+         AS js_divergence
+FROM terms GROUP BY wk, prev_wk, n ORDER BY wk
+"""
+
+
 SPECS = [
+    QuerySpec("event_type_drift", event_type_drift, EVENT_DRIFT_SQL,
+              "week-over-week Jensen-Shannon drift of the event-type "
+              "mix — the ingest data-quality alarm"),
     QuerySpec("weekly_cohort_retention", weekly_cohort_retention,
               COHORT_RETENTION_SQL, "first-week cohort × week-offset retention grid"),
     QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,

@@ -130,6 +130,9 @@ ALL_PAIRS_WHITELIST = {
     "data_constrained_epochs",
     "quality_calibration_bins",
     "bigram_pmi_collocations",
+    # round 6 drift monitor: the cross side is the (weeks x types)
+    # scaffold — both factors aggregate-bounded enums
+    "event_type_drift",
     # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
     # by construction — a 5-row k table x the <=65536-row bit relation
     # (bloom), the #sources-row counts relation self-paired (kmv);

@@ -85,3 +85,44 @@ def test_registry_order_is_static_and_deterministic():
     # every priority entry must resolve — a stale name would silently
     # shrink the checked window
     assert set(m._PRIORITY) <= set(first)
+
+
+def test_event_type_drift_matches_reference_implementation(spark):
+    """Pure-Python JS-divergence replication: same weekly bucketing,
+    same 0*ln0 convention, same 0.5/0.5 split; JS in [0, ln 2]."""
+    import math
+
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.events import event_type_drift
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["wk"] = ev["ts"].dt.to_period("W").dt.start_time.dt.date
+    weeks = sorted(ev["wk"].unique())
+    dist = {
+        wk: g["event_type"].value_counts(normalize=True).to_dict()
+        for wk, g in ev.groupby("wk")
+    }
+    totals = ev.groupby("wk").size().to_dict()
+    types = set(ev["event_type"])
+
+    def js(p, q):
+        s = 0.0
+        for t in types:
+            pc, pp = p.get(t, 0.0), q.get(t, 0.0)
+            m = (pc + pp) / 2.0
+            if pc > 0:
+                s += 0.5 * pc * math.log(pc / m)
+            if pp > 0:
+                s += 0.5 * pp * math.log(pp / m)
+        return s
+
+    got = {r["wk"]: r for r in event_type_drift(spark, SF_DIR).collect()}
+    assert sorted(got) == weeks[1:]
+    for prev, cur in zip(weeks, weeks[1:]):
+        row = got[cur]
+        assert row["prev_wk"] == prev
+        assert row["n_events"] == totals[cur]
+        expect = js(dist[cur], dist[prev])
+        assert abs(row["js_divergence"] - expect) < 1e-4
+        assert 0.0 <= row["js_divergence"] <= math.log(2) + 1e-9

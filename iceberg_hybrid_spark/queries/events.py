@@ -462,6 +462,70 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov chain: first-order transition counts and
+    probabilities between consecutive event types per user — the
+    behavioral model behind funnel diagnostics and next-action
+    prediction (P(purchase | view) dropping week to week is the
+    classic conversion regression).
+
+    Scale shape: one window over ``user_id`` — a corpus-cardinality
+    key, so the lag is fully parallel — then one counting shuffle on
+    the bounded (from, to) pair; the row-probability normalization
+    joins two bounded relations.  Ordering ties break on event_id in
+    both engines, so the lag is deterministic."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    cnt = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    row_tot = cnt.groupBy("from_type").agg(
+        F.sum("transitions").alias("row_total")
+    )
+    return (
+        cnt.join(row_tot, "from_type")
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "transitions",
+            "ROUND(CAST(transitions AS DOUBLE) / row_total"
+            " - 0.000000001, 4) + 0.0 AS prob",
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), cnt AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS transitions
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+), row_tot AS (
+  SELECT from_type, CAST(SUM(transitions) AS BIGINT) AS row_total
+  FROM cnt GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.transitions,
+       ROUND(CAST(transitions AS DOUBLE) / row_total
+             - 0.000000001, 4) + 0.0 AS prob
+FROM cnt c JOIN row_tot r ON c.from_type = r.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
 # Jensen-Shannon term fragments, identical literal text in both engines
 # (CASTs keep Spark off DECIMAL literals; the p > 0 guards give the
 # standard 0·ln0 = 0 convention; all evaluated on a <= weeks x types
@@ -588,6 +652,10 @@ SPECS = [
     QuerySpec("event_type_drift", event_type_drift, EVENT_DRIFT_SQL,
               "week-over-week Jensen-Shannon drift of the event-type "
               "mix — the ingest data-quality alarm"),
+    QuerySpec("event_transition_matrix", event_transition_matrix,
+              EVENT_TRANSITION_SQL,
+              "first-order user-journey Markov transition matrix "
+              "(per-user lag window + bounded pair agg)"),
     QuerySpec("weekly_cohort_retention", weekly_cohort_retention,
               COHORT_RETENTION_SQL, "first-week cohort × week-offset retention grid"),
     QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,

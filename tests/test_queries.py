@@ -126,3 +126,37 @@ def test_event_type_drift_matches_reference_implementation(spark):
         expect = js(dist[cur], dist[prev])
         assert abs(row["js_divergence"] - expect) < 1e-4
         assert 0.0 <= row["js_divergence"] <= math.log(2) + 1e-9
+
+
+def test_event_transition_matrix_matches_reference_implementation(spark):
+    """Pure-Python Markov replication: same per-user (ts, event_id)
+    ordering, same counts, row probabilities sum to ~1."""
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.events import event_transition_matrix
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    counts: dict[tuple[str, str], int] = {}
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+
+    rows = event_transition_matrix(spark, SF_DIR).collect()
+    got = {(r.from_type, r.to_type): r for r in rows}
+    assert set(got) == set(counts)
+    row_tot: dict[str, int] = {}
+    for (a, _), c in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + c
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    for (a, b), c in counts.items():
+        r = got[(a, b)]
+        assert r.transitions == c
+        assert abs(r.prob - c / row_tot[a]) < 1e-3
+        psum[a] += r.prob
+    for a, s in psum.items():
+        assert abs(s - 1.0) < 1e-2

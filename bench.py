@@ -80,6 +80,7 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "events_hourly_gapfilled",
     "event_transition_matrix",
     "event_type_drift",
     "textrank_keywords",

@@ -462,6 +462,67 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset
 """
 
 
+def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series for one event type: a dense hour
+    scaffold from the corpus min/max hours (``sequence`` + explode)
+    left-joined to the per-hour counts so silent hours appear as
+    explicit zeros — the completeness transform every monitoring
+    dashboard needs (a missing hour and a zero hour are different
+    incidents).  Reports the zero hours and a gap flag.
+
+    Scale shape: the scaffold derives from an O(1) min/max agg and its
+    length is calendar-bounded (hours in the observed span, not rows);
+    the counts side is one counting shuffle; the join is
+    scaffold-sized.  The 'purchase' filter pushes into the scan."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cnt = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sum("value"), 2).alias("v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    scaffold = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    return (
+        scaffold.join(cnt, "hour_start", "left")
+        .selectExpr(
+            "hour_start",
+            "CAST(COALESCE(c, 0) AS BIGINT) AS event_count",
+            "COALESCE(v, CAST(0.0 AS DOUBLE)) + 0.0 AS total_value",
+            "CAST(CASE WHEN c IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap",
+        )
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH cnt AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS c, ROUND(SUM(value), 2) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events WHERE event_type = 'purchase'
+), scaffold AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+)
+SELECT CAST(s.hour_start AS TIMESTAMP) AS hour_start,
+       COALESCE(c.c, 0) AS event_count,
+       COALESCE(c.v, CAST(0.0 AS DOUBLE)) + 0.0 AS total_value,
+       CAST(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM scaffold s LEFT JOIN cnt c ON s.hour_start = c.hour_start
+ORDER BY hour_start
+"""
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey Markov chain: first-order transition counts and
     probabilities between consecutive event types per user — the
@@ -656,6 +717,10 @@ SPECS = [
               EVENT_TRANSITION_SQL,
               "first-order user-journey Markov transition matrix "
               "(per-user lag window + bounded pair agg)"),
+    QuerySpec("events_hourly_gapfilled", events_hourly_gapfilled,
+              EVENTS_GAPFILL_SQL,
+              "dense hourly series with explicit zero/gap rows "
+              "(sequence scaffold + left join)"),
     QuerySpec("weekly_cohort_retention", weekly_cohort_retention,
               COHORT_RETENTION_SQL, "first-week cohort × week-offset retention grid"),
     QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,

@@ -160,3 +160,21 @@ def test_event_transition_matrix_matches_reference_implementation(spark):
         psum[a] += r.prob
     for a, s in psum.items():
         assert abs(s - 1.0) < 1e-2
+
+
+def test_events_hourly_gapfilled_is_dense_and_consistent(spark):
+    """The scaffold yields a dense, duplicate-free hourly grid; gap
+    rows are exactly the zero-count rows."""
+    from datetime import timedelta
+
+    from iceberg_hybrid_spark.queries.events import events_hourly_gapfilled
+
+    rows = events_hourly_gapfilled(spark, SF_DIR).collect()
+    hours = [r.hour_start for r in rows]
+    assert len(set(hours)) == len(hours)
+    for a, b in zip(hours, hours[1:]):
+        assert b - a == timedelta(hours=1)
+    for r in rows:
+        assert (r.is_gap == 1) == (r.event_count == 0)
+        if r.is_gap:
+            assert r.total_value == 0.0

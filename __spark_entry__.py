@@ -35,6 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
+    "hourly_anomaly_flags",
+    "user_cohort_retention",
     "events_hourly_gapfilled",
     "event_transition_matrix",
     "event_type_drift",
@@ -111,7 +113,8 @@ _PRIORITY: tuple[str, ...] = (
     # top_return_customers, top_nation_per_region, top_customers_by_spend,
     # revenue_by_nation, running_revenue_by_month, segment_nation_rollup,
     # string_function_showcase, supplier_part_volume, and the tail of this
-    # list past position 50 (multimodal_type_stats, nation_health_score,
+    # list past position 50 (monthly_order_stats, mor_delete_upsert_read,
+    # multimodal_type_stats, nation_health_score,
     # nation_pair_volume, nations_per_segment,
     # open_and_finished_custkeys,
     # open_minus_finished_custkeys,

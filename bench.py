@@ -80,6 +80,8 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "hourly_anomaly_flags",
+    "user_cohort_retention",
     "events_hourly_gapfilled",
     "event_transition_matrix",
     "event_type_drift",

@@ -523,6 +523,139 @@ ORDER BY hour_start
 """
 
 
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the hourly event-count series:
+    median/MAD z-scores (the estimator that survives the anomalies it
+    hunts — mean/stddev get dragged by the very outliers being flagged;
+    1.4826 rescales MAD to sigma under normality).  Flags hours with
+    |z| > 3 and reports the top-10 most anomalous — the alerting query
+    a monitoring pipeline runs over ingest volumes.
+
+    Scale shape: one counting shuffle collapses the corpus to the
+    calendar-bounded hourly relation; median and MAD are exact
+    percentile aggregates over that bounded relation (at corpus scale
+    the histogram-sketch sibling supplies them); scoring is map-side
+    arithmetic and the top-10 is TakeOrderedAndProject on the rounded
+    score."""
+    ev = _ev(spark, sf_dir)
+    cnt = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    med = cnt.agg(F.expr("percentile(c, 0.5)").alias("med"))
+    dev = cnt.crossJoin(F.broadcast(med)).selectExpr(
+        "hour_start", "c", "med", "abs(c - med) AS ad"
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    scored = dev.crossJoin(F.broadcast(mad)).selectExpr(
+        "hour_start",
+        "CAST(c AS BIGINT) AS event_count",
+        "ROUND((c - med) / (CAST(1.4826 AS DOUBLE) * mad)"
+        " - 0.000000001, 4) + 0.0 AS mad_z",
+    )
+    return (
+        scored.selectExpr(
+            "hour_start",
+            "event_count",
+            "mad_z",
+            "CAST(CASE WHEN abs(mad_z) > 3.0 THEN 1 ELSE 0 END AS INT)"
+            " AS is_anomaly",
+        )
+        .orderBy(F.desc(F.abs(F.col("mad_z"))), F.asc("hour_start"))
+        .limit(10)
+    )
+
+
+HOURLY_ANOMALY_SQL = """
+WITH cnt AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+), med AS (
+  SELECT quantile_cont(c, 0.5) AS med FROM cnt
+), dev AS (
+  SELECT hour_start, c, med, abs(c - med) AS ad FROM cnt CROSS JOIN med
+), mad AS (
+  SELECT quantile_cont(ad, 0.5) AS mad FROM dev
+), scored AS (
+  SELECT hour_start, CAST(c AS BIGINT) AS event_count,
+         ROUND((c - med) / (CAST(1.4826 AS DOUBLE) * mad)
+               - 0.000000001, 4) + 0.0 AS mad_z
+  FROM dev CROSS JOIN mad
+)
+SELECT CAST(hour_start AS TIMESTAMP) AS hour_start, event_count, mad_z,
+       CAST(CASE WHEN abs(mad_z) > 3.0 THEN 1 ELSE 0 END AS INT)
+         AS is_anomaly
+FROM scored ORDER BY abs(mad_z) DESC, hour_start ASC LIMIT 10
+"""
+
+
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by their FIRST
+    active week; retention[cohort][k] = share of the cohort active in
+    week cohort+k — the growth-analytics table every activation
+    dashboard is built on.
+
+    Scale shape: the cohort assignment is one min-agg shuffle on the
+    corpus-cardinality user key; activity de-dups to (user, week) in
+    the same pass family; the join back is a hash join on user; the
+    final matrix is a bounded (cohort x offset) counting agg."""
+    ev = _ev(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = uw.join(cohort, "user_id").selectExpr(
+        "user_id",
+        "cohort_wk",
+        "CAST(datediff(wk, cohort_wk) / 7 AS INT) AS week_offset",
+    )
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    active = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    return (
+        active.join(sizes, "cohort_wk")
+        .selectExpr(
+            "cohort_wk",
+            "week_offset",
+            "cohort_users",
+            "active_users",
+            "ROUND(CAST(active_users AS DOUBLE) / cohort_users"
+            " - 0.000000001, 4) + 0.0 AS retention",
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+), joined AS (
+  SELECT u.user_id, c.cohort_wk,
+         CAST(date_diff('day', c.cohort_wk, u.wk) / 7 AS INT)
+           AS week_offset
+  FROM uw u JOIN cohort c ON u.user_id = c.user_id
+), sizes AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM cohort GROUP BY cohort_wk
+), active AS (
+  SELECT cohort_wk, week_offset,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+  FROM joined GROUP BY 1, 2
+)
+SELECT a.cohort_wk, a.week_offset, s.cohort_users, a.active_users,
+       ROUND(CAST(a.active_users AS DOUBLE) / s.cohort_users
+             - 0.000000001, 4) + 0.0 AS retention
+FROM active a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+ORDER BY a.cohort_wk, a.week_offset
+"""
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey Markov chain: first-order transition counts and
     probabilities between consecutive event types per user — the
@@ -721,6 +854,14 @@ SPECS = [
               EVENTS_GAPFILL_SQL,
               "dense hourly series with explicit zero/gap rows "
               "(sequence scaffold + left join)"),
+    QuerySpec("hourly_anomaly_flags", hourly_anomaly_flags,
+              HOURLY_ANOMALY_SQL,
+              "robust median/MAD z-score anomaly flags on hourly "
+              "volumes, top-10 most anomalous"),
+    QuerySpec("user_cohort_retention", user_cohort_retention,
+              COHORT_RETENTION_SQL,
+              "weekly cohort retention matrix (first-active-week "
+              "cohorts x week offset)"),
     QuerySpec("weekly_cohort_retention", weekly_cohort_retention,
               COHORT_RETENTION_SQL, "first-week cohort × week-offset retention grid"),
     QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,

@@ -178,3 +178,46 @@ def test_events_hourly_gapfilled_is_dense_and_consistent(spark):
         assert (r.is_gap == 1) == (r.event_count == 0)
         if r.is_gap:
             assert r.total_value == 0.0
+
+
+def test_hourly_anomaly_flags_matches_reference_implementation(spark):
+    """Pure-Python median/MAD replication with the same interpolated
+    median and the same |z| > 3 flag rule."""
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.events import hourly_anomaly_flags
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    cnt = ev.groupby(ev["ts"].dt.floor("h")).size().astype(float)
+    med = cnt.quantile(0.5, interpolation="linear")
+    ad = (cnt - med).abs()
+    mad = ad.quantile(0.5, interpolation="linear")
+    z = ((cnt - med) / (1.4826 * mad)).round(4)
+    top = sorted(
+        ((abs(v), ts, v) for ts, v in z.items()), key=lambda t: (-t[0], t[1])
+    )[:10]
+
+    rows = hourly_anomaly_flags(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for row, (_, ts, v) in zip(rows, top):
+        assert row.hour_start == ts.to_pydatetime()
+        assert abs(row.mad_z - v) < 1e-3
+        assert row.is_anomaly == (1 if abs(v) > 3.0 else 0)
+
+
+def test_user_cohort_retention_invariants(spark):
+    """Offset 0 retains 100% by construction; retention never exceeds
+    1; active_users <= cohort_users; offsets are non-negative."""
+    from iceberg_hybrid_spark.queries.events import user_cohort_retention
+
+    rows = user_cohort_retention(spark, SF_DIR).collect()
+    assert rows
+    seen_offset0 = set()
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.active_users <= r.cohort_users
+        assert 0.0 < r.retention <= 1.0
+        if r.week_offset == 0:
+            assert r.active_users == r.cohort_users
+            seen_offset0.add(r.cohort_wk)
+    assert seen_offset0 == {r.cohort_wk for r in rows}

@@ -75,6 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
     "cdc_chunk_overlap",
+    # implementation rewritten this round (MOR deletes fold to one
+    # anti-join) — revalidate ahead of old vintage
+    "mor_delete_upsert_read",
     # last driver row: round 1
     "order_value_percentiles",
     "q18_large_orders",
@@ -90,7 +93,6 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_dedup_new_docs",
     "latest_order_per_customer",
     "monthly_order_stats",
-    "mor_delete_upsert_read",
     "multimodal_type_stats",
     "nation_health_score",
     "nation_pair_volume",
@@ -113,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     # top_return_customers, top_nation_per_region, top_customers_by_spend,
     # revenue_by_nation, running_revenue_by_month, segment_nation_rollup,
     # string_function_showcase, supplier_part_volume, and the tail of this
-    # list past position 50 (monthly_order_stats, mor_delete_upsert_read,
+    # list past position 50 (monthly_order_stats,
     # multimodal_type_stats, nation_health_score,
     # nation_pair_volume, nations_per_segment,
     # open_and_finished_custkeys,

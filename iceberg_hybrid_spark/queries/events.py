@@ -523,6 +523,90 @@ ORDER BY hour_start
 """
 
 
+# OLS closed-form fragments over exact integer sums (n, Σx, Σy, Σxy,
+# Σx², Σy² are all BIGINT-exact; only the final divisions are float) —
+# identical literal text in both engines, so slope/intercept/r² are
+# bit-identical up to those two correctly-rounded divisions.
+_OLS_SLOPE_NUM = "(n * sxy - sx * sy)"
+_OLS_SLOPE_DEN = "(n * sxx - sx * sx)"
+_OLS_SLOPE = (
+    f"(CAST({_OLS_SLOPE_NUM} AS DOUBLE) / {_OLS_SLOPE_DEN})"
+)
+_OLS_INTERCEPT = (
+    f"((sy - {_OLS_SLOPE} * sx) / CAST(n AS DOUBLE))"
+)
+_OLS_R2 = (
+    f"(CAST({_OLS_SLOPE_NUM} AS DOUBLE) * {_OLS_SLOPE_NUM}"
+    f" / ({_OLS_SLOPE_DEN} * CAST(n * syy - sy * sy AS DOUBLE)))"
+)
+
+
+def daily_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type volume TREND: ordinary-least-squares fit of daily
+    counts against the day index — slope (events/day of growth or
+    decay), intercept, and r² — the monitoring query that tells a
+    growing signal from a flat one before a human eyeballs a chart.
+
+    Scale shape: one counting shuffle to the bounded (type, day)
+    relation, then one partial-agg shuffle accumulating the five OLS
+    sums per type — the closed form needs no iteration and the sums
+    are BIGINT-exact (day indexes and counts are integers), so both
+    engines agree bit-for-bit until the final divisions."""
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    lo = daily.agg(F.min("d").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(lo)).selectExpr(
+        "event_type",
+        "CAST(datediff(d, d0) AS BIGINT) AS x",
+        "CAST(y AS BIGINT) AS y",
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return sums.selectExpr(
+        "event_type",
+        "n AS n_days",
+        f"ROUND({_OLS_SLOPE} - 0.000000001, 4) + 0.0 AS slope",
+        f"ROUND({_OLS_INTERCEPT} - 0.000000001, 4) + 0.0 AS intercept",
+        f"ROUND({_OLS_R2} - 0.000000001, 4) + 0.0 AS r2",
+    ).orderBy("event_type")
+
+
+DAILY_TREND_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), lo AS (
+  SELECT MIN(d) AS d0 FROM daily
+), xy AS (
+  SELECT event_type,
+         CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+  FROM daily CROSS JOIN lo
+), sums AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       ROUND({_OLS_SLOPE} - 0.000000001, 4) + 0.0 AS slope,
+       ROUND({_OLS_INTERCEPT} - 0.000000001, 4) + 0.0 AS intercept,
+       ROUND({_OLS_R2} - 0.000000001, 4) + 0.0 AS r2
+FROM sums ORDER BY event_type
+"""
+
+
 def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly detection on the hourly event-count series:
     median/MAD z-scores (the estimator that survives the anomalies it
@@ -862,6 +946,9 @@ SPECS = [
               COHORT_RETENTION_SQL,
               "weekly cohort retention matrix (first-active-week "
               "cohorts x week offset)"),
+    QuerySpec("daily_trend_slopes", daily_trend_slopes, DAILY_TREND_SQL,
+              "per-type OLS volume trend (slope/intercept/r2) from "
+              "BIGINT-exact closed-form sums"),
     QuerySpec("weekly_cohort_retention", weekly_cohort_retention,
               COHORT_RETENTION_SQL, "first-week cohort × week-offset retention grid"),
     QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,

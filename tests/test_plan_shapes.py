@@ -136,6 +136,8 @@ ALL_PAIRS_WHITELIST = {
     # round 6 anomaly flags: the cross sides are 1-row median/MAD
     # aggregates attached to the calendar-bounded hourly relation
     "hourly_anomaly_flags",
+    # round 6 trend fit: the cross side is the 1-row min-date origin
+    "daily_trend_slopes",
     # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
     # by construction — a 5-row k table x the <=65536-row bit relation
     # (bloom), the #sources-row counts relation self-paired (kmv);

@@ -221,3 +221,29 @@ def test_user_cohort_retention_invariants(spark):
             assert r.active_users == r.cohort_users
             seen_offset0.add(r.cohort_wk)
     assert seen_offset0 == {r.cohort_wk for r in rows}
+
+
+def test_daily_trend_slopes_matches_numpy_polyfit(spark):
+    """OLS closed form agrees with numpy's least-squares fit and r²
+    with the squared Pearson correlation."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.events import daily_trend_slopes
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["d"] = ev["ts"].dt.floor("d")
+    d0 = ev["d"].min()
+    rows = daily_trend_slopes(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        g = ev[ev["event_type"] == r.event_type].groupby("d").size()
+        x = np.array([(d - d0).days for d in g.index], dtype=float)
+        y = g.values.astype(float)
+        assert r.n_days == len(x)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.slope - slope) < 1e-3
+        assert abs(r.intercept - intercept) < 1e-3
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert abs(r.r2 - r2) < 1e-3
+        assert 0.0 <= r.r2 <= 1.0

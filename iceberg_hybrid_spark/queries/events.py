@@ -523,6 +523,76 @@ ORDER BY hour_start
 """
 
 
+def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every user who purchased
+    after first viewing, the seconds between FIRST view and the first
+    purchase at-or-after it — p50/p90/p99 plus conversion counts, the
+    time-to-convert report funnels are tuned against.
+
+    Scale shape: two min-agg shuffles on the corpus-cardinality user
+    key (first view; first qualifying purchase via a conditional min
+    over the same pass), one hash join, then exact percentiles over the
+    converted-users relation (one row per converter; swap in the
+    histogram sketch at corpus scale).  Epoch-microsecond arithmetic is
+    integer until the final seconds division."""
+    ev = _ev(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    conv = (
+        purchases.join(views, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.min("first_view").alias("first_view"),
+        )
+        .selectExpr(
+            "user_id",
+            "CAST(unix_micros(CAST(first_purchase AS TIMESTAMP))"
+            " - unix_micros(CAST(first_view AS TIMESTAMP))"
+            " AS DOUBLE) / 1000000.0 AS latency_s",
+        )
+    )
+    return (
+        conv.agg(
+            F.count(F.lit(1)).alias("converted_users"),
+            round_stable(F.expr("percentile(latency_s, 0.5)"), 2).alias(
+                "p50_s"
+            ),
+            round_stable(F.expr("percentile(latency_s, 0.9)"), 2).alias(
+                "p90_s"
+            ),
+            round_stable(F.expr("percentile(latency_s, 0.99)"), 2).alias(
+                "p99_s"
+            ),
+        )
+    )
+
+
+VIEW_PURCHASE_LATENCY_SQL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT p.user_id,
+         CAST(epoch_us(MIN(p.ts)) - epoch_us(MIN(v.first_view))
+              AS DOUBLE) / 1000000.0 AS latency_s
+  FROM events p JOIN views v ON p.user_id = v.user_id
+  WHERE p.event_type = 'purchase' AND p.ts >= v.first_view
+  GROUP BY p.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS converted_users,
+       ROUND(quantile_cont(latency_s, 0.5) - 0.000000001, 2) + 0.0 AS p50_s,
+       ROUND(quantile_cont(latency_s, 0.9) - 0.000000001, 2) + 0.0 AS p90_s,
+       ROUND(quantile_cont(latency_s, 0.99) - 0.000000001, 2) + 0.0 AS p99_s
+FROM conv
+"""
+
+
 # OLS closed-form fragments over exact integer sums (n, Σx, Σy, Σxy,
 # Σx², Σy² are all BIGINT-exact; only the final divisions are float) —
 # identical literal text in both engines, so slope/intercept/r² are
@@ -949,6 +1019,10 @@ SPECS = [
     QuerySpec("daily_trend_slopes", daily_trend_slopes, DAILY_TREND_SQL,
               "per-type OLS volume trend (slope/intercept/r2) from "
               "BIGINT-exact closed-form sums"),
+    QuerySpec("view_to_purchase_latency", view_to_purchase_latency,
+              VIEW_PURCHASE_LATENCY_SQL,
+              "first-view to first-purchase conversion latency "
+              "percentiles (time-to-convert report)"),
     QuerySpec("weekly_cohort_retention", weekly_cohort_retention,
               COHORT_RETENTION_SQL, "first-week cohort × week-offset retention grid"),
     QuerySpec("conversion_funnel", conversion_funnel, CONVERSION_FUNNEL_SQL,

@@ -247,3 +247,30 @@ def test_daily_trend_slopes_matches_numpy_polyfit(spark):
         r2 = np.corrcoef(x, y)[0, 1] ** 2
         assert abs(r.r2 - r2) < 1e-3
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_view_to_purchase_latency_matches_reference_implementation(spark):
+    """Pure-Python replication: first view per user, first purchase at
+    or after it, interpolated percentiles over the latency seconds."""
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.events import view_to_purchase_latency
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    views = (
+        ev[ev["event_type"] == "view"].groupby("user_id")["ts"].min()
+    )
+    lat = []
+    for uid, grp in ev[ev["event_type"] == "purchase"].groupby("user_id"):
+        if uid not in views.index:
+            continue
+        fv = views[uid]
+        after = grp[grp["ts"] >= fv]["ts"]
+        if len(after):
+            lat.append((after.min() - fv).total_seconds())
+    s = pd.Series(lat)
+
+    row = view_to_purchase_latency(spark, SF_DIR).collect()[0]
+    assert row.converted_users == len(lat)
+    for col, q in (("p50_s", 0.5), ("p90_s", 0.9), ("p99_s", 0.99)):
+        assert abs(row[col] - s.quantile(q, interpolation="linear")) < 0.02

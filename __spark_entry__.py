@@ -38,9 +38,7 @@ _PRIORITY: tuple[str, ...] = (
     "view_to_purchase_latency",
     "daily_trend_slopes",
     "hourly_anomaly_flags",
-    "user_cohort_retention",
     "events_hourly_gapfilled",
-    "event_transition_matrix",
     "event_type_drift",
     "textrank_keywords",
     "incremental_view_maintenance",
@@ -117,9 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     # top_return_customers, top_nation_per_region, top_customers_by_spend,
     # revenue_by_nation, running_revenue_by_month, segment_nation_rollup,
     # string_function_showcase, supplier_part_volume, and the tail of this
-    # list past position 50 (gopher_quality_gate,
-    # incremental_dedup_new_docs,
-    # latest_order_per_customer, monthly_order_stats,
+    # list past position 50 (latest_order_per_customer,
+    # monthly_order_stats,
     # multimodal_type_stats, nation_health_score,
     # nation_pair_volume, nations_per_segment,
     # open_and_finished_custkeys,

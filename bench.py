@@ -83,9 +83,7 @@ HEADLINE = [
     "view_to_purchase_latency",
     "daily_trend_slopes",
     "hourly_anomaly_flags",
-    "user_cohort_retention",
     "events_hourly_gapfilled",
-    "event_transition_matrix",
     "event_type_drift",
     "textrank_keywords",
     "incremental_view_maintenance",

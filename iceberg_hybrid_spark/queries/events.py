@@ -743,137 +743,6 @@ FROM scored ORDER BY abs(mad_z) DESC, hour_start ASC LIMIT 10
 """
 
 
-def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort retention matrix: users grouped by their FIRST
-    active week; retention[cohort][k] = share of the cohort active in
-    week cohort+k — the growth-analytics table every activation
-    dashboard is built on.
-
-    Scale shape: the cohort assignment is one min-agg shuffle on the
-    corpus-cardinality user key; activity de-dups to (user, week) in
-    the same pass family; the join back is a hash join on user; the
-    final matrix is a bounded (cohort x offset) counting agg."""
-    ev = _ev(spark, sf_dir)
-    uw = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
-    ).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    joined = uw.join(cohort, "user_id").selectExpr(
-        "user_id",
-        "cohort_wk",
-        "CAST(datediff(wk, cohort_wk) / 7 AS INT) AS week_offset",
-    )
-    sizes = cohort.groupBy("cohort_wk").agg(
-        F.count(F.lit(1)).alias("cohort_users")
-    )
-    active = joined.groupBy("cohort_wk", "week_offset").agg(
-        F.count_distinct("user_id").alias("active_users")
-    )
-    return (
-        active.join(sizes, "cohort_wk")
-        .selectExpr(
-            "cohort_wk",
-            "week_offset",
-            "cohort_users",
-            "active_users",
-            "ROUND(CAST(active_users AS DOUBLE) / cohort_users"
-            " - 0.000000001, 4) + 0.0 AS retention",
-        )
-        .orderBy("cohort_wk", "week_offset")
-    )
-
-
-COHORT_RETENTION_SQL = """
-WITH uw AS (
-  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
-  FROM events
-), cohort AS (
-  SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
-), joined AS (
-  SELECT u.user_id, c.cohort_wk,
-         CAST(date_diff('day', c.cohort_wk, u.wk) / 7 AS INT)
-           AS week_offset
-  FROM uw u JOIN cohort c ON u.user_id = c.user_id
-), sizes AS (
-  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
-  FROM cohort GROUP BY cohort_wk
-), active AS (
-  SELECT cohort_wk, week_offset,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
-  FROM joined GROUP BY 1, 2
-)
-SELECT a.cohort_wk, a.week_offset, s.cohort_users, a.active_users,
-       ROUND(CAST(a.active_users AS DOUBLE) / s.cohort_users
-             - 0.000000001, 4) + 0.0 AS retention
-FROM active a JOIN sizes s ON a.cohort_wk = s.cohort_wk
-ORDER BY a.cohort_wk, a.week_offset
-"""
-
-
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User-journey Markov chain: first-order transition counts and
-    probabilities between consecutive event types per user — the
-    behavioral model behind funnel diagnostics and next-action
-    prediction (P(purchase | view) dropping week to week is the
-    classic conversion regression).
-
-    Scale shape: one window over ``user_id`` — a corpus-cardinality
-    key, so the lag is fully parallel — then one counting shuffle on
-    the bounded (from, to) pair; the row-probability normalization
-    joins two bounded relations.  Ordering ties break on event_id in
-    both engines, so the lag is deterministic."""
-    ev = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = (
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.col("event_type").alias("to_type"),
-            F.lag("event_type").over(w).alias("from_type"),
-        )
-        .filter(F.col("from_type").isNotNull())
-    )
-    cnt = steps.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("transitions")
-    )
-    row_tot = cnt.groupBy("from_type").agg(
-        F.sum("transitions").alias("row_total")
-    )
-    return (
-        cnt.join(row_tot, "from_type")
-        .selectExpr(
-            "from_type",
-            "to_type",
-            "transitions",
-            "ROUND(CAST(transitions AS DOUBLE) / row_total"
-            " - 0.000000001, 4) + 0.0 AS prob",
-        )
-        .orderBy("from_type", "to_type")
-    )
-
-
-EVENT_TRANSITION_SQL = """
-WITH steps AS (
-  SELECT event_type AS to_type,
-         LAG(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS from_type
-  FROM events
-), cnt AS (
-  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS transitions
-  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
-), row_tot AS (
-  SELECT from_type, CAST(SUM(transitions) AS BIGINT) AS row_total
-  FROM cnt GROUP BY from_type
-)
-SELECT c.from_type, c.to_type, c.transitions,
-       ROUND(CAST(transitions AS DOUBLE) / row_total
-             - 0.000000001, 4) + 0.0 AS prob
-FROM cnt c JOIN row_tot r ON c.from_type = r.from_type
-ORDER BY c.from_type, c.to_type
-"""
-
-
 # Jensen-Shannon term fragments, identical literal text in both engines
 # (CASTs keep Spark off DECIMAL literals; the p > 0 guards give the
 # standard 0·ln0 = 0 convention; all evaluated on a <= weeks x types
@@ -1000,10 +869,6 @@ SPECS = [
     QuerySpec("event_type_drift", event_type_drift, EVENT_DRIFT_SQL,
               "week-over-week Jensen-Shannon drift of the event-type "
               "mix — the ingest data-quality alarm"),
-    QuerySpec("event_transition_matrix", event_transition_matrix,
-              EVENT_TRANSITION_SQL,
-              "first-order user-journey Markov transition matrix "
-              "(per-user lag window + bounded pair agg)"),
     QuerySpec("events_hourly_gapfilled", events_hourly_gapfilled,
               EVENTS_GAPFILL_SQL,
               "dense hourly series with explicit zero/gap rows "
@@ -1012,10 +877,6 @@ SPECS = [
               HOURLY_ANOMALY_SQL,
               "robust median/MAD z-score anomaly flags on hourly "
               "volumes, top-10 most anomalous"),
-    QuerySpec("user_cohort_retention", user_cohort_retention,
-              COHORT_RETENTION_SQL,
-              "weekly cohort retention matrix (first-active-week "
-              "cohorts x week offset)"),
     QuerySpec("daily_trend_slopes", daily_trend_slopes, DAILY_TREND_SQL,
               "per-type OLS volume trend (slope/intercept/r2) from "
               "BIGINT-exact closed-form sums"),

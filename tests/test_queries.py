@@ -128,40 +128,6 @@ def test_event_type_drift_matches_reference_implementation(spark):
         assert 0.0 <= row["js_divergence"] <= math.log(2) + 1e-9
 
 
-def test_event_transition_matrix_matches_reference_implementation(spark):
-    """Pure-Python Markov replication: same per-user (ts, event_id)
-    ordering, same counts, row probabilities sum to ~1."""
-    import pandas as pd
-
-    from iceberg_hybrid_spark.queries.events import event_transition_matrix
-
-    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").sort_values(
-        ["user_id", "ts", "event_id"]
-    )
-    counts: dict[tuple[str, str], int] = {}
-    for _, grp in ev.groupby("user_id"):
-        types = list(grp["event_type"])
-        for a, b in zip(types, types[1:]):
-            counts[(a, b)] = counts.get((a, b), 0) + 1
-
-    rows = event_transition_matrix(spark, SF_DIR).collect()
-    got = {(r.from_type, r.to_type): r for r in rows}
-    assert set(got) == set(counts)
-    row_tot: dict[str, int] = {}
-    for (a, _), c in counts.items():
-        row_tot[a] = row_tot.get(a, 0) + c
-    from collections import defaultdict
-
-    psum = defaultdict(float)
-    for (a, b), c in counts.items():
-        r = got[(a, b)]
-        assert r.transitions == c
-        assert abs(r.prob - c / row_tot[a]) < 1e-3
-        psum[a] += r.prob
-    for a, s in psum.items():
-        assert abs(s - 1.0) < 1e-2
-
-
 def test_events_hourly_gapfilled_is_dense_and_consistent(spark):
     """The scaffold yields a dense, duplicate-free hourly grid; gap
     rows are exactly the zero-count rows."""
@@ -203,24 +169,6 @@ def test_hourly_anomaly_flags_matches_reference_implementation(spark):
         assert row.hour_start == ts.to_pydatetime()
         assert abs(row.mad_z - v) < 1e-3
         assert row.is_anomaly == (1 if abs(v) > 3.0 else 0)
-
-
-def test_user_cohort_retention_invariants(spark):
-    """Offset 0 retains 100% by construction; retention never exceeds
-    1; active_users <= cohort_users; offsets are non-negative."""
-    from iceberg_hybrid_spark.queries.events import user_cohort_retention
-
-    rows = user_cohort_retention(spark, SF_DIR).collect()
-    assert rows
-    seen_offset0 = set()
-    for r in rows:
-        assert r.week_offset >= 0
-        assert 0 < r.active_users <= r.cohort_users
-        assert 0.0 < r.retention <= 1.0
-        if r.week_offset == 0:
-            assert r.active_users == r.cohort_users
-            seen_offset0.add(r.cohort_wk)
-    assert seen_offset0 == {r.cohort_wk for r in rows}
 
 
 def test_daily_trend_slopes_matches_numpy_polyfit(spark):

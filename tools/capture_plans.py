@@ -72,6 +72,14 @@ QUERIES = [
     "bigram_pmi_collocations",
     "embedding_ann_recall_curve",
     "textrank_keywords",
+    "event_type_drift",
+    "events_hourly_gapfilled",
+    "hourly_anomaly_flags",
+    "daily_trend_slopes",
+    "view_to_purchase_latency",
+    "csv_ingest_stats",
+    "orc_roundtrip_stats",
+    "incremental_view_maintenance",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -80,6 +80,7 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "part_affinity_rules",
     "view_to_purchase_latency",
     "daily_trend_slopes",
     "hourly_anomaly_flags",

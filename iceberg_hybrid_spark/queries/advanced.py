@@ -151,7 +151,99 @@ ORDER BY doc_id, term
 """
 
 
+def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (Agrawal et al., SIGMOD 1993) over order
+    baskets: parts that co-occur in the same order far above chance —
+    support, directed confidence, and lift for every pair above the
+    min-support floor, top-20 by lift.  The market-basket operator
+    behind "customers who bought X also bought Y".
+
+    Scale shape: the basket relation de-dups to (order, part) in one
+    shuffle; the pair join is a SELF-join on the order key — a
+    corpus-cardinality key whose per-key fanout is basket-size-bounded
+    (never all-pairs across baskets); pair counts partial-aggregate;
+    the per-part counts and the single-row basket total attach to the
+    min-support-filtered pair relation (the whitelisted scalar shape).
+    Integer arithmetic until the three final divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        # materialize once for the self-join sides + part counts
+        .repartition(F.col("o"))
+    )
+    n_b = op.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    part_n = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 3)
+    )
+    na = part_n.select(F.col("p").alias("part_a"), F.col("n_p").alias("orders_a"))
+    nb = part_n.select(F.col("p").alias("part_b"), F.col("n_p").alias("orders_b"))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(n_b))
+        .selectExpr(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            "orders_a",
+            "orders_b",
+            "ROUND(CAST(pair_orders AS DOUBLE) / n_baskets"
+            " - 0.000000001, 6) + 0.0 AS support",
+            "ROUND(CAST(pair_orders AS DOUBLE) / orders_a"
+            " - 0.000000001, 4) + 0.0 AS confidence_a_to_b",
+            "ROUND(CAST(pair_orders * n_baskets AS DOUBLE)"
+            " / (orders_a * orders_b) - 0.000000001, 4) + 0.0 AS lift",
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+PART_AFFINITY_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n_b AS (
+  SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM op
+), part_n AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM op GROUP BY p
+), pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT)
+           AS pair_orders
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT part_a, part_b, pair_orders,
+       na.n_p AS orders_a, nb.n_p AS orders_b,
+       ROUND(CAST(pair_orders AS DOUBLE) / n_baskets
+             - 0.000000001, 6) + 0.0 AS support,
+       ROUND(CAST(pair_orders AS DOUBLE) / na.n_p
+             - 0.000000001, 4) + 0.0 AS confidence_a_to_b,
+       ROUND(CAST(pair_orders * n_baskets AS DOUBLE)
+             / (na.n_p * nb.n_p) - 0.000000001, 4) + 0.0 AS lift
+FROM pairs
+JOIN part_n na ON pairs.part_a = na.p
+JOIN part_n nb ON pairs.part_b = nb.p
+CROSS JOIN n_b
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
 SPECS = [
+    QuerySpec("part_affinity_rules", part_affinity_rules,
+              PART_AFFINITY_SQL,
+              "association-rule mining over order baskets: "
+              "support/confidence/lift, top-20 by lift (Agrawal)"),
     QuerySpec("asof_last_click_before_purchase", asof_last_click_before_purchase,
               ASOF_SQL, "as-of join (key equi + range + rank-1 window)"),
     QuerySpec("orders_within_30_days", orders_within_30_days, RANGE_JOIN_SQL,

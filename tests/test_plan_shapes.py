@@ -138,6 +138,8 @@ ALL_PAIRS_WHITELIST = {
     "hourly_anomaly_flags",
     # round 6 trend fit: the cross side is the 1-row min-date origin
     "daily_trend_slopes",
+    # round 6 basket mining: the cross side is the 1-row basket total
+    "part_affinity_rules",
     # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
     # by construction — a 5-row k table x the <=65536-row bit relation
     # (bloom), the #sources-row counts relation self-paired (kmv);

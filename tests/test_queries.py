@@ -222,3 +222,41 @@ def test_view_to_purchase_latency_matches_reference_implementation(spark):
     assert row.converted_users == len(lat)
     for col, q in (("p50_s", 0.5), ("p90_s", 0.9), ("p99_s", 0.99)):
         assert abs(row[col] - s.quantile(q, interpolation="linear")) < 0.02
+
+
+def test_part_affinity_rules_matches_reference_implementation(spark):
+    """Pure-Python Apriori-style replication: same basket de-dup, same
+    min-support floor, same support/confidence/lift arithmetic."""
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.advanced import part_affinity_rules
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    baskets = op.groupby("l_orderkey")["l_partkey"].apply(sorted)
+    n_b = len(baskets)
+    part_n = op.groupby("l_partkey").size().to_dict()
+    pair_c: dict[tuple[int, int], int] = {}
+    for parts in baskets:
+        for i, a in enumerate(parts):
+            for b in parts[i + 1 :]:
+                pair_c[(a, b)] = pair_c.get((a, b), 0) + 1
+    scored = []
+    for (a, b), c in pair_c.items():
+        if c < 3:
+            continue
+        lift = round(c * n_b / (part_n[a] * part_n[b]) - 1e-9, 4) + 0.0
+        scored.append((lift, a, b, c))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = scored[:20]
+
+    got = part_affinity_rules(spark, SF_DIR).collect()
+    assert len(got) == len(expect)
+    for row, (lift, a, b, c) in zip(got, expect):
+        assert (row.part_a, row.part_b) == (a, b)
+        assert row.pair_orders == c
+        assert row.orders_a == part_n[a] and row.orders_b == part_n[b]
+        assert abs(row.lift - lift) < 1e-3
+        assert abs(row.support - c / n_b) < 1e-5
+        assert abs(row.confidence_a_to_b - c / part_n[a]) < 1e-3
+        assert row.lift > 1.0  # above-chance by construction at this floor

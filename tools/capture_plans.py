@@ -77,6 +77,7 @@ QUERIES = [
     "hourly_anomaly_flags",
     "daily_trend_slopes",
     "view_to_purchase_latency",
+    "part_affinity_rules",
     "csv_ingest_stats",
     "orc_roundtrip_stats",
     "incremental_view_maintenance",

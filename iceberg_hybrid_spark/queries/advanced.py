@@ -239,7 +239,156 @@ LIMIT 20
 """
 
 
+# Gini from the grouped count-of-counts histogram: with keys ordered by
+# per-key count ascending, G = 2·Σ(rank_i·x_i)/(n·Σx) − (n+1)/n; a group
+# of k keys all with count c starting after r0 lower-ranked keys
+# contributes c·(k·r0 + k(k+1)/2) to Σ(rank_i·x_i) — exact BIGINT
+# arithmetic until the two final divisions, identical text both engines.
+_GINI = (
+    "ROUND(CAST(2 * s_rank AS DOUBLE) / (n_keys * n_rows)"
+    " - CAST(n_keys + 1 AS DOUBLE) / n_keys - 0.000000001, 4) + 0.0"
+)
+
+
+def _skew_profile_one(df, key: str, label: str):
+    per_key = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hist = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("nk"))
+    w = (
+        Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist2 = hist.withColumn(
+        "r0", F.coalesce(F.sum("nk").over(w), F.lit(0)).cast("bigint")
+    )
+    totals = hist2.agg(
+        F.sum("nk").alias("n_keys"),
+        F.sum(F.col("c") * F.col("nk")).alias("n_rows"),
+        F.max("c").alias("max_count"),
+        F.sum(
+            F.expr("c * (nk * r0 + (nk * (nk + 1)) DIV 2)")
+        ).alias("s_rank"),
+    )
+    p99 = (
+        hist2.crossJoin(F.broadcast(totals.select("n_keys")))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r0") + F.col("nk")
+                    >= F.ceil(F.col("n_keys") * 0.99),
+                    F.col("c"),
+                )
+            ).alias("p99_count")
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(p99))
+        .selectExpr(
+            f"'{label}' AS key_name",
+            "n_keys",
+            "n_rows",
+            "max_count",
+            "p99_count",
+            "ROUND(CAST(max_count AS DOUBLE) / n_rows"
+            " - 0.000000001, 6) + 0.0 AS top1_share",
+            f"{_GINI} AS gini",
+        )
+    )
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW DIAGNOSIS: per-key-count Gini coefficient, hottest
+    key's row share, and the p99 key count for the join keys the engine
+    actually shuffles on — the report that tells you WHICH joins need
+    the salted path (`functions/skew`) before a straggler tells you in
+    production.  Gini 0 = perfectly uniform keys; near 1 = a handful of
+    keys carry the table.
+
+    Scale shape: per key column, one counting shuffle to the per-key
+    relation, then the COUNT-OF-COUNTS histogram (bounded by the number
+    of distinct frequencies, not keys) carries everything: rank sums
+    for Gini come from the grouped closed form in exact BIGINT
+    arithmetic (see _GINI), p99 from a cumulative scan of the same
+    bounded histogram — the corpus is never globally sorted."""
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        _skew_profile_one(ev, "user_id", "events.user_id"),
+        _skew_profile_one(li, "l_orderkey", "lineitem.l_orderkey"),
+        _skew_profile_one(li, "l_partkey", "lineitem.l_partkey"),
+        _skew_profile_one(docs, "lang", "documents.lang"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_name")
+
+
+def _skew_sql_one(table: str, key: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS key_name, n_keys, n_rows, max_count, p99_count,
+       ROUND(CAST(max_count AS DOUBLE) / n_rows - 0.000000001, 6) + 0.0
+         AS top1_share,
+       {_GINI} AS gini
+FROM (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n_keys,
+         CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+         MAX(c) AS max_count,
+         CAST(SUM(c * (nk * r0 + (nk * (nk + 1)) // 2)) AS BIGINT)
+           AS s_rank
+  FROM (
+    SELECT c, nk,
+           CAST(COALESCE(SUM(nk) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS r0
+    FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk
+          FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS c
+                FROM {table} GROUP BY {key}) pk
+          GROUP BY c) h
+  ) h2
+) t CROSS JOIN (
+  SELECT MIN(CASE WHEN r0 + nk >= CEIL(n_keys * 0.99) THEN c END)
+           AS p99_count
+  FROM (
+    SELECT c, nk,
+           CAST(COALESCE(SUM(nk) OVER (ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS r0
+    FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk
+          FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS c
+                FROM {table} GROUP BY {key}) pk
+          GROUP BY c) h
+  ) hh CROSS JOIN (
+    SELECT CAST(SUM(nk) AS BIGINT) AS n_keys
+    FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk
+          FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS c
+                FROM {table} GROUP BY {key}) pk
+          GROUP BY c) h
+  ) nt
+) p"""
+
+
+KEY_SKEW_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _skew_sql_one(t, k, lbl)
+        for t, k, lbl in (
+            ("events", "user_id", "events.user_id"),
+            ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+            ("lineitem", "l_partkey", "lineitem.l_partkey"),
+            ("documents", "lang", "documents.lang"),
+        )
+    )
+    + "\n) u ORDER BY key_name"
+)
+
+
 SPECS = [
+    QuerySpec("key_skew_profile", key_skew_profile, KEY_SKEW_SQL,
+              "join-key skew diagnosis: Gini, top-1 share, p99 key "
+              "count from the count-of-counts histogram"),
     QuerySpec("part_affinity_rules", part_affinity_rules,
               PART_AFFINITY_SQL,
               "association-rule mining over order baskets: "

@@ -140,6 +140,9 @@ ALL_PAIRS_WHITELIST = {
     "daily_trend_slopes",
     # round 6 basket mining: the cross side is the 1-row basket total
     "part_affinity_rules",
+    # round 6 skew diagnosis: every cross side is a 1-row aggregate of
+    # the bounded count-of-counts histogram (2 per profiled key)
+    "key_skew_profile",
     # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
     # by construction — a 5-row k table x the <=65536-row bit relation
     # (bloom), the #sources-row counts relation self-paired (kmv);

@@ -260,3 +260,41 @@ def test_part_affinity_rules_matches_reference_implementation(spark):
         assert abs(row.support - c / n_b) < 1e-5
         assert abs(row.confidence_a_to_b - c / part_n[a]) < 1e-3
         assert row.lift > 1.0  # above-chance by construction at this floor
+
+
+def test_key_skew_profile_matches_reference_implementation(spark):
+    """Pure-Python Gini/top-share/p99 replication over the same key
+    columns, plus range sanity (0 <= gini < 1)."""
+    import math
+
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.advanced import key_skew_profile
+
+    def profile(series):
+        counts = sorted(series.value_counts().tolist())
+        n = len(counts)
+        tot = sum(counts)
+        s_rank = sum(i * x for i, x in enumerate(counts, start=1))
+        gini = round(2 * s_rank / (n * tot) - (n + 1) / n - 1e-9, 4) + 0.0
+        p99 = counts[math.ceil(n * 0.99) - 1]
+        return n, tot, max(counts), p99, gini
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    expect = {
+        "events.user_id": profile(ev["user_id"]),
+        "lineitem.l_orderkey": profile(li["l_orderkey"]),
+        "lineitem.l_partkey": profile(li["l_partkey"]),
+        "documents.lang": profile(docs["lang"]),
+    }
+    got = {r.key_name: r for r in key_skew_profile(spark, SF_DIR).collect()}
+    assert set(got) == set(expect)
+    for name, (n, tot, mx, p99, gini) in expect.items():
+        r = got[name]
+        assert (r.n_keys, r.n_rows, r.max_count) == (n, tot, mx)
+        assert r.p99_count == p99
+        assert abs(r.gini - gini) < 1e-3
+        assert 0.0 <= r.gini < 1.0
+        assert abs(r.top1_share - mx / tot) < 1e-5

@@ -81,6 +81,7 @@ QUERIES = [
     "csv_ingest_stats",
     "orc_roundtrip_stats",
     "incremental_view_maintenance",
+    "key_skew_profile",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

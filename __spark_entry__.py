@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
+    "rfm_customer_segments",
     "key_skew_profile",
     "part_affinity_rules",
     "view_to_purchase_latency",
@@ -117,7 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     # top_return_customers, top_nation_per_region, top_customers_by_spend,
     # revenue_by_nation, running_revenue_by_month, segment_nation_rollup,
     # string_function_showcase, supplier_part_volume, and the tail of this
-    # list past position 50 (gopher_quality_gate,
+    # list past position 50 (events_hourly_window, gopher_quality_gate,
     # incremental_dedup_new_docs,
     # latest_order_per_customer,
     # monthly_order_stats,

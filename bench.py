@@ -80,6 +80,7 @@ HEADLINE = [
     "maximal_shared_spans",
     "bpe_merge_candidates",
     # round-6 late additions
+    "rfm_customer_segments",
     "key_skew_profile",
     "part_affinity_rules",
     "view_to_purchase_latency",

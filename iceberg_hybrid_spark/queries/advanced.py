@@ -385,7 +385,164 @@ KEY_SKEW_SQL = (
 )
 
 
+def _rfm_thresholds(vals, col: str):
+    """1-row (t1, t2, t3) quartile thresholds for an INTEGER metric via
+    the bounded value-histogram: t_q = smallest v whose cumulative key
+    count reaches ceil(q*n) — a type-1 (integer-rank, no interpolation)
+    quantile, so thresholds are actual data values and every downstream
+    comparison is integer-exact in both engines."""
+    hist = vals.groupBy(col).agg(F.count(F.lit(1)).alias("k"))
+    w = (
+        Window.orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("k").over(w))
+    n = cum.agg(F.sum("k").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.ceil(F.col("n").cast("double") * F.lit(q)),
+                        F.col(col),
+                    )
+                ).alias(f"t{i}")
+                for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+            ]
+        )
+    )
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic CRM operator): every
+    customer scored 1-4 on Recency (days since last order — lower is
+    better), Frequency (order count), and Monetary (lifetime spend,
+    binned to 1000-currency cells for thresholding), then the 64-cell
+    segment grid reported with sizes and average spend — the table
+    behind "champions / at-risk / hibernating" targeting.
+
+    Scale shape: one counting shuffle to the per-customer metric
+    relation; each quartile threshold comes from a BOUNDED value
+    histogram (recency ≤ calendar days, frequency ≤ max orders, spend
+    bins ≤ price-range/1000 cells — all corpus-independent), never a
+    global sort or NTILE; scoring is map-side integer comparisons
+    against the three broadcast 1-row threshold relations
+    (type-1 quantiles: actual data values, integer-exact in both
+    engines); the output grid is ≤ 64 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("d0"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("d_last"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum("o_totalprice").alias("m_raw"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .selectExpr(
+            "o_custkey",
+            "CAST(datediff(d0, d_last) AS BIGINT) AS r_days",
+            "CAST(f AS BIGINT) AS f",
+            "m_raw",
+            "CAST(FLOOR(m_raw / 1000.0) AS BIGINT) AS m_bin",
+        )
+    )
+    rt = _rfm_thresholds(cust.select("r_days"), "r_days")
+    ft = _rfm_thresholds(cust.select("f"), "f")
+    mt = _rfm_thresholds(cust.select("m_bin"), "m_bin")
+    scored = (
+        cust.crossJoin(F.broadcast(rt.selectExpr(
+            "t1 AS rt1", "t2 AS rt2", "t3 AS rt3")))
+        .crossJoin(F.broadcast(ft.selectExpr(
+            "t1 AS ft1", "t2 AS ft2", "t3 AS ft3")))
+        .crossJoin(F.broadcast(mt.selectExpr(
+            "t1 AS mt1", "t2 AS mt2", "t3 AS mt3")))
+        .selectExpr(
+            "m_raw",
+            # low recency is GOOD: 4 at/below the first quartile
+            "CAST(4 - (CASE WHEN r_days > rt1 THEN 1 ELSE 0 END"
+            " + CASE WHEN r_days > rt2 THEN 1 ELSE 0 END"
+            " + CASE WHEN r_days > rt3 THEN 1 ELSE 0 END) AS INT)"
+            " AS r_score",
+            "CAST(1 + CASE WHEN f > ft1 THEN 1 ELSE 0 END"
+            " + CASE WHEN f > ft2 THEN 1 ELSE 0 END"
+            " + CASE WHEN f > ft3 THEN 1 ELSE 0 END AS INT) AS f_score",
+            "CAST(1 + CASE WHEN m_bin > mt1 THEN 1 ELSE 0 END"
+            " + CASE WHEN m_bin > mt2 THEN 1 ELSE 0 END"
+            " + CASE WHEN m_bin > mt3 THEN 1 ELSE 0 END AS INT)"
+            " AS m_score",
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.expr(
+                "ROUND(AVG(m_raw) - 0.000000001, 2) + 0.0"
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _rfm_hist_sql(metric: str) -> str:
+    return f"""(
+  SELECT MIN(CASE WHEN cum >= CEIL(CAST(n AS DOUBLE) * 0.25) THEN v END) AS t1,
+         MIN(CASE WHEN cum >= CEIL(CAST(n AS DOUBLE) * 0.5) THEN v END) AS t2,
+         MIN(CASE WHEN cum >= CEIL(CAST(n AS DOUBLE) * 0.75) THEN v END) AS t3
+  FROM (
+    SELECT v, SUM(k) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (SELECT {metric} AS v, CAST(COUNT(*) AS BIGINT) AS k
+          FROM cust GROUP BY {metric}) h
+  ) c CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust) t
+)"""
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH maxd AS (
+  SELECT CAST(MAX(o_orderdate) AS DATE) AS d0 FROM orders
+), cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE), d0)
+              AS BIGINT) AS r_days,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         SUM(o_totalprice) AS m_raw,
+         CAST(FLOOR(SUM(o_totalprice) / 1000.0) AS BIGINT) AS m_bin
+  FROM orders CROSS JOIN maxd
+  GROUP BY o_custkey, d0
+), rt AS {_rfm_hist_sql("r_days")},
+ft AS {_rfm_hist_sql("f")},
+mt AS {_rfm_hist_sql("m_bin")},
+scored AS (
+  SELECT m_raw,
+         CAST(4 - (CASE WHEN r_days > rt.t1 THEN 1 ELSE 0 END
+                 + CASE WHEN r_days > rt.t2 THEN 1 ELSE 0 END
+                 + CASE WHEN r_days > rt.t3 THEN 1 ELSE 0 END) AS INT)
+           AS r_score,
+         CAST(1 + CASE WHEN f > ft.t1 THEN 1 ELSE 0 END
+                + CASE WHEN f > ft.t2 THEN 1 ELSE 0 END
+                + CASE WHEN f > ft.t3 THEN 1 ELSE 0 END AS INT) AS f_score,
+         CAST(1 + CASE WHEN m_bin > mt.t1 THEN 1 ELSE 0 END
+                + CASE WHEN m_bin > mt.t2 THEN 1 ELSE 0 END
+                + CASE WHEN m_bin > mt.t3 THEN 1 ELSE 0 END AS INT)
+           AS m_score
+  FROM cust CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       ROUND(AVG(m_raw) - 0.000000001, 2) + 0.0 AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 SPECS = [
+    QuerySpec("rfm_customer_segments", rfm_customer_segments,
+              RFM_SEGMENTS_SQL,
+              "RFM segmentation: 1-4 quartile scores from bounded "
+              "value histograms (type-1 thresholds), 64-cell grid"),
     QuerySpec("key_skew_profile", key_skew_profile, KEY_SKEW_SQL,
               "join-key skew diagnosis: Gini, top-1 share, p99 key "
               "count from the count-of-counts histogram"),

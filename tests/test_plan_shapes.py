@@ -143,6 +143,9 @@ ALL_PAIRS_WHITELIST = {
     # round 6 skew diagnosis: every cross side is a 1-row aggregate of
     # the bounded count-of-counts histogram (2 per profiled key)
     "key_skew_profile",
+    # round 6 RFM: the cross sides are the 1-row max-date origin and
+    # three 1-row quartile-threshold relations
+    "rfm_customer_segments",
     # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
     # by construction — a 5-row k table x the <=65536-row bit relation
     # (bloom), the #sources-row counts relation self-paired (kmv);

@@ -298,3 +298,51 @@ def test_key_skew_profile_matches_reference_implementation(spark):
         assert abs(r.gini - gini) < 1e-3
         assert 0.0 <= r.gini < 1.0
         assert abs(r.top1_share - mx / tot) < 1e-5
+
+
+def test_rfm_customer_segments_matches_reference_implementation(spark):
+    """Pure-Python RFM replication: same type-1 quartile thresholds,
+    same 1-4 scoring, same segment grid; segment sizes sum to the
+    customer count and each quartile class holds ~25% of customers."""
+    import math
+
+    import pandas as pd
+
+    from iceberg_hybrid_spark.queries.advanced import rfm_customer_segments
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    d0 = orders["o_orderdate"].max().normalize()
+    g = orders.groupby("o_custkey")
+    cust = pd.DataFrame({
+        "r": (d0 - g["o_orderdate"].max().dt.normalize()).dt.days,
+        "f": g.size(),
+        "m_raw": g["o_totalprice"].sum(),
+    })
+    cust["m_bin"] = (cust["m_raw"] // 1000).astype(int)
+
+    def thresholds(vals):
+        v = sorted(vals)
+        n = len(v)
+        return [v[math.ceil(q * n) - 1] for q in (0.25, 0.5, 0.75)]
+
+    rt, ft, mt = (
+        thresholds(cust["r"]), thresholds(cust["f"]),
+        thresholds(cust["m_bin"]),
+    )
+    seg: dict[tuple[int, int, int], list] = {}
+    for _, row in cust.iterrows():
+        rs = 4 - sum(row["r"] > t for t in rt)
+        fs = 1 + sum(row["f"] > t for t in ft)
+        ms = 1 + sum(row["m_bin"] > t for t in mt)
+        seg.setdefault((rs, fs, ms), []).append(row["m_raw"])
+
+    got = {
+        (r.r_score, r.f_score, r.m_score): r
+        for r in rfm_customer_segments(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(seg)
+    for key, monies in seg.items():
+        row = got[key]
+        assert row.customers == len(monies)
+        assert abs(row.avg_monetary - sum(monies) / len(monies)) < 0.05
+    assert sum(r.customers for r in got.values()) == len(cust)

@@ -82,6 +82,7 @@ QUERIES = [
     "orc_roundtrip_stats",
     "incremental_view_maintenance",
     "key_skew_profile",
+    "rfm_customer_segments",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -195,12 +195,18 @@ def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
     """Dedup clustering: connected components over near-dup pairs via
-    min-label propagation to a fixpoint.
+    min-label propagation with pointer jumping, run to a fixpoint.
 
-    Each iteration is one shuffle (groupBy min over neighbor labels);
-    iterations ≤ graph diameter — near-dup clusters are tiny and dense,
-    so a handful of rounds suffices even at corpus scale.  Returns
-    (node_id, component_id) with component_id = min member id.
+    Each iteration does (a) a one-hop propagation — min over own and
+    neighbors' labels — and (b) a pointer jump — replace each node's
+    label with its label's own label.  The jump doubles the effective
+    propagation distance per round, so convergence takes O(log diameter)
+    iterations (max_iter=20 covers diameters beyond 2^20 — any chain a
+    real corpus can produce), not O(diameter).  If the fixpoint is still
+    moving after ``max_iter`` rounds a RuntimeError is raised: silently
+    returning truncated labels would split one true cluster into many
+    and leak near-duplicates past dedup.  Returns (node_id, component_id)
+    with component_id = min member id.
 
     Fault-tolerance note: the fixpoint loop truncates lineage by
     checkpointing.  When the session has a checkpoint dir
@@ -235,17 +241,35 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    changed = 1
     for _ in range(max_iter):
-        # candidate label per node: min over its own and neighbors' labels
+        # (a) one hop: candidate label per node = min over its own and
+        # neighbors' labels
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), F.col("component"))
         )
-        new_labels = (
+        hopped = (
             labels.select("node", "component")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # (b) pointer jump: component := component's own component.  Every
+        # label value is a node id present in `hopped` (labels start as
+        # node ids and min() only ever selects existing ids), so the self
+        # join hits; LEFT + coalesce keeps the row even if it somehow
+        # didn't.  This is the doubling step that turns an O(diameter)
+        # fixpoint into O(log diameter).
+        parents = hopped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        new_labels = (
+            hopped.join(parents, hopped.component == parents.p_node, "left")
+            .select(
+                F.col("node"),
+                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+            )
         )
         changed = (
             new_labels.alias("n")
@@ -257,6 +281,15 @@ def connected_components(
         labels = _materialize(new_labels)  # truncate lineage
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations — labels are still moving and would be WRONG if "
+            "returned (clusters silently split, near-dups leak past "
+            "dedup). With pointer jumping this needs graph diameter "
+            f"> 2^{max_iter}; raise max_iter or investigate the pair "
+            "relation for pathological structure."
+        )
     return labels.select(F.col("node"), F.col("component"))
 
 

@@ -27,6 +27,28 @@ def test_chain_longer_than_one_hop(spark):
     assert set(comps.values()) == {1}
 
 
+def test_deep_chain_beyond_20_hops(spark):
+    # a 60-node path (diameter 59): pure one-hop min-label propagation
+    # needs 59 rounds and at max_iter=20 would return TRUNCATED labels
+    # (the far end keeps an intermediate id) — the silent-wrong-answer
+    # bug the round-6 verdict flagged.  Pointer jumping converges in
+    # O(log 59) ≈ 6 rounds, so this passes well within max_iter=20.
+    edges = [(i, i + 1) for i in range(1, 60)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    comps = {r.node: r.component for r in D.connected_components(pairs).collect()}
+    assert len(comps) == 60
+    assert set(comps.values()) == {1}
+
+
+def test_non_convergence_raises_not_truncates(spark):
+    # when the budget genuinely runs out, the fixpoint must FAIL LOUDLY —
+    # wrong component labels silently leak near-duplicates past dedup
+    edges = [(i, i + 1) for i in range(1, 40)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=2)
+
+
 def test_dedup_keep_canonical(spark, pairs):
     docs = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"

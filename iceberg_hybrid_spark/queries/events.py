@@ -700,10 +700,18 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_start", "c", "med", "abs(c - med) AS ad"
     )
     mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    # MAD is exactly 0 whenever >=50% of hours share the median count
+    # (steady-rate or heavily gapped streams) — unguarded, ANSI mode
+    # raises DIVIDE_BY_ZERO.  Convention: a degenerate scale estimator
+    # yields mad_z = 0 (no robust score exists).  The relation is
+    # calendar-bounded, so the CASE guard costs nothing; identical
+    # guard text in HOURLY_ANOMALY_SQL.
     scored = dev.crossJoin(F.broadcast(mad)).selectExpr(
         "hour_start",
         "CAST(c AS BIGINT) AS event_count",
-        "ROUND((c - med) / (CAST(1.4826 AS DOUBLE) * mad)"
+        "ROUND(CASE WHEN mad > 0"
+        " THEN (c - med) / (CAST(1.4826 AS DOUBLE) * mad)"
+        " ELSE CAST(0.0 AS DOUBLE) END"
         " - 0.000000001, 4) + 0.0 AS mad_z",
     )
     return (
@@ -732,7 +740,9 @@ WITH cnt AS (
   SELECT quantile_cont(ad, 0.5) AS mad FROM dev
 ), scored AS (
   SELECT hour_start, CAST(c AS BIGINT) AS event_count,
-         ROUND((c - med) / (CAST(1.4826 AS DOUBLE) * mad)
+         ROUND(CASE WHEN mad > 0
+               THEN (c - med) / (CAST(1.4826 AS DOUBLE) * mad)
+               ELSE CAST(0.0 AS DOUBLE) END
                - 0.000000001, 4) + 0.0 AS mad_z
   FROM dev CROSS JOIN mad
 )

@@ -171,6 +171,35 @@ def test_hourly_anomaly_flags_matches_reference_implementation(spark):
         assert row.is_anomaly == (1 if abs(v) > 3.0 else 0)
 
 
+def test_hourly_anomaly_flags_survives_zero_mad(spark, tmp_path):
+    """MAD is exactly 0 whenever >=50% of hours share the median count —
+    e.g. a steady-rate stream.  Unguarded, ANSI mode raises
+    DIVIDE_BY_ZERO on the whole query; the guard must instead yield
+    mad_z = 0 for every hour (no robust score exists)."""
+    import datetime
+    import os
+
+    from iceberg_hybrid_spark.queries.events import hourly_anomaly_flags
+
+    sf_dir = str(tmp_path / "sf_steady")
+    os.makedirs(sf_dir)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (h * 10 + i, base + datetime.timedelta(hours=h), 1, "view", 1.0, "{}")
+        for h in range(24)
+        for i in range(5)  # exactly 5 events EVERY hour -> MAD = 0
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    out = hourly_anomaly_flags(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert all(r.mad_z == 0.0 and r.is_anomaly == 0 for r in out)
+
+
 def test_daily_trend_slopes_matches_numpy_polyfit(spark):
     """OLS closed form agrees with numpy's least-squares fit and r²
     with the squared Pearson correlation."""

@@ -281,3 +281,147 @@ def test_dedup_ingest_repairs_torn_state_commit(spark, tmp_path):
     )
     assert n2 == 1
     assert corpus.read().count() == 3
+
+
+# ---------------------------------------------------------------------------
+# Independent verification of the pinned CDC bounds artifact.
+#
+# The bounds literals in _cdc_oracle.py are COLLECTED from cdc_chunk_bounds
+# itself, so a bug in the Spark boundary rule would reproduce verbatim in
+# the oracle (only downstream stages are independently recomputed by
+# DuckDB).  This pure-Python XXH64 — written from the public xxHash spec,
+# no Spark, no Arrow — recomputes several documents' bounds from the raw
+# sf0.01 text and must agree with the pinned literals, breaking that
+# circularity.
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h):
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_bytes(data: bytes, seed: int) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            k1, k2, k3, k4 = (
+                int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                for j in range(4)
+            )
+            v1 = (_rotl((v1 + k1 * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + k2 * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + k3 * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + k4 * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    return _fmix(h)
+
+
+def _xxh64_long(value: int, seed: int) -> int:
+    # Spark's XXH64.hashLong: the 8-byte single-chunk path applied to the
+    # long's value directly (= little-endian bytes of the long).
+    h = (seed + _P5 + 8) & _M64
+    h ^= (_rotl(((value & _M64) * _P2) & _M64, 31) * _P1) & _M64
+    h = (_rotl(h, 27) * _P1 + _P4) & _M64
+    return _fmix(h)
+
+
+def _py_cdc_bounds(text: str) -> list[int]:
+    """cdc_chunk_bounds re-derived from its docstring contract, not its
+    Spark expression tree: cut at window i (1-based, i >= 2) iff the
+    chained xxhash64 of the 3-token window has its low 4 bits zero."""
+    w = text.split(" ")
+    n = len(w)
+    m = n - 2
+    wh = [_xxh64_bytes(t.encode("utf-8"), 42) for t in w]
+    cuts = []
+    if m >= 2:
+        for j in range(m):  # window j covers tokens j, j+1, j+2
+            a = _xxh64_long(wh[j + 1], _xxh64_long(wh[j], 42))
+            a = _xxh64_long(wh[j + 2], _xxh64_long(a, 42))
+            i = j + 1
+            if i >= 2 and (a & 15) == 0:
+                cuts.append(i)
+    return [1] + cuts + [n + 1]
+
+
+def test_xxh64_replication_matches_spark(spark):
+    """Anchor the pure-Python XXH64 to Spark's before trusting it."""
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [("",), ("a",), ("hello world",), ("x" * 100,)], "s string"
+    ).select("s", F.xxhash64("s").alias("h"), F.xxhash64(F.lit(7).cast("long"), F.xxhash64("s")).alias("h2")).collect()
+    for r in rows:
+        mine = _xxh64_bytes(r.s.encode("utf-8"), 42)
+        assert mine - (1 << 64) * (mine >> 63) == r.h
+        chained = _xxh64_long(mine, _xxh64_long(7, 42))
+        assert chained - (1 << 64) * (chained >> 63) == r.h2
+
+
+def test_pinned_cdc_bounds_match_pure_python_recomputation():
+    """The pinned artifact itself — not just its downstream — verified
+    against an implementation that shares no code with the one under
+    test (gen_cdc_oracle.py collects from cdc_chunk_bounds)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from iceberg_hybrid_spark.queries._cdc_oracle import CDC_CHUNK_OVERLAP_SQL
+
+    pinned = {
+        int(m.group(1)): [int(x) for x in m.group(2).split(",")]
+        for m in re.finditer(
+            r"\(CAST\((\d+) AS BIGINT\), \[([0-9, ]+)\]::BIGINT\[\]\)",
+            CDC_CHUNK_OVERLAP_SQL,
+        )
+    }
+    assert len(pinned) >= 100  # the whole sf0.01 documents table is pinned
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    text_by_id = dict(zip(tbl["doc_id"], tbl["text"]))
+    # a spread of documents incl. many-cut and few-cut shapes
+    for doc_id in (0, 2, 5, 7, 8, 10, 11, 50, 123, 499):
+        assert _py_cdc_bounds(text_by_id[doc_id]) == pinned[doc_id], doc_id

@@ -910,7 +910,9 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the ADC tables (list_dot_product of query subvectors
     against every codebook entry), the score sum, and the ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
-    coded, codebooks, sub = S.pq_build(emb, m=4, k=16, seed=42, cache_key=sf_dir)
+    coded, codebooks, sub = S.pq_build(
+        emb, m=4, k=16, seed=42, cache_key=sf_dir, persist_codes=True
+    )
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return S.pq_topk(coded, codebooks, sub, queries, k=5).orderBy(
         "q_vec_id", "rank"
@@ -930,7 +932,9 @@ def embedding_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation, ADC scoring, and ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=sf_dir)
-    coded, codebooks, sub = S.pq_build(assigned, m=4, k=16, seed=42, cache_key=sf_dir)
+    coded, codebooks, sub = S.pq_build(
+        assigned, m=4, k=16, seed=42, cache_key=sf_dir, persist_codes=True
+    )
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
     return S.ivfpq_topk(
         coded, centers, codebooks, sub, queries, k=5, nprobe=3

@@ -70,6 +70,18 @@ def test_queries_run_on_multi_file_table_dirs(spark, tmp_path):
     assert multi == single
 
 
+def test_readme_query_count_matches_registry():
+    """README's stated query count is pinned to len(all_specs()) so it
+    can't silently rot (it read '151' for two rounds after the registry
+    hit 173)."""
+    import re
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) named queries", text)
+    assert m, "README no longer states the query count"
+    assert int(m.group(1)) == len(all_specs())
+
+
 def test_registry_order_is_static_and_deterministic():
     """The public registry order is a pure function of the code: the
     committed _PRIORITY prefix followed by declaration order — never

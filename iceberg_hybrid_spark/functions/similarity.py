@@ -768,16 +768,20 @@ def ivfpq_topk(
     the unprobed lists are touched.
 
     ``coded`` must carry both the IVF assignment (``centroid_col``) and
-    the PQ code columns (from ``pq_build``).  Plan shape: probed lists
-    via a broadcast equi-join on the centroid id, codes posexplode AFTER
-    the probe filter (m rows only per surviving candidate), ADC lookups
-    via a broadcast join on (query, subspace, code), one
-    partial-aggregable sum, two-phase top-k."""
+    the PQ code columns (from ``pq_build``).  Plan shape: one branch per
+    query (the serving batch is bounded by contract), each a PUSHDOWN
+    probe filter ``centroid IN (probed lists)`` — on a codes table
+    partitioned/clustered by list id this is partition pruning, the
+    read-only-the-probed-lists behavior real IVF serving has — with the
+    per-query ADC tables inlined as literal lookup arrays and the score
+    summed map-side (same shape as ``pq_topk``; replaces two broadcast
+    joins + a groupBy exchange), then union + two-phase top-k."""
+    import functools
     import math
+    import operator
 
     from pyspark.sql import Window
 
-    spark = coded.sparkSession
     m = len(codebooks)
     q_rows = queries.select(
         F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("_qv")
@@ -789,51 +793,43 @@ def ivfpq_topk(
         nb = math.sqrt(sum(x * x for x in b))
         return dp / (na * nb) if na and nb else 0.0
 
-    # probe selection driver-side (|q| x k_lists), same tie-break as
-    # ivf_topk: cosine DESC, centroid id ASC
-    probe_pairs = []
+    branches = []
     for row in q_rows:
+        # probe selection driver-side (|q| x k_lists), same tie-break as
+        # ivf_topk: cosine DESC, centroid id ASC
         ranked = sorted(
             range(len(centers)),
             key=lambda c: (-cos(row["_qv"], centers[c]), c),
         )
-        for c in ranked[:nprobe]:
-            probe_pairs.append((row[query_id_col], c))
-    probes = spark.createDataFrame(
-        probe_pairs, f"{query_id_col} long, {centroid_col} int"
-    )
-    adc = [
-        (
-            int(r[query_id_col]),
-            j,
-            c,
-            float(sum(x * y for x, y in zip(r["_qv"][j * sub:(j + 1) * sub],
-                                            codebooks[j][c]))),
+        probed = ranked[:nprobe]
+        tables = [
+            F.array(*[
+                F.lit(float(sum(
+                    x * y for x, y in zip(
+                        row["_qv"][j * sub:(j + 1) * sub], codebooks[j][c])
+                )))
+                for c in range(len(codebooks[j]))
+            ])
+            for j in range(m)
+        ]
+        branches.append(
+            coded.filter(F.col(centroid_col).isin(*probed))
+            .filter(F.lit(int(row[query_id_col])) != F.col(id_col))
+            .select(
+                F.lit(int(row[query_id_col])).cast("long").alias(query_id_col),
+                id_col,
+                F.round(
+                    functools.reduce(operator.add, [
+                        F.element_at(tables[j], F.col(f"pq_code_{j}") + 1)
+                        for j in range(m)
+                    ]),
+                    6,
+                ).alias("adc_dot"),
+            )
         )
-        for r in q_rows
-        for j in range(m)
-        for c in range(len(codebooks[j]))
-    ]
-    adc_df = spark.createDataFrame(
-        adc, schema=f"{query_id_col} long, _sub int, _code int, _pdot double"
-    )
-    candidates = (
-        coded.join(F.broadcast(probes), centroid_col)
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .select(
-            query_id_col,
-            id_col,
-            F.posexplode(
-                F.array(*[F.col(f"pq_code_{j}") for j in range(m)])
-            ).alias("_sub", "_code"),
-        )
-    )
-    scored = (
-        candidates.join(F.broadcast(adc_df), [query_id_col, "_sub", "_code"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("_pdot"), 6).alias("adc_dot"))
-        .withColumn("_p", F.spark_partition_id())
-    )
+    scored = functools.reduce(
+        lambda a, b: a.unionByName(b), branches
+    ).withColumn("_p", F.spark_partition_id())
     w_local = Window.partitionBy("_p", query_id_col).orderBy(
         F.desc("adc_dot"), F.asc(id_col)
     )

@@ -62,7 +62,7 @@ def build_corpus(spark, replicas: int) -> str:
     round-4 numbers did exactly that (x16 as 8 files bin-packed into 3
     scan partitions ran 10/32 starved while x1 ran 1/32 starved)."""
     out = os.path.join(WORK, f"x{replicas}")
-    done = os.path.join(out, ".done_v2")
+    done = os.path.join(out, ".done_v3")
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
@@ -129,8 +129,70 @@ def build_corpus(spark, replicas: int) -> str:
         .parquet(f"{out}/embeddings.parquet")
     )
 
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events"):
+    # Fact tables the events/analytics and TPC-H-shaped operators scan:
+    # replicate with CONSISTENT key strides (same orderkey stride in
+    # orders and lineitem, same custkey stride in customer and orders)
+    # so joins stay semantically intact — each replica is a disjoint
+    # population of users/customers/orders over the same calendar and
+    # the same part/supplier/nation catalog (the realistic growth axis:
+    # more traffic, not a longer calendar).  Dims stay symlinked.
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    strides = ev.agg(
+        (F.max("event_id") + 1).alias("se"), (F.max("user_id") + 1).alias("su")
+    ).collect()[0]
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("replica") * strides.se).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("replica") * strides.su).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    so = orders.agg(F.max("o_orderkey") + 1).collect()[0][0]
+    sc_ = cust.agg(F.max("c_custkey") + 1).collect()[0][0]
+    (
+        orders.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("o_orderkey") + F.col("replica") * so).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("replica") * sc_).alias("o_custkey"),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders.parquet")
+    )
+    (
+        cust.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("c_custkey") + F.col("replica") * sc_).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/customer.parquet")
+    )
+    (
+        li.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("l_orderkey") + F.col("replica") * so).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/lineitem.parquet")
+    )
+
+    for name in ("region", "nation", "supplier", "part"):
         link = f"{out}/{name}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{BASE}/{name}.parquet", link)
@@ -230,6 +292,28 @@ LAKE_SCENARIOS = {
     "lake_bucketed_join": lake_bucketed_join,
 }
 
+# Streaming-ingest queries maintain persisted state tables at known
+# scratch paths (queries/lake_ops.py::_scratch) — report their final row
+# counts alongside wall-clock, because BOUNDED STATE GROWTH is the claim
+# the 100 TB ingestion story rests on (fps grows with distinct texts,
+# bands with docs x bands, HLL registers stay <= langs x 1024 at any
+# corpus size).
+STREAM_STATE = {
+    "streaming_dedup_ingest": ("streamdedup", "fps"),
+    "streaming_neardup_ingest": ("streamneardup", "bands"),
+    "streaming_hll_ingest": ("streamhll", "registers"),
+}
+
+
+def _state_rows(spark, name: str) -> int | None:
+    import tempfile
+
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    tag, sub = STREAM_STATE[name]
+    path = os.path.join(tempfile.gettempdir(), "ihs_lake_ops", tag, sub)
+    return HyTable(spark, path).read().count()
+
 
 def main() -> None:
     replicas = int(os.environ.get("SPOT_REPLICAS", "16"))
@@ -258,6 +342,7 @@ def main() -> None:
     for name in names:
         fn = LAKE_SCENARIOS.get(name) or specs[name].fn
         times = {}
+        state = {}
         for label, sf_dir in (("x1", base_dir), (f"x{replicas}", big_dir)):
             best = None
             for _ in range(2):
@@ -266,8 +351,10 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[label] = round(best, 2)
+            if name in STREAM_STATE:
+                state[f"state_rows_{label}"] = _state_rows(spark, name)
         ratio = round(times[f"x{replicas}"] / times["x1"], 1) if times["x1"] else None
-        print(json.dumps({"query": name, **times, "ratio": ratio}), flush=True)
+        print(json.dumps({"query": name, **times, "ratio": ratio, **state}), flush=True)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,38 @@ HLL_EST = (
 HLL_ADDR = HEX_INT.replace("(m,", "(md5(s),")
 
 
+# DuckDB twin of the Spark-side md5(w || ':' || r) count-min addressing
+# (column `w` holds the token, `r` the hash row)
+CMS_ADDR = HEX_INT.replace("(m,", "(md5(w || ':' || CAST(r AS VARCHAR)),")
+
+
+def cms_cells(tok: DataFrame, depth: int = 4, width: int = 1024) -> DataFrame:
+    """(r, cell, cnt) count-min cells from a token relation ``w`` — ONE
+    partial-agg counting shuffle collapsing to <= depth x width rows.
+    Cell counts are ADDITIVE (merge = unionByName + groupBy-SUM), the
+    CMS property streaming state maintenance relies on — but sum is NOT
+    idempotent, so at-least-once upstreams must dedup deliveries before
+    folding (streaming/ingest.py ``cms_ingest_batch``; contrast the HLL
+    path whose register-wise max absorbs redelivery for free).
+    Addressing text is shared verbatim with the DuckDB oracles
+    (``CMS_ADDR``; same md5-nibble arithmetic as
+    queries/pipeline.py::cms_token_counts)."""
+    four_rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    return (
+        tok.select("w", four_rows)
+        .select(
+            "w",
+            "r",
+            F.md5(
+                F.concat(F.col("w"), F.lit(":"), F.col("r").cast("string"))
+            ).alias("m"),
+        )
+        .selectExpr("r", f"{HEX_INT} % {width} AS cell")
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def hll_registers(sh: DataFrame, group_col: str) -> DataFrame:
     """(group, bucket, mr) max-rank registers from a (group, s) shingle
     relation — ONE partial-agg max shuffle collapsing to <= groups x

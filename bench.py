@@ -95,6 +95,8 @@ HEADLINE = [
     "embedding_ann_recall_curve",
     "bigram_pmi_collocations",
     "streaming_hll_ingest",
+    # round-7 operators
+    "streaming_cms_ingest",
     "hard_negative_mining",
     "bpe_tokenize_fertility",
     "quantile_sketch_audit",

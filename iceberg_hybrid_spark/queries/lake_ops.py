@@ -654,6 +654,123 @@ FROM per_lang ORDER BY lang
 STREAMING_HLL_SQL = _streaming_hll_sql()
 
 
+def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HEAVY-HITTER tracking: a persisted count-min cell table
+    maintained per micro-batch (streaming/ingest.py ``cms_ingest_batch``)
+    with exactly-once-EFFECT counting under at-least-once delivery —
+    the bounded-memory way a 100 TB ingest tracks token frequencies
+    without retaining the corpus (state <= 4x1024 cells + 16 bytes per
+    distinct text).
+
+    This is the deliberate DUAL of ``streaming_hll_ingest``: HLL's
+    register-wise max is idempotent, so redelivery is absorbed for
+    free; CMS cell counts are ADDITIVE and would double under
+    redelivery, so the ingest dedups each batch against the counted
+    fingerprint state first and survives a crash between the two state
+    commits via the batch_seq torn-batch discipline.  The documents
+    table is delivered twice (full batch + verbatim re-delivery) and
+    drained with availableNow; the final report probes the state table
+    for the 20 most frequent tokens of the deduped corpus, alongside
+    exact counts.
+
+    The oracle recomputes the ENTIRE sketch from the distinct-text
+    corpus with the shared md5-nibble addressing (functions/sketch.py
+    ``CMS_ADDR`` — same arithmetic as ``cms_token_counts``), so a
+    double-counted redelivery, a lost fold, or a broken cell merge all
+    fail the value gate, not just the row count."""
+    from pyspark.sql import types as SPARK_T2
+
+    from ..functions import sketch as SK
+    from ..functions import text as T
+    from ..streaming.ingest import (
+        CMS_CELL_DDL,
+        FINGERPRINT_DDL,
+        start_cms_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    root = _scratch("streamcms")
+    inbox = os.path.join(root, "inbox")
+    docs.coalesce(1).write.mode("append").parquet(inbox)
+    docs.coalesce(1).write.mode("append").parquet(inbox)  # re-delivery
+    counted = HyTable(spark, os.path.join(root, "counted"))
+    counted.create(spark.createDataFrame([], FINGERPRINT_DDL))
+    cells = HyTable(spark, os.path.join(root, "cells"))
+    cells.create(spark.createDataFrame([], CMS_CELL_DDL))
+    schema = SPARK_T2.StructType.fromDDL(
+        "doc_id bigint, lang string, text string"
+    )
+    q = start_cms_ingest(
+        spark, inbox, schema, counted, cells, os.path.join(root, "ckpt")
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # exact side over the deduped corpus (one copy per distinct text —
+    # the same canonicalization the ingest enforces)
+    tok = docs.select("text").distinct().select(
+        F.explode(T.tokens("text")).alias("w")
+    )
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("w")).limit(20)
+    four_rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r")
+    probes = (
+        top.select("w", "exact_count", four_rows)
+        .select(
+            "w",
+            "exact_count",
+            "r",
+            F.md5(
+                F.concat(F.col("w"), F.lit(":"), F.col("r").cast("string"))
+            ).alias("m"),
+        )
+        .selectExpr("w", "exact_count", "r", f"{SK.HEX_INT} % 1024 AS cell")
+    )
+    sketch = cells.read().select("r", "cell", "cnt")
+    return (
+        probes.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("w", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .orderBy(F.desc("exact_count"), F.asc("w"))
+    )
+
+
+def _streaming_cms_sql() -> str:
+    from ..functions import sketch as SK
+
+    return f"""
+WITH uniq AS (
+  SELECT DISTINCT text FROM documents
+), tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM uniq
+), rows_t(r) AS (VALUES (0), (1), (2), (3)),
+addressed AS (
+  SELECT w, r, {SK.CMS_ADDR} % 1024 AS cell FROM tok CROSS JOIN rows_t
+), sketch AS (
+  SELECT r, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM addressed GROUP BY r, cell
+), exact AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tok GROUP BY w
+), top AS (
+  SELECT w, exact_count FROM exact
+  ORDER BY exact_count DESC, w ASC LIMIT 20
+), probes AS (
+  SELECT w, exact_count, r, {SK.CMS_ADDR} % 1024 AS cell
+  FROM top CROSS JOIN rows_t
+)
+SELECT w, exact_count, MIN(cnt) AS cms_estimate
+FROM probes JOIN sketch USING (r, cell)
+GROUP BY w, exact_count
+ORDER BY exact_count DESC, w ASC
+"""
+
+
+STREAMING_CMS_SQL = _streaming_cms_sql()
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join through the real
     Structured Streaming path: click and purchase streams (two
@@ -1400,6 +1517,11 @@ SPECS = [
               STREAMING_HLL_SQL,
               "streaming HLL register-state maintenance (mergeable, "
               "idempotent under redelivery); oracle = batch sketch"),
+    QuerySpec("streaming_cms_ingest", streaming_cms_ingest,
+              STREAMING_CMS_SQL,
+              "streaming count-min state with exactly-once-effect "
+              "counting (dedup-before-fold + torn-batch seq guard); "
+              "oracle = full sketch recompute"),
     QuerySpec("streaming_interval_join", streaming_interval_join,
               STREAMING_INTERVAL_JOIN_SQL,
               "watermarked stream-stream interval join (clicks within "

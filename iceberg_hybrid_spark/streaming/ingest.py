@@ -350,6 +350,120 @@ def hll_ingest_batch(
     registers.overwrite(merged)
 
 
+CMS_CELL_DDL = "r int, cell bigint, cnt bigint, batch_seq bigint"
+
+
+def cms_ingest_batch(
+    batch_df: DataFrame,
+    counted: HyTable,
+    cells: HyTable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 1024,
+) -> int:
+    """Fold one micro-batch into a persisted count-min cell table —
+    streaming heavy-hitter tracking with EXACTLY-ONCE-EFFECT counting
+    under at-least-once delivery.
+
+    CMS cell counts are additive, and SUM — unlike the HLL path's
+    register-wise max — is NOT idempotent: a redelivered document folded
+    twice doubles its tokens' counts.  So the batch first resolves to
+    one row per content fingerprint (min id) and anti-joins the
+    ``counted`` fingerprint state, exactly the dedup-ingest discipline,
+    and only the NOVEL documents' token cells are summed into state.
+
+    The two state commits (cells overwrite, fingerprint append) are each
+    atomic but not joint, so a crash between them must not double-count
+    on retry.  Discipline: the folded cell table carries ``batch_seq`` =
+    the fingerprint-table sequence this fold corresponds to; a retry
+    recomputes the same novel set (same batch files, same fingerprint
+    state), sees the cells already folded at that sequence, skips the
+    fold, and completes the fingerprint append.  Either crash point
+    replays to the same final state:
+
+    - die after fold, before fp append → retry: novel set unchanged,
+      ``max(batch_seq) == expected`` → skip fold, append fps;
+    - die after both → stream replays the batch → novel set empty →
+      no-op.
+
+    State is <= depth x width cells plus 16 bytes per distinct text.
+    Returns the number of novel documents counted."""
+    from ..functions import sketch as SK
+    from ..functions import text as T
+
+    if not batch_df.limit(1).count():
+        return 0
+    head = counted.current_snapshot()
+    expected = (head.sequence_number if head else 0) + 1
+    w = Window.partitionBy("fp").orderBy(id_col)
+    fresh = (
+        batch_df.withColumn("fp", fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    novel = fresh.join(counted.read().select("fp"), "fp", "left_anti")
+    novel = novel.localCheckpoint(eager=True)
+    n = novel.count()
+    if n == 0:
+        return 0
+    synced = cells.read().agg(F.max("batch_seq")).collect()[0][0] or 0
+    if synced < expected:
+        tok = novel.select(F.explode(T.tokens(text_col)).alias("w"))
+        delta = SK.cms_cells(tok, depth=depth, width=width)
+        merged = (
+            cells.read()
+            .select("r", "cell", "cnt")
+            .unionByName(delta)
+            .groupBy("r", "cell")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("batch_seq", F.lit(expected).cast("bigint"))
+            # materialize before the overwrite truncates the table the
+            # read lazily references (bounded: <= depth x width rows)
+            .localCheckpoint(eager=True)
+        )
+        cells.overwrite(merged)
+    counted.append(
+        novel.select(
+            "fp", F.lit(expected).cast("bigint").alias("corpus_seq")
+        )
+    )
+    return n
+
+
+def start_cms_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    schema,
+    counted: HyTable,
+    cells: HyTable,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 1024,
+    available_now: bool = True,
+):
+    """Tail ``inbox_dir`` and maintain the count-min cell state table per
+    micro-batch (see :func:`cms_ingest_batch`)."""
+
+    def drain(batch_df: DataFrame, _batch_id: int) -> None:
+        cms_ingest_batch(
+            batch_df, counted, cells, text_col, id_col, depth, width
+        )
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(inbox_dir)
+        .writeStream.foreachBatch(drain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_hll_ingest(
     spark: SparkSession,
     inbox_dir: str,

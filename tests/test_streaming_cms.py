@@ -1,0 +1,104 @@
+"""Streaming count-min ingestion: exactly-once-effect counting under
+at-least-once delivery (dedup-before-fold + the batch_seq torn-batch
+discipline) — the additive dual of the idempotent HLL state path."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iceberg_hybrid_spark.lake.table import HyTable
+from iceberg_hybrid_spark.streaming.ingest import (
+    CMS_CELL_DDL,
+    FINGERPRINT_DDL,
+    cms_ingest_batch,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+@pytest.fixture
+def tables(spark, tmp_path):
+    counted = HyTable(spark, str(tmp_path / "counted"))
+    counted.create(spark.createDataFrame([], FINGERPRINT_DDL))
+    cells = HyTable(spark, str(tmp_path / "cells"))
+    cells.create(spark.createDataFrame([], CMS_CELL_DDL))
+    return counted, cells
+
+
+def _estimate(spark, cells, token: str) -> int:
+    probes = spark.createDataFrame([(token, r) for r in range(4)], "w string, r int")
+    from iceberg_hybrid_spark.functions import sketch as SK
+
+    addressed = probes.select(
+        "r",
+        F.md5(F.concat(F.col("w"), F.lit(":"), F.col("r").cast("string"))).alias("m"),
+    ).selectExpr("r", f"{SK.HEX_INT} % 1024 AS cell")
+    hit = addressed.join(cells.read(), ["r", "cell"]).agg(F.min("cnt")).collect()[0][0]
+    return int(hit or 0)
+
+
+def test_counts_and_redelivery(spark, tables):
+    counted, cells = tables
+    batch = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], DOC_SCHEMA
+    )
+    assert cms_ingest_batch(batch, counted, cells) == 2
+    assert _estimate(spark, cells, "alpha") == 2
+    assert _estimate(spark, cells, "beta") == 2
+    assert _estimate(spark, cells, "gamma") == 1
+
+    # verbatim re-delivery (a new inbox file with the same content):
+    # sum is not idempotent, so the fingerprint anti-join must drop it
+    assert cms_ingest_batch(batch, counted, cells) == 0
+    assert _estimate(spark, cells, "alpha") == 2
+    assert _estimate(spark, cells, "beta") == 2
+
+
+def test_within_batch_duplicates_counted_once(spark, tables):
+    counted, cells = tables
+    batch = spark.createDataFrame(
+        [(1, "delta epsilon"), (2, "delta epsilon"), (3, "zeta")], DOC_SCHEMA
+    )
+    assert cms_ingest_batch(batch, counted, cells) == 2  # one copy per text
+    assert _estimate(spark, cells, "delta") == 1
+    assert _estimate(spark, cells, "zeta") == 1
+
+
+def test_torn_batch_fold_not_reapplied(spark, tables):
+    """Crash between the cells overwrite and the fingerprint append: the
+    retry must see the fold already at batch_seq == expected and skip
+    it — re-folding would double every count."""
+    counted, cells = tables
+    cms_ingest_batch(
+        spark.createDataFrame([(1, "eta theta")], DOC_SCHEMA), counted, cells
+    )
+
+    batch2 = spark.createDataFrame([(2, "eta iota")], DOC_SCHEMA)
+    real_append = counted.append
+    calls = {"n": 0}
+
+    def dying_append(df):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before fingerprint commit")
+
+    counted.append = dying_append
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            cms_ingest_batch(batch2, counted, cells)
+    finally:
+        counted.append = real_append
+    assert calls["n"] == 1
+    # cells were folded by the torn attempt...
+    assert _estimate(spark, cells, "iota") == 1
+
+    # ...so the retry must NOT fold again (eta would become 3)
+    assert cms_ingest_batch(batch2, counted, cells) == 1
+    assert _estimate(spark, cells, "eta") == 2
+    assert _estimate(spark, cells, "iota") == 1
+
+    # and a subsequent fresh batch still folds normally
+    assert cms_ingest_batch(
+        spark.createDataFrame([(3, "eta kappa")], DOC_SCHEMA), counted, cells
+    ) == 1
+    assert _estimate(spark, cells, "eta") == 3
+    assert _estimate(spark, cells, "kappa") == 1

@@ -302,6 +302,7 @@ STREAM_STATE = {
     "streaming_dedup_ingest": ("streamdedup", "fps"),
     "streaming_neardup_ingest": ("streamneardup", "bands"),
     "streaming_hll_ingest": ("streamhll", "registers"),
+    "streaming_cms_ingest": ("streamcms", "cells"),
 }
 
 

@@ -97,6 +97,8 @@ HEADLINE = [
     "streaming_hll_ingest",
     # round-7 operators
     "streaming_cms_ingest",
+    "fk_integrity_audit",
+    "embedding_dim_truncation_recall",
     "hard_negative_mining",
     "bpe_tokenize_fertility",
     "quantile_sketch_audit",

@@ -538,6 +538,83 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+# Every foreign-key edge of the star schema, (edge label, child table,
+# child key, parent table, parent key).  Shared by the Spark query and
+# the generated oracle so the two can never audit different edges.
+_FK_EDGES = [
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema: per
+    edge, the child row count, ORPHAN child rows (no matching parent —
+    an integrity violation a broken ingest or partial delete leaves
+    behind), parent rows, and UNREFERENCED parents (dead dimension rows
+    a retention sweep can reclaim).  The nightly data-quality gate a
+    lakehouse runs before publishing a snapshot to consumers.
+
+    Scale shape: per edge, ONE key-partitioned full-outer join between
+    the child's counting aggregate (partial-aggregated map-side to
+    distinct-key cardinality before the shuffle) and the parent's key
+    projection — never row×row; dims broadcast under AQE when small.
+    Output is one row per edge, whatever the corpus."""
+    import functools
+
+    parts = []
+    for edge, ct, ck, pt, pk in _FK_EDGES:
+        child_keys = (
+            load_table(spark, sf_dir, ct)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        parent_keys = load_table(spark, sf_dir, pt).select(
+            F.col(pk).alias("k"), F.lit(1).alias("p")
+        )
+        per_key = child_keys.join(parent_keys, "k", "full")
+        parts.append(
+            per_key.agg(
+                F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("child_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("p").isNull(), F.col("c"))), F.lit(0)
+                ).cast("bigint").alias("orphan_rows"),
+                F.count("p").alias("parent_rows"),
+                F.count(
+                    F.when(F.col("c").isNull() & F.col("p").isNotNull(), F.lit(1))
+                ).alias("unreferenced_parents"),
+            ).select(F.lit(edge).alias("fk_edge"), "*")
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts).orderBy(
+        "fk_edge"
+    )
+
+
+def _fk_integrity_sql() -> str:
+    parts = []
+    for edge, ct, ck, pt, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{edge}' AS fk_edge,
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS child_rows,
+       CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN c END), 0) AS BIGINT)
+         AS orphan_rows,
+       CAST(COUNT(p) AS BIGINT) AS parent_rows,
+       CAST(COUNT(CASE WHEN c IS NULL AND p IS NOT NULL THEN 1 END) AS BIGINT)
+         AS unreferenced_parents
+FROM (SELECT ch.c, pa.p
+      FROM (SELECT {ck} AS k, COUNT(*) AS c FROM {ct} GROUP BY 1) ch
+      FULL JOIN (SELECT {pk} AS k, 1 AS p FROM {pt}) pa ON ch.k = pa.k)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_edge"
+
+
+FK_INTEGRITY_SQL = _fk_integrity_sql()
+
+
 SPECS = [
     QuerySpec("rfm_customer_segments", rfm_customer_segments,
               RFM_SEGMENTS_SQL,
@@ -556,4 +633,7 @@ SPECS = [
               "banded interval self-join"),
     QuerySpec("doc_tfidf", doc_tfidf, TFIDF_SQL,
               "TF-IDF term weighting with corpus-wide statistics"),
+    QuerySpec("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_SQL,
+              "referential-integrity audit: orphans + unreferenced "
+              "parents per FK edge, one key join each"),
 ]

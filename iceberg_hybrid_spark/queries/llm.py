@@ -671,6 +671,107 @@ WHERE rank <= 3 ORDER BY q_vec_id, rank
 """
 
 
+def embedding_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: recall@10 of cosine
+    search over the FIRST d coordinates (d = 8, 16, 32) against the
+    full-dim exact top-10, per query — the measurement behind
+    truncatable-embedding serving (MRL, Kusupati et al. 2022): how much
+    ANN quality survives storing/scanning a prefix at 1/8th–1/2 the
+    bytes.  At 100 TB the prefix column IS the serving index; this
+    audit is what justifies (or vetoes) the truncation level.
+
+    Scale shape: each arm is the whitelisted bounded-query serving
+    contract (broadcast query batch, map-side scoring over the corpus
+    scan, two-phase rank); the recall join and scaffold run on
+    |dims| x |queries| x 10 rows.  Oracle: DuckDB recomputes both the
+    full-dim and every truncated ranking with list_slice + the same
+    round-6-digit + id tie-break."""
+    import functools
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    full = S.brute_force_topk(emb, queries, k=10).select("q_vec_id", "vec_id")
+    arms = []
+    for d in (8, 16, 32):
+        trunc = emb.select(
+            "vec_id",
+            F.slice(S.as_double_array("embedding"), 1, d).alias("embedding"),
+        )
+        tq = queries.select(
+            "vec_id",
+            F.slice(S.as_double_array("embedding"), 1, d).alias("embedding"),
+        )
+        arms.append(
+            S.brute_force_topk(trunc, tq, k=10).select(
+                F.lit(d).cast("int").alias("dim"), "q_vec_id", "vec_id"
+            )
+        )
+    tr = functools.reduce(lambda a, b: a.unionByName(b), arms)
+    hits = (
+        tr.join(full, ["q_vec_id", "vec_id"])
+        .groupBy("dim", "q_vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,)], "dim int")
+    scaffold = dims.crossJoin(
+        queries.select(F.col("vec_id").alias("q_vec_id"))
+    )
+    return (
+        scaffold.join(hits, ["dim", "q_vec_id"], "left")
+        .select(
+            "dim",
+            "q_vec_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 2
+            ).alias("recall_at_10"),
+        )
+        .orderBy("dim", "q_vec_id")
+    )
+
+
+DIM_TRUNCATION_SQL = """
+WITH q AS (
+  SELECT vec_id AS q_vec_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+), full_scored AS (
+  SELECT q.q_vec_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+             AS s
+  FROM embeddings e, q WHERE e.vec_id <> q.q_vec_id
+), full_rank AS (
+  SELECT q_vec_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_vec_id ORDER BY s DESC, vec_id ASC) AS r
+    FROM full_scored) WHERE r <= 10
+), dims(d) AS (VALUES (8), (16), (32)),
+tr_scored AS (
+  SELECT d, q.q_vec_id, e.vec_id,
+         ROUND(list_cosine_similarity(
+             list_slice(CAST(e.embedding AS DOUBLE[]), 1, d),
+             list_slice(q.qv, 1, d)), 6) AS s
+  FROM embeddings e, q, dims WHERE e.vec_id <> q.q_vec_id
+), tr_rank AS (
+  SELECT d, q_vec_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY d, q_vec_id ORDER BY s DESC, vec_id ASC) AS r
+    FROM tr_scored) WHERE r <= 10
+), hits AS (
+  SELECT d, t.q_vec_id, COUNT(*) AS h
+  FROM tr_rank t JOIN full_rank f
+    ON t.q_vec_id = f.q_vec_id AND t.vec_id = f.vec_id
+  GROUP BY 1, 2
+), scaffold AS (
+  SELECT d, q_vec_id FROM dims CROSS JOIN (SELECT q_vec_id FROM q)
+)
+SELECT CAST(d AS INTEGER) AS dim, q_vec_id,
+       CAST(COALESCE(h, 0) AS BIGINT) AS hits,
+       ROUND(COALESCE(h, 0) / 10.0, 2) AS recall_at_10
+FROM scaffold LEFT JOIN hits USING (d, q_vec_id)
+ORDER BY dim, q_vec_id
+"""
+
+
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive / retrieval training: for
     each query vector, the top-5 most-similar vectors with a DIFFERENT
@@ -1272,6 +1373,10 @@ SPECS = [
               "different-label vectors per query (two-phase rank)"),
     QuerySpec("embedding_multi_query_topk", embedding_multi_query_topk,
               EMBEDDING_MULTI_TOPK_SQL, "batched multi-query ANN serving"),
+    QuerySpec("embedding_dim_truncation_recall", embedding_dim_truncation_recall,
+              DIM_TRUNCATION_SQL,
+              "Matryoshka truncation audit: recall@10 of prefix-dim "
+              "cosine vs full-dim exact, per (dim, query)"),
     QuerySpec("embedding_norm_stats", embedding_norm_stats, EMBEDDING_NORM_SQL,
               "vector norm statistics per label"),
     QuerySpec("embedding_lsh_ann", embedding_lsh_ann, EMBEDDING_LSH_SQL,

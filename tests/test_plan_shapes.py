@@ -107,6 +107,10 @@ ALL_PAIRS_WHITELIST = {
     # evaluation audit: the brute-force baseline side is the same
     # bounded serving shape; the IVF arms are probe-pruned
     "embedding_ann_recall_curve",
+    # round 7 truncation audit: every arm (full-dim + each prefix dim)
+    # is the same bounded 5-query serving contract; the dims scaffold
+    # cross is a 3-row literal x the 5-row query-id projection
+    "embedding_dim_truncation_recall",
     # deliberately-quadratic exact baseline for bounded corpora
     "embedding_near_dup_pairs_exact",
     # single-row-aggregate crossJoins attaching corpus totals to a
@@ -163,6 +167,7 @@ BROADCAST_HINT_WHITELIST = {
     "embedding_multi_query_topk",
     "hard_negative_mining",
     "embedding_ann_recall_curve",
+    "embedding_dim_truncation_recall",
 }
 
 

@@ -26,114 +26,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Static, deterministic priority order, rotated each round to the
 # LEAST-RECENTLY externally validated code: queries that are new or
-# whose pinned oracles changed this round lead (they have no external
-# row for the code as it now stands), followed by every query whose most
-# recent driver correctness row is the oldest (rounds 1 and 3), topped
-# up with the oldest round-4 lake-ops rows — so a checker that samples a
-# prefix of the registry always validates the least-validated half.
-# This is a fixed list committed with the code — the registry order
-# never depends on runtime state or files outside the package.
+# whose implementation/oracle changed this round lead (they have no
+# external row for the code as it now stands), followed by every query
+# whose most recent driver correctness row is the oldest, topped up
+# with the oldest remaining vintage — so a checker that samples a
+# prefix of the registry always validates the least-validated code.
+# This tuple is EXACTLY the 50-entry driver window for round 7:
+# 3 new + 6 changed-implementation + all 32 round-3-vintage rows +
+# the 9 oldest round-4 rows.  It is a fixed list committed with the
+# code — the registry order never depends on runtime state or files
+# outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
-    "rfm_customer_segments",
-    "key_skew_profile",
-    "part_affinity_rules",
-    "view_to_purchase_latency",
-    "daily_trend_slopes",
-    "hourly_anomaly_flags",
-    "events_hourly_gapfilled",
-    "event_type_drift",
-    "textrank_keywords",
-    "incremental_view_maintenance",
-    "csv_ingest_stats",
-    "orc_roundtrip_stats",
-    "embedding_ann_recall_curve",
-    "bigram_pmi_collocations",
-    "streaming_hll_ingest",
-    "hard_negative_mining",
-    "bpe_tokenize_fertility",
-    "quantile_sketch_audit",
-    "kmv_source_overlap",
-    "hll_distinct_audit",
-    "bloom_fpr_audit",
-    "cms_token_counts",
-    "weighted_corpus_sample",
-    "bpe_merge_rounds",
-    "bigram_lm_quality",
-    "inverted_index_stats",
-    "shingle_novelty_scores",
+    "streaming_cms_ingest",
+    "fk_integrity_audit",
+    "embedding_dim_truncation_recall",
+    # implementation changed this round — prior rows validated old code
+    # (pointer-jumping connected components; literal-ADC PQ/IVF-PQ
+    # serving + persisted codes; MAD zero-division guard)
+    "near_dup_clusters",
     "cluster_quality_canonicals",
-    "streaming_session_windows",
     "streaming_neardup_ingest",
-    "bm25_doc_ranking",
-    "data_constrained_epochs",
-    "quality_calibration_bins",
-    "maximal_shared_spans",
-    "bpe_merge_candidates",
-    "streaming_interval_join",
-    "streaming_stateful_tracker",
-    "jsonl_ingest_stats",
-    # pinned oracles regenerated this round (hash-ordered PQ training
-    # sample; xxhash64 boundary rule) — prior rows validated old values
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
-    "cdc_chunk_overlap",
-    # implementation rewritten this round (MOR deletes fold to one
-    # anti-join) — revalidate ahead of old vintage
-    "mor_delete_upsert_read",
-    # last driver row: round 1
-    "order_value_percentiles",
-    "q18_large_orders",
-    # last driver row: round 3
-    "all_activity_keys_union",
-    "customers_without_orders",
-    "date_function_showcase",
-    "doc_tfidf",
-    "doc_token_stats",
-    "events_by_type",
-    "events_hourly_window",
-    "gopher_quality_gate",
-    "incremental_dedup_new_docs",
-    "latest_order_per_customer",
-    "monthly_order_stats",
+    "hourly_anomaly_flags",
+    # last driver row: round 3 (all 32 — the oldest vintage)
     "multimodal_type_stats",
-    "nation_health_score",
-    "nation_pair_volume",
-    "nations_per_segment",
-    "open_and_finished_custkeys",
-    "open_minus_finished_custkeys",
-    "order_status_pivot",
-    "orders_page",
-    "orders_within_30_days",
-    "parts_never_ordered",
-    "pii_digit_masking",
-    "priority_counts_with_returns",
+    "string_function_showcase",
     "q12_late_shipment_priority",
+    "video_frame_counts",
+    "incremental_dedup_new_docs",
     "q16_supplier_diversity",
+    "orders_within_30_days",
+    "events_hourly_window",
+    "nation_pair_volume",
+    "top_return_customers",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "revenue_by_nation",
+    "top_customers_by_spend",
+    "segment_nation_rollup",
     "region_segment_cube",
-    # (merge_upsert_result — the round-4 top-up — plus video_frame_counts,
-    # top_return_customers, top_nation_per_region, top_customers_by_spend,
-    # revenue_by_nation, running_revenue_by_month, segment_nation_rollup,
-    # string_function_showcase, supplier_part_volume, and the tail of this
-    # list past position 50 (events_hourly_window, gopher_quality_gate,
-    # incremental_dedup_new_docs,
-    # latest_order_per_customer,
-    # monthly_order_stats,
-    # multimodal_type_stats, nation_health_score,
-    # nation_pair_volume, nations_per_segment,
-    # open_and_finished_custkeys,
-    # open_minus_finished_custkeys,
-    # order_status_pivot, orders_page, orders_within_30_days,
-    # parts_never_ordered, pii_digit_masking,
-    # priority_counts_with_returns, q12_late_shipment_priority,
-    # q16_supplier_diversity, q1_pricing_summary, q3_shipping_priority,
-    # q5_nation_revenue, region_segment_cube) fell out as the final
-    # round-6 queries took their slots: the window is exactly 50 and
-    # brand-new queries outrank old vintage; all remain covered by the
-    # full-registry replica gate)
+    "gopher_quality_gate",
+    "latest_order_per_customer",
+    "pii_digit_masking",
+    "running_revenue_by_month",
+    "priority_counts_with_returns",
+    "parts_never_ordered",
+    "open_minus_finished_custkeys",
+    "open_and_finished_custkeys",
+    "supplier_part_volume",
+    "monthly_order_stats",
+    "nations_per_segment",
+    "order_status_pivot",
+    "orders_page",
+    "top_nation_per_region",
+    "nation_health_score",
+    # last driver row: round 4 (the 9 oldest, declaration order)
+    "q8_national_market_share",
+    "multimodal_metadata",
+    "snapshot_lifecycle",
+    "window_function_showcase",
+    "q11_important_parts",
+    "array_map_function_showcase",
+    "asof_last_click_before_purchase",
+    "bucketed_colocated_join",
+    "refs_listing",
 )
 
 

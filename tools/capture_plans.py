@@ -83,6 +83,9 @@ QUERIES = [
     "incremental_view_maintenance",
     "key_skew_profile",
     "rfm_customer_segments",
+    # round 7
+    "fk_integrity_audit",
+    "embedding_dim_truncation_recall",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

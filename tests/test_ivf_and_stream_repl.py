@@ -85,3 +85,48 @@ def test_streaming_replication_worker(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert dst.read().count() == 160
+
+
+def test_pinned_recall_oracle_assignments_are_argmin_consistent():
+    """The recall oracle's pinned artifacts (IVF centroids + per-vector
+    assignments) are COLLECTED from ivf_build, so an assignment bug
+    would reproduce verbatim in the oracle.  This re-derives every
+    assignment independently — numpy argmin of squared Euclidean
+    distance over the pinned centroids against the raw sf0.01
+    embeddings (pyspark.ml KMeans assigns by squared Euclidean) — and
+    must reproduce the pinned cid for every vector.  (Training quality
+    itself needs no independent check: the recall curve measures the
+    index against the brute-force exact side, which DuckDB recomputes
+    from scratch.)"""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from iceberg_hybrid_spark.queries._recall_oracle import ANN_RECALL_SQL
+
+    centers_txt = re.findall(
+        r"\((\d+), \[([^\]]+)\]::DOUBLE\[\]\)", ANN_RECALL_SQL
+    )
+    centers = {
+        int(cid): np.array([float(x) for x in vec.split(",")])
+        for cid, vec in centers_txt
+    }
+    C = np.stack([centers[i] for i in range(len(centers))])
+    assert C.shape[0] == 8
+
+    pinned = {
+        int(v): int(c)
+        for v, c in re.findall(
+            r"\(CAST\((\d+) AS BIGINT\), (\d+)\)", ANN_RECALL_SQL
+        )
+    }
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    ).to_pydict()
+    assert len(pinned) == len(tbl["vec_id"])
+    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        x = np.asarray(emb, dtype=np.float64)
+        d2 = ((C - x) ** 2).sum(axis=1)
+        assert int(d2.argmin()) == pinned[int(vid)], vid

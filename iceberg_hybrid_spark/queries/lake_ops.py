@@ -1295,6 +1295,101 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def range_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned write PLANNING — the boundary computation behind
+    ``write.distribution-mode=range`` (Iceberg's sorted-write
+    distribution; Spark's RangePartitioner does the same from a sample):
+    pick 7 split points over the sort key so an 8-way range write gets
+    balanced files, then audit the plan — per-partition row count, key
+    range, and share.  A badly skewed plan here is exactly the 100 TB
+    failure where one writer task gets half the data.
+
+    Boundary rule (type-1 / discrete, integer-exact on both engines):
+    boundary_i = the smallest key whose running cumulative row count
+    reaches ceil(i·n/8).  Scale shape: ONE counting shuffle collapses
+    the corpus onto the distinct-key histogram (the sort key is a ship
+    DATE — calendar-bounded, ~2.5 k rows; the running sum and the
+    boundary argmins run on that bounded relation, never the corpus),
+    then assignment is a map-side broadcast of the 7-element boundary
+    array (count of boundaries below the row's key) and the audit is
+    one partial-agg groupBy on the 8 partition ids."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("timestamp").alias("k")
+    )
+    from pyspark.sql import Window
+
+    hist = li.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    # running cumulative over the calendar-bounded distinct-key relation
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.agg(F.sum("c").alias("n"))
+    targets = spark.range(1, 8).select(F.col("id").alias("i"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(targets))
+        # ceil(i*n/8) via integer division — float division would demand
+        # cum >= m + 0.875 when i*n = 8m and misplace that boundary
+        .filter(F.col("cum") >= F.expr("(i * n + 7) DIV 8"))
+        .groupBy("i")
+        .agg(F.min("k").alias("b"))
+    )
+    barr = bounds.agg(F.sort_array(F.collect_list("b")).alias("barr"))
+    assigned = li.crossJoin(F.broadcast(barr)).select(
+        "k",
+        F.size(F.filter(F.col("barr"), lambda b: F.col("k") > b))
+        .cast("int")
+        .alias("partition_id"),
+    )
+    return (
+        assigned.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partition_id",
+            "n_rows",
+            "min_key",
+            "max_key",
+            F.round(F.col("n_rows") * 100.0 / F.col("n"), 2).alias("share_pct"),
+        )
+        .orderBy("partition_id")
+    )
+
+
+RANGE_WRITE_PLAN_SQL = """
+WITH hist AS (
+  SELECT CAST(l_shipdate AS TIMESTAMP) AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT k, c, SUM(c) OVER (ORDER BY k) AS cum FROM hist
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist
+), targets(i) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+bounds AS (
+  SELECT i, MIN(k) AS b
+  FROM cum CROSS JOIN tot CROSS JOIN targets
+  WHERE cum >= (i * n + 7) // 8
+  GROUP BY i
+), barr AS (
+  SELECT list(b ORDER BY b) AS barr FROM bounds
+), assigned AS (
+  SELECT CAST(l_shipdate AS TIMESTAMP) AS k,
+         CAST(len(list_filter(barr, b -> CAST(l_shipdate AS TIMESTAMP) > b))
+              AS INTEGER) AS partition_id
+  FROM lineitem CROSS JOIN barr
+)
+SELECT partition_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(k) AS min_key, MAX(k) AS max_key,
+       ROUND(COUNT(*) * 100.0 / n, 2) AS share_pct
+FROM assigned CROSS JOIN tot
+GROUP BY partition_id, n
+ORDER BY partition_id
+"""
+
+
 def sorted_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write.sort-order (≙ WRITE ORDERED BY): the table carries a sort
     order applied to every append, so each commit's files keep tight
@@ -1517,6 +1612,10 @@ SPECS = [
               STREAMING_HLL_SQL,
               "streaming HLL register-state maintenance (mergeable, "
               "idempotent under redelivery); oracle = batch sketch"),
+    QuerySpec("range_write_plan", range_write_plan, RANGE_WRITE_PLAN_SQL,
+              "range-write boundary planning (distribution-mode=range): "
+              "type-1 split points from the bounded key histogram + "
+              "balance audit"),
     QuerySpec("streaming_cms_ingest", streaming_cms_ingest,
               STREAMING_CMS_SQL,
               "streaming count-min state with exactly-once-effect "

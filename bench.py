@@ -99,6 +99,7 @@ HEADLINE = [
     "streaming_cms_ingest",
     "fk_integrity_audit",
     "embedding_dim_truncation_recall",
+    "range_write_plan",
     "hard_negative_mining",
     "bpe_tokenize_fertility",
     "quantile_sketch_audit",

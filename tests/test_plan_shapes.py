@@ -150,6 +150,10 @@ ALL_PAIRS_WHITELIST = {
     # round 6 RFM: the cross sides are the 1-row max-date origin and
     # three 1-row quartile-threshold relations
     "rfm_customer_segments",
+    # round 7 range-write planning: every cross side is bounded — the
+    # 1-row total, the 7-row targets, and the 1-row boundary array
+    # broadcast over the corpus for map-side assignment
+    "range_write_plan",
     # round 6 sketch audits: the non-equi/cross side is SKETCH-bounded
     # by construction — a 5-row k table x the <=65536-row bit relation
     # (bloom), the #sources-row counts relation self-paired (kmv);

@@ -86,6 +86,7 @@ QUERIES = [
     # round 7
     "fk_integrity_audit",
     "embedding_dim_truncation_recall",
+    "range_write_plan",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

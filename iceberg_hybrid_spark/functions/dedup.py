@@ -192,21 +192,30 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    jump_after: int = 2,
 ) -> DataFrame:
     """Dedup clustering: connected components over near-dup pairs via
-    min-label propagation with pointer jumping, run to a fixpoint.
+    min-label propagation, escalating to pointer jumping, run to a
+    fixpoint.
 
-    Each iteration does (a) a one-hop propagation — min over own and
-    neighbors' labels — and (b) a pointer jump — replace each node's
-    label with its label's own label.  The jump doubles the effective
-    propagation distance per round, so convergence takes O(log diameter)
-    iterations (max_iter=20 covers diameters beyond 2^20 — any chain a
-    real corpus can produce), not O(diameter).  If the fixpoint is still
-    moving after ``max_iter`` rounds a RuntimeError is raised: silently
-    returning truncated labels would split one true cluster into many
-    and leak near-duplicates past dedup.  Returns (node_id, component_id)
-    with component_id = min member id.
+    Every iteration does a one-hop propagation (min over own and
+    neighbors' labels); from iteration ``jump_after`` onward it adds a
+    pointer jump — replace each node's label with its label's own label
+    — which doubles the effective propagation distance per round.  Real
+    near-dup clusters are small and dense (diameter 1-2), so the common
+    case converges within the hop-only prefix and never pays the jump's
+    extra self-join; a pathological deep chain escalates and still
+    converges in jump_after + O(log diameter) iterations (max_iter=20
+    covers diameters beyond 2^17 — any chain a real corpus can
+    produce).  If the fixpoint is still moving after ``max_iter`` rounds
+    a RuntimeError is raised: silently returning truncated labels would
+    split one true cluster into many and leak near-duplicates past
+    dedup.  Returns (node_id, component_id) with component_id = min
+    member id.
 
     Fault-tolerance note: the fixpoint loop truncates lineage by
     checkpointing.  When the session has a checkpoint dir
@@ -242,7 +251,7 @@ def connected_components(
         "component", F.col("node")
     )
     changed = 1
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # (a) one hop: candidate label per node = min over its own and
         # neighbors' labels
         neighbor_labels = (
@@ -255,22 +264,27 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        # (b) pointer jump: component := component's own component.  Every
-        # label value is a node id present in `hopped` (labels start as
-        # node ids and min() only ever selects existing ids), so the self
-        # join hits; LEFT + coalesce keeps the row even if it somehow
-        # didn't.  This is the doubling step that turns an O(diameter)
-        # fixpoint into O(log diameter).
-        parents = hopped.select(
-            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
-        )
-        new_labels = (
-            hopped.join(parents, hopped.component == parents.p_node, "left")
-            .select(
-                F.col("node"),
-                F.coalesce(F.col("p_comp"), F.col("component")).alias("component"),
+        if it < jump_after:
+            new_labels = hopped
+        else:
+            # (b) pointer jump: component := component's own component.
+            # Every label value is a node id present in `hopped` (labels
+            # start as node ids and min() only ever selects existing
+            # ids), so the self join hits; LEFT + coalesce keeps the row
+            # even if it somehow didn't.  This is the doubling step that
+            # turns an O(diameter) fixpoint into O(log diameter).
+            parents = hopped.select(
+                F.col("node").alias("p_node"), F.col("component").alias("p_comp")
             )
-        )
+            new_labels = (
+                hopped.join(parents, hopped.component == parents.p_node, "left")
+                .select(
+                    F.col("node"),
+                    F.coalesce(
+                        F.col("p_comp"), F.col("component")
+                    ).alias("component"),
+                )
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -287,8 +301,8 @@ def connected_components(
             "iterations — labels are still moving and would be WRONG if "
             "returned (clusters silently split, near-dups leak past "
             "dedup). With pointer jumping this needs graph diameter "
-            f"> 2^{max_iter}; raise max_iter or investigate the pair "
-            "relation for pathological structure."
+            f"> 2^{max_iter - jump_after}; raise max_iter or investigate "
+            "the pair relation for pathological structure."
         )
     return labels.select(F.col("node"), F.col("component"))
 

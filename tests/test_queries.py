@@ -70,6 +70,20 @@ def test_queries_run_on_multi_file_table_dirs(spark, tmp_path):
     assert multi == single
 
 
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must be a registered query — a
+    stale name would crash the driver's bench run and lose the round's
+    only machine-readable perf artifact."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in SPECS]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dups
+
+
 def test_readme_query_count_matches_registry():
     """README's stated query count is pinned to len(all_specs()) so it
     can't silently rot (it read '151' for two rounds after the registry

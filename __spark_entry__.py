@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 7:
-# 4 new + 6 changed-implementation + all 32 round-3-vintage rows +
-# the 8 oldest round-4 rows.  It is a fixed list committed with the
+# 5 new + 6 changed-implementation + all 32 round-3-vintage rows +
+# the 7 oldest round-4 rows.  It is a fixed list committed with the
 # code — the registry order never depends on runtime state or files
 # outside the package.
 _PRIORITY: tuple[str, ...] = (
@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "fk_integrity_audit",
     "embedding_dim_truncation_recall",
     "range_write_plan",
+    "jaccard_prefix_filter_pairs",
     # implementation changed this round — prior rows validated old code
     # (pointer-jumping connected components; literal-ADC PQ/IVF-PQ
     # serving + persisted codes; MAD zero-division guard)
@@ -84,7 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "orders_page",
     "top_nation_per_region",
     "nation_health_score",
-    # last driver row: round 4 (the 8 oldest, declaration order)
+    # last driver row: round 4 (the 7 oldest, declaration order)
     "q8_national_market_share",
     "multimodal_metadata",
     "snapshot_lifecycle",
@@ -92,7 +93,6 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_parts",
     "array_map_function_showcase",
     "asof_last_click_before_purchase",
-    "bucketed_colocated_join",
 )
 
 

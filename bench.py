@@ -100,6 +100,7 @@ HEADLINE = [
     "fk_integrity_audit",
     "embedding_dim_truncation_recall",
     "range_write_plan",
+    "jaccard_prefix_filter_pairs",
     "hard_negative_mining",
     "bpe_tokenize_fertility",
     "quantile_sketch_audit",

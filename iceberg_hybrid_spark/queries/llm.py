@@ -249,6 +249,104 @@ LIMIT 20
 """
 
 
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin,
+    Xiao/Wang/Lin/Yu, WWW'08): every document pair with 3-gram shingle
+    Jaccard >= 0.3 — the same similarity and threshold as the
+    MinHash-LSH family, but with a completeness GUARANTEE instead of a
+    banding recall argument (dedup of legal/medical corpora wants
+    exactly this).  Each document's distinct shingles are ordered
+    RAREST-FIRST (global frequency, value tie-break); the prefix-filter
+    theorem says two sets with J >= t must share an element within
+    their first |x| - ceil(t·|x|) + 1 elements under any one global
+    order, so the candidate join runs on prefix shingles only — and
+    rare shingles collide seldom, which is what bounds candidates at
+    corpus scale.
+
+    Scale shape: one shingle-frequency counting shuffle, one groupBy
+    re-assembling each doc's rarest-first order (the sort is per-doc
+    inside the aggregate — struct(freq, shingle) arrays, no global rank
+    and no global sort), an equi-join on prefix shingles whose volume
+    tracks rare-shingle collisions, and exact verification only on
+    candidates.  Shingles are 8-byte xxhash64 longs Spark-side (the
+    shuffle-width trick the whole ngram family uses); the oracle
+    recomputes with STRING shingles — Jaccard is hash-invariant up to
+    ~n²/2⁶⁴ collisions.  Oracle: brute-force ALL-PAIRS Jaccard in
+    DuckDB — any pair the prefix filter misses fails the value gate, so
+    the gate certifies the theorem's implementation, not just the
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", T.shingle_hashes("text").alias("sh")
+    ).withColumn("n", F.size("sh"))
+    el = sets.select("doc_id", F.explode("sh").alias("h"))
+    freq = el.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    # per-doc rarest-first order without a global rank: struct(c, h)
+    # sorts lexicographically, so sort_array IS the frequency order
+    ordered = (
+        el.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("c", "h"))).alias("ord"))
+    )
+    # t = 0.3: prefix length p = n - ceil(3n/10) + 1, integer-exact
+    prefix = (
+        ordered.join(sets.select("doc_id", "n"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.col("ord"), F.lit(1),
+                        F.expr("n - ((3 * n + 9) DIV 10) + 1"),
+                    ),
+                    lambda s: s["h"],
+                )
+            ).alias("h"),
+        )
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            D.ngram_jaccard(F.col("sha"), F.col("shb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+PREFIX_FILTER_SQL = f"""
+WITH sets AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+             / GREATEST(len(a.sh) + len(b.sh)
+                        - len(list_filter(a.sh, s -> list_contains(b.sh, s))), 1)
+             - 0.000000001, 4) + 0.0 AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+            / GREATEST(len(a.sh) + len(b.sh)
+                       - len(list_filter(a.sh, s -> list_contains(b.sh, s))), 1)
+            - 0.000000001, 4) + 0.0 >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified by exact shingle Jaccard.
 
@@ -1352,6 +1450,10 @@ SPECS = [
               "canonical shingle-set fingerprint"),
     QuerySpec("near_dup_shingle_pairs", near_dup_shingle_pairs, NEAR_DUP_SQL,
               "blocked n-gram Jaccard near-dup pairs"),
+    QuerySpec("jaccard_prefix_filter_pairs", jaccard_prefix_filter_pairs,
+              PREFIX_FILTER_SQL,
+              "EXACT set-similarity join via PPJoin prefix filtering "
+              "(rarest-first prefixes); oracle = brute-force all-pairs"),
     QuerySpec("cdc_chunk_overlap", cdc_chunk_overlap, CDC_CHUNK_OVERLAP_SQL,
               "content-defined chunk fingerprint overlap (rolling hash)"),
     QuerySpec("minhash_near_dup", minhash_near_dup, MINHASH_NEAR_DUP_SQL,

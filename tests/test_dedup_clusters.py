@@ -73,3 +73,47 @@ def test_end_to_end_with_planted_dups(spark):
     kept = sorted(r.doc_id for r in D.dedup_keep_canonical(docs, comps).collect())
     assert 1 in kept and 4 in kept
     assert 2 not in kept  # exact dup removed
+
+
+def test_prefix_filter_pairs_complete_on_planted_corpus(spark, tmp_path):
+    """The PPJoin query must find exactly the pairs brute force finds:
+    a planted >=0.3-shingle-Jaccard pair (one word changed), an exact
+    duplicate, and an unrelated document that must NOT pair."""
+    import itertools
+    import os
+
+    from iceberg_hybrid_spark.functions.text import shingle_hashes
+    from iceberg_hybrid_spark.queries.llm import jaccard_prefix_filter_pairs
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "en", "a", len(base)),
+        (2, base, "en", "a", len(base)),  # exact dup -> jaccard 1.0
+        (3, base.replace("eta theta", "eta NEW"), "en", "a", 10),  # near dup
+        (4, "totally different words about query engines and shuffles okay",
+         "en", "b", 10),
+    ]
+    sf_dir = str(tmp_path / "sf_pf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_prefix_filter_pairs(spark, sf_dir).collect()}
+
+    # brute-force reference over the same hashed shingle sets
+    sh = {r.doc_id: set(r.s) for r in spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).select("doc_id", shingle_hashes(F.col("text")).alias("s")).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        j = round(inter / max(len(sh[a] | sh[b]), 1) - 1e-9, 4)
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got  # the planted near dup survives prefix filtering
+    assert not any(4 in pair for pair in got)

@@ -87,6 +87,7 @@ QUERIES = [
     "fk_integrity_audit",
     "embedding_dim_truncation_recall",
     "range_write_plan",
+    "jaccard_prefix_filter_pairs",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -102,3 +102,17 @@ def test_torn_batch_fold_not_reapplied(spark, tables):
     ) == 1
     assert _estimate(spark, cells, "eta") == 3
     assert _estimate(spark, cells, "kappa") == 1
+
+
+def test_one_batch_fold_equals_two_batch_fold(spark, tables):
+    """availableNow may fold the re-delivery into the SAME micro-batch
+    or a separate one — the fp-window within-batch dedup must make both
+    folds produce identical state (the batch-fold-independence claim
+    streaming_cms_ingest's oracle relies on)."""
+    counted, cells = tables
+    rows = [(1, "lambda mu"), (2, "mu nu")]
+    doubled = spark.createDataFrame(rows + rows, DOC_SCHEMA)  # one-batch fold
+    assert cms_ingest_batch(doubled, counted, cells) == 2
+    assert _estimate(spark, cells, "lambda") == 1
+    assert _estimate(spark, cells, "mu") == 2
+    assert _estimate(spark, cells, "nu") == 1

@@ -546,3 +546,90 @@ def test_pushdown_barrier_is_value_identical(spark, vals):
         assert r.b == expect and (r.b != 0.0 or str(r.b) == str(expect)), r
     # nondeterminism is what blocks the pushdown — pin it
     assert "rand" in str(stop_predicate_pushdown(F.col("v"))).lower()
+
+
+# --- count-min cells are mergeable (the streaming-state contract) -----------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=st.lists(st.sampled_from("abcdefgh"), max_size=25),
+       b=st.lists(st.sampled_from("abcdefgh"), max_size=25))
+def test_cms_cells_merge_equals_union_sketch(spark, a, b):
+    """cells(A) + cells(B) merged by cell-wise SUM equals cells(A ++ B)
+    for arbitrary token multisets — the additivity streaming_cms_ingest's
+    per-batch fold relies on (and the property that makes the final
+    state independent of how deliveries fold into micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions.sketch import cms_cells
+
+    def cells_of(tokens):
+        if not tokens:
+            return {}
+        df = spark.createDataFrame([(w,) for w in tokens], "w string")
+        return {
+            (r.r, r.cell): r.cnt for r in cms_cells(df, width=64).collect()
+        }
+
+    ca, cb, cu = cells_of(a), cells_of(b), cells_of(a + b)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cu
+
+
+# --- prefix filtering is complete vs brute force ----------------------------
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_prefix_filter_complete_on_random_corpora(
+    spark, tmp_path_factory, seed
+):
+    """jaccard_prefix_filter_pairs == brute-force all-pairs shingle
+    Jaccard >= 0.3 on random corpora with planted near-dups — the
+    prefix-filter theorem's implementation (rarest-first order, integer
+    prefix length) holds for arbitrary vocabularies and mutation
+    levels, not just the committed fixtures."""
+    import itertools
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions.text import shingle_hashes
+    from iceberg_hybrid_spark.queries.llm import jaccard_prefix_filter_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(10):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 25)))))
+    # plant near-dups: copies of doc 0 with 0-2 token mutations
+    base = docs[0][1].split(" ")
+    for j, muts in ((10, 0), (11, 1), (12, 2)):
+        w = list(base)
+        for _ in range(muts):
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+        docs.append((j, " ".join(w)))
+
+    sf_dir = str(tmp_path_factory.mktemp("pfprop") / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = {(r.id_a, r.id_b) for r in
+           jaccard_prefix_filter_pairs(spark, sf_dir).collect()}
+
+    sh = {r.doc_id: set(r.s) for r in spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, text string"
+    ).select("doc_id", shingle_hashes(F.col("text")).alias("s")).collect()}
+    want = set()
+    for x, y in itertools.combinations(sorted(sh), 2):
+        union = len(sh[x] | sh[y])
+        j = round(len(sh[x] & sh[y]) / max(union, 1) - 1e-9, 4)
+        if j >= 0.3:
+            want.add((x, y))
+    assert got == want

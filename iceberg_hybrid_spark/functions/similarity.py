@@ -122,7 +122,7 @@ def ivf_build(
     deterministic (seeded), so the reuse is exact, and assignment still
     runs as a fresh map-only pass every call."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     assembled = df.withColumn("_v", array_to_vector(as_double_array(vec_col)))
     key = None

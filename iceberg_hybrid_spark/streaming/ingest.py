@@ -350,6 +350,35 @@ def hll_ingest_batch(
     registers.overwrite(merged)
 
 
+def prune_band_state(
+    corpus: HyTable, bands_state: HyTable, id_col: str = "doc_id"
+) -> int:
+    """Maintenance: drop LSH band rows whose document no longer lives in
+    the corpus (deleted or compacted away).  Stale band rows are a COST,
+    not a correctness issue — a candidate against a deleted id joins to
+    no corpus text at the verify stage and drops out — but on a
+    churn-heavy 100 TB table the dead rows grow linearly with total
+    deletes and every batch's band join pays for them forever; this is
+    the dedup-state analogue of snapshot expiration, run on the same
+    maintenance cadence.
+
+    Deliberately does NOT touch the exact-dedup FINGERPRINT state: a
+    deleted document's fingerprint is a TOMBSTONE — at-least-once
+    upstreams re-deliver old content indefinitely, and a pruned
+    fingerprint would silently resurrect a document an operator deleted.
+    Re-admitting content after deletion is an explicit operator action
+    (delete the fingerprint row), never a side effect of maintenance.
+
+    One key-partitioned semi-join; returns the number of rows removed."""
+    state = bands_state.read()
+    live = corpus.read().select(id_col)
+    kept = state.join(live, id_col, "left_semi").localCheckpoint(eager=True)
+    removed = state.count() - kept.count()
+    if removed:
+        bands_state.overwrite(kept)
+    return removed
+
+
 CMS_CELL_DDL = "r int, cell bigint, cnt bigint, batch_seq bigint"
 
 

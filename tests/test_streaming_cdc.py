@@ -425,3 +425,59 @@ def test_pinned_cdc_bounds_match_pure_python_recomputation():
     # a spread of documents incl. many-cut and few-cut shapes
     for doc_id in (0, 2, 5, 7, 8, 10, 11, 50, 123, 499):
         assert _py_cdc_bounds(text_by_id[doc_id]) == pinned[doc_id], doc_id
+
+
+def test_prune_band_state_drops_deleted_docs_only(spark, tmp_path):
+    """Band-state maintenance: rows for documents deleted from the
+    corpus are removed, live documents' rows are untouched, and a later
+    batch still ingests correctly against the pruned state."""
+    from pyspark.sql import types as T
+
+    from iceberg_hybrid_spark.streaming.ingest import (
+        BAND_STATE_DDL,
+        near_dup_ingest_batch,
+        prune_band_state,
+    )
+
+    DOC_SCHEMA = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    a = ("the quick brown fox jumps over the lazy dog and then runs far "
+         "away into the deep green forest before the rain begins to fall")
+    b = ("completely unrelated second document that talks about query "
+         "engines shuffles partitions and the cost of wide transformations")
+    corpus = HyTable(spark, str(tmp_path / "corpus"))
+    corpus.create(spark.createDataFrame([], DOC_SCHEMA))
+    bands = HyTable(spark, str(tmp_path / "bands"))
+    bands.create(spark.createDataFrame([], BAND_STATE_DDL))
+
+    assert near_dup_ingest_batch(
+        spark.createDataFrame([(1, a), (2, b)], DOC_SCHEMA), corpus, bands
+    ) == 2
+    rows_before = bands.read().count()
+    per_doc = {r.doc_id for r in bands.read().select("doc_id").distinct().collect()}
+    assert per_doc == {1, 2}
+
+    # no-op prune: nothing deleted yet
+    assert prune_band_state(corpus, bands) == 0
+    assert bands.read().count() == rows_before
+
+    corpus.delete_where([("doc_id", "=", 1)])
+    removed = prune_band_state(corpus, bands)
+    assert removed > 0
+    left = {r.doc_id for r in bands.read().select("doc_id").distinct().collect()}
+    assert left == {2}
+
+    # ingestion still works against the pruned state: a near-dup of the
+    # LIVE doc b is dropped, a fresh doc is admitted
+    n = near_dup_ingest_batch(
+        spark.createDataFrame(
+            [(3, b), (4, "entirely new text about something else with many "
+                         "different words than before in every position")],
+            DOC_SCHEMA,
+        ),
+        corpus, bands,
+    )
+    assert n == 1
+    assert {r.doc_id for r in corpus.read().select("doc_id").collect()} == {2, 4}

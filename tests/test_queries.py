@@ -401,3 +401,37 @@ def test_rfm_customer_segments_matches_reference_implementation(spark):
         assert row.customers == len(monies)
         assert abs(row.avg_monetary - sum(monies) / len(monies)) < 0.05
     assert sum(r.customers for r in got.values()) == len(cust)
+
+
+def test_range_write_plan_under_heavy_key_skew(spark, tmp_path):
+    """Type-1 range planning with a dominant key: all equal keys land in
+    exactly ONE partition (a range write can't split a key), counts sum
+    to n, partitions are contiguous in key space, and the skew is
+    VISIBLE in the audit rather than smoothed away — the planner's job
+    is to report it, the operator's job is then salting/bucketing."""
+    import datetime
+    import os
+
+    from iceberg_hybrid_spark.queries.lake_ops import range_write_plan
+
+    sf_dir = str(tmp_path / "sf_skew")
+    os.makedirs(sf_dir)
+    hot = datetime.datetime(2024, 6, 1)
+    rows = [(hot,)] * 100 + [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),)
+        for i in range(60)
+    ]
+    spark.createDataFrame(rows, "l_shipdate timestamp").coalesce(1) \
+        .write.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    out = range_write_plan(spark, sf_dir).collect()
+    assert sum(r.n_rows for r in out) == 160
+    # contiguous, non-overlapping key ranges in partition order
+    for a, b in zip(out, out[1:]):
+        assert a.max_key <= b.min_key
+    # the hot key sits in exactly one partition, which therefore carries
+    # at least its 100 rows (share >= 62.5%) — reported, not hidden
+    hot_parts = [r for r in out if r.min_key <= hot <= r.max_key]
+    assert len(hot_parts) == 1
+    assert hot_parts[0].n_rows >= 100
+    assert hot_parts[0].share_pct >= 62.5

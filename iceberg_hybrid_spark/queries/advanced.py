@@ -554,11 +554,14 @@ _FK_EDGES = [
 
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over every FK edge of the schema: per
-    edge, the child row count, ORPHAN child rows (no matching parent —
-    an integrity violation a broken ingest or partial delete leaves
-    behind), parent rows, and UNREFERENCED parents (dead dimension rows
-    a retention sweep can reclaim).  The nightly data-quality gate a
-    lakehouse runs before publishing a snapshot to consumers.
+    edge, the child row count, ORPHAN child rows (a NON-NULL key with no
+    matching parent — an integrity violation a broken ingest or partial
+    delete leaves behind), NULL-key child rows (reported separately:
+    SQL's MATCH SIMPLE rule says a NULL FK SATISFIES the constraint, so
+    counting it as an orphan would flag legal rows), parent rows, and
+    UNREFERENCED parents (dead dimension rows a retention sweep can
+    reclaim).  The nightly data-quality gate a lakehouse runs before
+    publishing a snapshot to consumers.
 
     Scale shape: per edge, ONE key-partitioned full-outer join between
     the child's counting aggregate (partial-aggregated map-side to
@@ -582,8 +585,17 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_key.agg(
                 F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("child_rows"),
                 F.coalesce(
-                    F.sum(F.when(F.col("p").isNull(), F.col("c"))), F.lit(0)
+                    F.sum(
+                        F.when(
+                            F.col("p").isNull() & F.col("k").isNotNull(),
+                            F.col("c"),
+                        )
+                    ),
+                    F.lit(0),
                 ).cast("bigint").alias("orphan_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("k").isNull(), F.col("c"))), F.lit(0)
+                ).cast("bigint").alias("null_fk_rows"),
                 F.count("p").alias("parent_rows"),
                 F.count(
                     F.when(F.col("c").isNull() & F.col("p").isNotNull(), F.lit(1))
@@ -601,12 +613,14 @@ def _fk_integrity_sql() -> str:
         parts.append(f"""
 SELECT '{edge}' AS fk_edge,
        CAST(COALESCE(SUM(c), 0) AS BIGINT) AS child_rows,
-       CAST(COALESCE(SUM(CASE WHEN p IS NULL THEN c END), 0) AS BIGINT)
-         AS orphan_rows,
+       CAST(COALESCE(SUM(CASE WHEN p IS NULL AND k IS NOT NULL THEN c END), 0)
+            AS BIGINT) AS orphan_rows,
+       CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN c END), 0) AS BIGINT)
+         AS null_fk_rows,
        CAST(COUNT(p) AS BIGINT) AS parent_rows,
        CAST(COUNT(CASE WHEN c IS NULL AND p IS NOT NULL THEN 1 END) AS BIGINT)
          AS unreferenced_parents
-FROM (SELECT ch.c, pa.p
+FROM (SELECT ch.k, ch.c, pa.p
       FROM (SELECT {ck} AS k, COUNT(*) AS c FROM {ct} GROUP BY 1) ch
       FULL JOIN (SELECT {pk} AS k, 1 AS p FROM {pt}) pa ON ch.k = pa.k)""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_edge"

@@ -435,3 +435,43 @@ def test_range_write_plan_under_heavy_key_skew(spark, tmp_path):
     assert len(hot_parts) == 1
     assert hot_parts[0].n_rows >= 100
     assert hot_parts[0].share_pct >= 62.5
+
+
+def test_fk_integrity_audit_null_and_orphan_semantics(spark, tmp_path):
+    """SQL MATCH SIMPLE: a NULL FK satisfies the constraint and must be
+    reported as null_fk_rows, never as an orphan; a non-NULL key with no
+    parent is an orphan.  Doctored orders table: one NULL o_custkey, one
+    dangling o_custkey."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.queries.advanced import fk_integrity_audit
+
+    sf_dir = str(tmp_path / "sf_fk")
+    os.makedirs(sf_dir)
+    for t in ("region", "nation", "customer", "supplier", "part", "lineitem",
+              "orders", "events", "documents", "embeddings"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if t == "orders":
+            orders = spark.read.parquet(src)
+            keys = [r.o_orderkey for r in orders.select("o_orderkey")
+                    .orderBy("o_orderkey").limit(2).collect()]
+            doctored = orders.withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") == keys[0], F.lit(None))
+                .when(F.col("o_orderkey") == keys[1], F.lit(999_999_999))
+                .otherwise(F.col("o_custkey")),
+            )
+            doctored.coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+        else:
+            os.symlink(src, f"{sf_dir}/{t}.parquet")
+
+    rows = {r.fk_edge: r for r in fk_integrity_audit(spark, sf_dir).collect()}
+    oc = rows["orders->customer"]
+    assert oc.null_fk_rows == 1
+    assert oc.orphan_rows == 1
+    # the clean edges stay clean
+    assert rows["customer->nation"].orphan_rows == 0
+    assert rows["customer->nation"].null_fk_rows == 0
+    assert rows["lineitem->orders"].orphan_rows == 0

@@ -1312,10 +1312,16 @@ def range_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary argmins run on that bounded relation, never the corpus),
     then assignment is a map-side broadcast of the 7-element boundary
     array (count of boundaries below the row's key) and the audit is
-    one partial-agg groupBy on the 8 partition ids."""
+    one partial-agg groupBy on the 8 partition ids.
+
+    NULL sort keys are excluded from planning on both engines (a range
+    writer routes them to a dedicated null partition anyway, and the
+    engines disagree on NULL placement in window ordering — Spark
+    NULLS FIRST vs DuckDB NULLS LAST — so including them would make
+    the boundary choice engine-dependent)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_shipdate").cast("timestamp").alias("k")
-    )
+    ).filter(F.col("k").isNotNull())
     from pyspark.sql import Window
 
     hist = li.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
@@ -1362,7 +1368,7 @@ def range_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_WRITE_PLAN_SQL = """
 WITH hist AS (
   SELECT CAST(l_shipdate AS TIMESTAMP) AS k, CAST(COUNT(*) AS BIGINT) AS c
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT k, c, SUM(c) OVER (ORDER BY k) AS cum FROM hist
 ), tot AS (
@@ -1379,7 +1385,7 @@ bounds AS (
   SELECT CAST(l_shipdate AS TIMESTAMP) AS k,
          CAST(len(list_filter(barr, b -> CAST(l_shipdate AS TIMESTAMP) > b))
               AS INTEGER) AS partition_id
-  FROM lineitem CROSS JOIN barr
+  FROM lineitem CROSS JOIN barr WHERE l_shipdate IS NOT NULL
 )
 SELECT partition_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(k) AS min_key, MAX(k) AS max_key,

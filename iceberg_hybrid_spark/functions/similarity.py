@@ -589,10 +589,15 @@ def pq_build(
         )
     # ``persist_codes``: also cache the ENCODED corpus (index-build-once
     # semantics — see _PQ_CODES_CACHE).  Keyed additionally on the input
-    # relation's columns so pq_build(emb) and pq_build(ivf-assigned emb)
-    # stay distinct; the persisted relation drops the raw vector column.
+    # relation's SEMANTIC HASH (Spark's canonicalized analyzed plan), so
+    # two pipelines that differ only in upstream parameters — e.g.
+    # ivf_build with a different k/seed feeding the same column set —
+    # can never alias to one cache slot and serve codes carrying stale
+    # centroid assignments.  The column tuple stays in the key as a
+    # cheap human-readable discriminator; the persisted relation drops
+    # the raw vector column.
     ckey = (
-        key + ("codes", tuple(df.columns))
+        key + ("codes", int(df.semanticHash()), tuple(df.columns))
         if persist_codes and key is not None
         else None
     )
@@ -658,6 +663,31 @@ def pq_build(
     return coded, codebooks, sub
 
 
+# The literal-ADC serving shape inlines |q| x m x k doubles into the
+# plan (pq_topk) or one union branch per query (ivfpq_topk) — the right
+# trade for a BOUNDED serving batch, pathological for an unbounded one
+# (a few hundred queries build a Catalyst literal tree / union fan-out
+# with analysis time far beyond the query itself).  Enforced, not
+# assumed: past this cap the call refuses loudly instead of degrading.
+_ADC_MAX_QUERY_BATCH = 32
+
+
+def _adc_empty(spark, query_id_col: str, id_col: str) -> DataFrame:
+    """Empty (q, id, adc_dot, rank) relation — the zero-query result."""
+    return spark.createDataFrame(
+        [], f"{query_id_col} bigint, {id_col} bigint, adc_dot double, rank int"
+    )
+
+
+def _adc_guard_batch(q_rows, fn: str) -> None:
+    if len(q_rows) > _ADC_MAX_QUERY_BATCH:
+        raise ValueError(
+            f"{fn}: serving batch of {len(q_rows)} queries exceeds the "
+            f"literal-ADC cap ({_ADC_MAX_QUERY_BATCH}); split the batch "
+            "or use the broadcast-join cosine path for bulk scoring"
+        )
+
+
 def pq_topk(
     coded: DataFrame,
     codebooks: list[list[list[float]]],
@@ -694,6 +724,9 @@ def pq_topk(
     q_rows = queries.select(
         F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("_qv")
     ).collect()
+    if not q_rows:
+        return _adc_empty(coded.sparkSession, query_id_col, id_col)
+    _adc_guard_batch(q_rows, "pq_topk")
     q_structs = []
     for r in q_rows:
         tables = [
@@ -786,6 +819,9 @@ def ivfpq_topk(
     q_rows = queries.select(
         F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("_qv")
     ).collect()
+    if not q_rows:
+        return _adc_empty(coded.sparkSession, query_id_col, id_col)
+    _adc_guard_batch(q_rows, "ivfpq_topk")
 
     def cos(a: list[float], b: list[float]) -> float:
         dp = sum(x * y for x, y in zip(a, b))

@@ -379,7 +379,9 @@ def prune_band_state(
     return removed
 
 
-CMS_CELL_DDL = "r int, cell bigint, cnt bigint, batch_seq bigint"
+CMS_CELL_DDL = (
+    "r int, cell bigint, cnt bigint, batch_seq bigint, batch_fp bigint"
+)
 
 
 def cms_ingest_batch(
@@ -416,6 +418,16 @@ def cms_ingest_batch(
     - die after both → stream replays the batch → novel set empty →
       no-op.
 
+    The skip-if-folded rule is guarded by CONTENT, not sequence alone:
+    the folded cell table also carries ``batch_fp`` — an order-free
+    bit_xor of the novel set's fingerprint hashes — and a batch that
+    reaches a matching ``batch_seq`` with a DIFFERENT novel set (a
+    deleted checkpoint, or direct API use replaying non-verbatim)
+    raises instead of silently skipping its fold, which would have
+    permanently undercounted those documents' tokens with no signal.
+    Callers inside the checkpointed stream never trip it — Structured
+    Streaming replays the same batch files verbatim.
+
     State is <= depth x width cells plus 16 bytes per distinct text.
     Returns the number of novel documents counted."""
     from ..functions import sketch as SK
@@ -437,7 +449,13 @@ def cms_ingest_batch(
     n = novel.count()
     if n == 0:
         return 0
-    synced = cells.read().agg(F.max("batch_seq")).collect()[0][0] or 0
+    novel_fp = novel.agg(
+        F.expr("bit_xor(xxhash64(fp))").alias("bfp")
+    ).collect()[0][0]
+    state = cells.read().agg(
+        F.max("batch_seq").alias("seq"), F.max("batch_fp").alias("bfp")
+    ).collect()[0]
+    synced = state["seq"] or 0
     if synced < expected:
         tok = novel.select(F.explode(T.tokens(text_col)).alias("w"))
         delta = SK.cms_cells(tok, depth=depth, width=width)
@@ -448,11 +466,21 @@ def cms_ingest_batch(
             .groupBy("r", "cell")
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("batch_seq", F.lit(expected).cast("bigint"))
+            .withColumn("batch_fp", F.lit(novel_fp).cast("bigint"))
             # materialize before the overwrite truncates the table the
             # read lazily references (bounded: <= depth x width rows)
             .localCheckpoint(eager=True)
         )
         cells.overwrite(merged)
+    elif synced == expected and state["bfp"] != novel_fp:
+        raise RuntimeError(
+            "cms_ingest_batch: fold at batch_seq="
+            f"{expected} already committed for a DIFFERENT novel set "
+            f"(state batch_fp={state['bfp']}, this batch={novel_fp}); "
+            "skipping would permanently undercount — replay must be "
+            "verbatim (same batch files against the same fingerprint "
+            "state)"
+        )
     counted.append(
         novel.select(
             "fp", F.lit(expected).cast("bigint").alias("corpus_seq")

@@ -107,3 +107,55 @@ def test_pq_topk_ranking_structure_and_determinism(spark):
         assert scores == sorted(scores, reverse=True)
     again = S.pq_topk(coded, codebooks, sub, queries, k=5).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_adc_serving_empty_query_batch_returns_empty(spark):
+    """Zero-query serving batch: both ADC entry points must return an
+    empty (q, id, adc_dot, rank) relation, not crash in plan building
+    (reduce over zero union branches / explode of an empty literal
+    array were analysis-time failures)."""
+    (coded, codebooks, sub), emb = _build(spark)
+    none = emb.filter(F.col("vec_id") < 0)
+    out = S.pq_topk(coded, codebooks, sub, none, k=3)
+    assert out.columns == ["q_vec_id", "vec_id", "adc_dot", "rank"]
+    assert out.count() == 0
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=SF_DIR)
+    coded2, books2, sub2 = S.pq_build(
+        assigned, m=M, k=K, seed=42, cache_key=SF_DIR + ":ivf"
+    )
+    out2 = S.ivfpq_topk(coded2, centers, books2, sub2, none, k=3)
+    assert out2.columns == ["q_vec_id", "vec_id", "adc_dot", "rank"]
+    assert out2.count() == 0
+
+
+def test_adc_serving_batch_cap_enforced(spark):
+    """The literal-ADC shape inlines |q|*m*k literals — fine for the
+    bounded serving contract, pathological for bulk batches.  The cap
+    must refuse loudly instead of building a huge Catalyst tree."""
+    import pytest
+
+    (coded, codebooks, sub), emb = _build(spark)
+    bulk = emb.limit(S._ADC_MAX_QUERY_BATCH + 1)
+    with pytest.raises(ValueError, match="literal-ADC cap"):
+        S.pq_topk(coded, codebooks, sub, bulk, k=3)
+
+
+def test_persisted_codes_keyed_by_upstream_content(spark):
+    """persist_codes cache entries must be disjoint for pipelines that
+    differ only in UPSTREAM parameters (same columns, same pq args):
+    a pq_build over ivf_build(k=4) must not serve codes carrying
+    ivf_build(k=8)'s centroid assignments (the silent-wrong-neighbor
+    staleness mode)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a8, _ = S.ivf_build(emb, k=8, seed=42, cache_key=SF_DIR + ":stale8")
+    a4, _ = S.ivf_build(emb, k=4, seed=42, cache_key=SF_DIR + ":stale4")
+    c8, _, _ = S.pq_build(
+        a8, m=M, k=K, seed=42, cache_key="stale-test", persist_codes=True
+    )
+    c4, _, _ = S.pq_build(
+        a4, m=M, k=K, seed=42, cache_key="stale-test", persist_codes=True
+    )
+    lists8 = {r.vec_id: r.ivf_centroid for r in c8.collect()}
+    lists4 = {r.vec_id: r.ivf_centroid for r in c4.collect()}
+    assert max(lists8.values()) > 3  # k=8 assignment really present
+    assert max(lists4.values()) <= 3  # k=4 codes NOT aliased to k=8's

@@ -116,3 +116,45 @@ def test_one_batch_fold_equals_two_batch_fold(spark, tables):
     assert _estimate(spark, cells, "lambda") == 1
     assert _estimate(spark, cells, "mu") == 2
     assert _estimate(spark, cells, "nu") == 1
+
+
+def test_torn_batch_nonverbatim_replay_raises(spark, tables):
+    """The skip-if-folded rule is content-guarded: a torn fold followed
+    by a DIFFERENT batch reaching the same expected sequence (deleted
+    checkpoint / direct API misuse) must raise, not silently skip the
+    new batch's fold — that skip would permanently undercount the new
+    documents' tokens with no signal anywhere."""
+    counted, cells = tables
+    cms_ingest_batch(
+        spark.createDataFrame([(1, "omega psi")], DOC_SCHEMA), counted, cells
+    )
+
+    real_append = counted.append
+
+    def dying_append(df):
+        raise RuntimeError("simulated crash before fingerprint commit")
+
+    counted.append = dying_append
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            cms_ingest_batch(
+                spark.createDataFrame([(2, "omega chi")], DOC_SCHEMA),
+                counted,
+                cells,
+            )
+    finally:
+        counted.append = real_append
+
+    # NON-verbatim replay at the same expected sequence: different text
+    with pytest.raises(RuntimeError, match="DIFFERENT novel set"):
+        cms_ingest_batch(
+            spark.createDataFrame([(2, "omega phi")], DOC_SCHEMA),
+            counted,
+            cells,
+        )
+    # the verbatim replay still completes the torn commit
+    assert cms_ingest_batch(
+        spark.createDataFrame([(2, "omega chi")], DOC_SCHEMA), counted, cells
+    ) == 1
+    assert _estimate(spark, cells, "omega") == 2
+    assert _estimate(spark, cells, "chi") == 1

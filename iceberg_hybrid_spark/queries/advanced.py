@@ -151,6 +151,14 @@ ORDER BY doc_id, term
 """
 
 
+# Per-basket fan-out cap for association-rule mining: each basket
+# contributes at most cap*(cap-1)/2 pair rows regardless of its size.
+# TPC-H baskets run 1-7 distinct parts, so 5 genuinely binds here while
+# keeping the sf-scale result rich; a production corpus with retail
+# mega-baskets is exactly where the cap earns its keep.
+_BASKET_CAP = 5
+
+
 def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining (Agrawal et al., SIGMOD 1993) over order
     baskets: parts that co-occur in the same order far above chance —
@@ -159,29 +167,48 @@ def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind "customers who bought X also bought Y".
 
     Scale shape: the basket relation de-dups to (order, part) in one
-    shuffle; the pair join is a SELF-join on the order key — a
-    corpus-cardinality key whose per-key fanout is basket-size-bounded
-    (never all-pairs across baskets); pair counts partial-aggregate;
-    the per-part counts and the single-row basket total attach to the
-    min-support-filtered pair relation (the whitelisted scalar shape).
-    Integer arithmetic until the three final divisions."""
+    shuffle, then each basket is CAPPED at its ``_BASKET_CAP`` smallest
+    part keys (the standard market-basket fan-out mitigation — a retail
+    mega-basket of 10k items would otherwise contribute 50M pair rows
+    by itself), so the pair self-join on the order key is
+    O(baskets·cap²) at ANY basket-size distribution — never all-pairs
+    across baskets and never quadratic in a pathological basket.  The
+    cap rule is deterministic (smallest part keys win) and expressed
+    identically in the oracle SQL, so the value gate pins the capped
+    semantics.  Pair counts partial-aggregate; the per-part counts and
+    the single-row basket total attach to the min-support-filtered pair
+    relation (the whitelisted scalar shape).  Integer arithmetic until
+    the three final divisions."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        # materialize once for the self-join sides + part counts
-        .repartition(F.col("o"))
+    # ONE shuffle on the order key does dedup + cap + basket assembly:
+    # collect_set de-dups parts within the basket, array_sort + slice
+    # keeps the _BASKET_CAP smallest, and pairs then GENERATE MAP-SIDE
+    # from the sorted array (x before y in the array ⇒ x < y, so no
+    # self-join and no separate distinct/window shuffles — r8 rewrite,
+    # was distinct → row_number window → self-join, three shuffles).
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.slice(
+            F.array_sort(F.collect_set("l_partkey")), 1, _BASKET_CAP
+        ).alias("parts")
     )
-    n_b = op.select("o").distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
+    n_b = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    part_n = (
+        baskets.select(F.explode("parts").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_p"))
     )
-    part_n = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a, b = op.alias("a"), op.alias("b")
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .filter(F.col("pair_orders") >= 3)
     )
@@ -210,8 +237,13 @@ def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PART_AFFINITY_SQL = """
-WITH op AS (
+WITH op_all AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), op AS (
+  SELECT o, p FROM (
+    SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn
+    FROM op_all
+  ) WHERE rn <= 5
 ), n_b AS (
   SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM op
 ), part_n AS (
@@ -551,6 +583,21 @@ _FK_EDGES = [
     ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
 ]
 
+# The TPC-H fixture is referentially CLEAN — every edge above audits to
+# zero orphans and zero NULL FKs, so the audit's NULL/orphan branches
+# would pass the value gate even if their semantics regressed (exactly
+# how the r7 MATCH-SIMPLE bug stayed invisible until review).  This
+# probe edge derives a child relation WITH both defect classes from the
+# data itself — identical CASE text on both engines — so the gate pins
+# MATCH SIMPLE (NULL FK is legal, never an orphan) and orphan counting
+# on non-empty branches every round.
+_FK_PROBE_EDGE = "probe(nulls+orphans)->nation"
+_FK_PROBE_EXPR = (
+    "CAST(CASE WHEN c_custkey % 11 = 0 THEN NULL "
+    "WHEN c_custkey % 13 = 0 THEN c_nationkey + 1000 "
+    "ELSE c_nationkey END AS BIGINT)"
+)
+
 
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over every FK edge of the schema: per
@@ -570,12 +617,18 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one row per edge, whatever the corpus."""
     import functools
 
+    edges = [(e, ct, ck, pt, pk, None) for e, ct, ck, pt, pk in _FK_EDGES]
+    edges.append(
+        (_FK_PROBE_EDGE, "customer", "k", "nation", "n_nationkey",
+         _FK_PROBE_EXPR)
+    )
     parts = []
-    for edge, ct, ck, pt, pk in _FK_EDGES:
-        child_keys = (
-            load_table(spark, sf_dir, ct)
-            .groupBy(F.col(ck).alias("k"))
-            .agg(F.count(F.lit(1)).alias("c"))
+    for edge, ct, ck, pt, pk, derive in sorted(edges):
+        child = load_table(spark, sf_dir, ct)
+        if derive is not None:
+            child = child.selectExpr(f"{derive} AS {ck}")
+        child_keys = child.groupBy(F.col(ck).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
         )
         parent_keys = load_table(spark, sf_dir, pt).select(
             F.col(pk).alias("k"), F.lit(1).alias("p")
@@ -608,8 +661,13 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fk_integrity_sql() -> str:
+    edges = [(e, ct, ck, pt, pk, ck) for e, ct, ck, pt, pk in _FK_EDGES]
+    edges.append(
+        (_FK_PROBE_EDGE, "customer", "k", "nation", "n_nationkey",
+         _FK_PROBE_EXPR)
+    )
     parts = []
-    for edge, ct, ck, pt, pk in _FK_EDGES:
+    for edge, ct, ck, pt, pk, child_expr in sorted(edges):
         parts.append(f"""
 SELECT '{edge}' AS fk_edge,
        CAST(COALESCE(SUM(c), 0) AS BIGINT) AS child_rows,
@@ -621,7 +679,7 @@ SELECT '{edge}' AS fk_edge,
        CAST(COUNT(CASE WHEN c IS NULL AND p IS NOT NULL THEN 1 END) AS BIGINT)
          AS unreferenced_parents
 FROM (SELECT ch.k, ch.c, pa.p
-      FROM (SELECT {ck} AS k, COUNT(*) AS c FROM {ct} GROUP BY 1) ch
+      FROM (SELECT {child_expr} AS k, COUNT(*) AS c FROM {ct} GROUP BY 1) ch
       FULL JOIN (SELECT {pk} AS k, 1 AS p FROM {pt}) pa ON ch.k = pa.k)""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY fk_edge"
 

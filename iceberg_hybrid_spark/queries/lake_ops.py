@@ -1314,17 +1314,26 @@ def range_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     array (count of boundaries below the row's key) and the audit is
     one partial-agg groupBy on the 8 partition ids.
 
-    NULL sort keys are excluded from planning on both engines (a range
-    writer routes them to a dedicated null partition anyway, and the
+    NULL sort keys are excluded from PLANNING on both engines (the
     engines disagree on NULL placement in window ordering — Spark
     NULLS FIRST vs DuckDB NULLS LAST — so including them would make
-    the boundary choice engine-dependent)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_shipdate").cast("timestamp").alias("k")
-    ).filter(F.col("k").isNotNull())
+    the boundary choice engine-dependent) and routed to the dedicated
+    null partition (id -1) in the assignment audit, exactly what a
+    range writer does.  The fixture's ship dates are never NULL, so the
+    query DERIVES a NULL-bearing key (every 101st order's lines lose
+    their date — identical CASE text both engines): the r7 NULL-key
+    planning fix was invisible to the driver corpus and caught only in
+    review; with the derived relation the value gate pins both the
+    exclusion-from-planning and the null-partition accounting every
+    round, on non-empty branches."""
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CASE WHEN l_orderkey % 101 = 0 THEN NULL"
+        " ELSE CAST(l_shipdate AS TIMESTAMP) END AS k"
+    )
+    planned = li.filter(F.col("k").isNotNull())
     from pyspark.sql import Window
 
-    hist = li.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    hist = planned.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
     # running cumulative over the calendar-bounded distinct-key relation
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("c").over(w))
@@ -1342,7 +1351,8 @@ def range_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     barr = bounds.agg(F.sort_array(F.collect_list("b")).alias("barr"))
     assigned = li.crossJoin(F.broadcast(barr)).select(
         "k",
-        F.size(F.filter(F.col("barr"), lambda b: F.col("k") > b))
+        F.when(F.col("k").isNull(), F.lit(-1))
+        .otherwise(F.size(F.filter(F.col("barr"), lambda b: F.col("k") > b)))
         .cast("int")
         .alias("partition_id"),
     )
@@ -1353,22 +1363,28 @@ def range_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_key"),
             F.max("k").alias("max_key"),
         )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "partition_id",
-            "n_rows",
-            "min_key",
-            "max_key",
-            F.round(F.col("n_rows") * 100.0 / F.col("n"), 2).alias("share_pct"),
+        # share over ALL written rows (null partition included) — a
+        # 9-row window, not a corpus one
+        .withColumn(
+            "share_pct",
+            F.round(
+                F.col("n_rows") * 100.0
+                / F.sum("n_rows").over(Window.partitionBy()),
+                2,
+            ),
         )
         .orderBy("partition_id")
     )
 
 
 RANGE_WRITE_PLAN_SQL = """
-WITH hist AS (
-  SELECT CAST(l_shipdate AS TIMESTAMP) AS k, CAST(COUNT(*) AS BIGINT) AS c
-  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+WITH keyed AS (
+  SELECT CASE WHEN l_orderkey % 101 = 0 THEN NULL
+              ELSE CAST(l_shipdate AS TIMESTAMP) END AS k
+  FROM lineitem
+), hist AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM keyed WHERE k IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT k, c, SUM(c) OVER (ORDER BY k) AS cum FROM hist
 ), tot AS (
@@ -1382,16 +1398,19 @@ bounds AS (
 ), barr AS (
   SELECT list(b ORDER BY b) AS barr FROM bounds
 ), assigned AS (
-  SELECT CAST(l_shipdate AS TIMESTAMP) AS k,
-         CAST(len(list_filter(barr, b -> CAST(l_shipdate AS TIMESTAMP) > b))
-              AS INTEGER) AS partition_id
-  FROM lineitem CROSS JOIN barr WHERE l_shipdate IS NOT NULL
+  SELECT k,
+         CASE WHEN k IS NULL THEN -1
+              ELSE CAST(len(list_filter(barr, b -> k > b)) AS INTEGER)
+         END AS partition_id
+  FROM keyed CROSS JOIN barr
+), audit AS (
+  SELECT partition_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(k) AS min_key, MAX(k) AS max_key
+  FROM assigned GROUP BY partition_id
 )
-SELECT partition_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       MIN(k) AS min_key, MAX(k) AS max_key,
-       ROUND(COUNT(*) * 100.0 / n, 2) AS share_pct
-FROM assigned CROSS JOIN tot
-GROUP BY partition_id, n
+SELECT partition_id, n_rows, min_key, max_key,
+       ROUND(n_rows * 100.0 / SUM(n_rows) OVER (), 2) AS share_pct
+FROM audit
 ORDER BY partition_id
 """
 

@@ -281,16 +281,25 @@ def test_view_to_purchase_latency_matches_reference_implementation(spark):
 
 def test_part_affinity_rules_matches_reference_implementation(spark):
     """Pure-Python Apriori-style replication: same basket de-dup, same
-    min-support floor, same support/confidence/lift arithmetic."""
+    per-basket cap (smallest _BASKET_CAP parts), same min-support floor,
+    same support/confidence/lift arithmetic."""
     import pandas as pd
 
-    from iceberg_hybrid_spark.queries.advanced import part_affinity_rules
+    from iceberg_hybrid_spark.queries.advanced import (
+        _BASKET_CAP,
+        part_affinity_rules,
+    )
 
     li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
     op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
-    baskets = op.groupby("l_orderkey")["l_partkey"].apply(sorted)
+    baskets = op.groupby("l_orderkey")["l_partkey"].apply(
+        lambda s: sorted(s)[:_BASKET_CAP]
+    )
     n_b = len(baskets)
-    part_n = op.groupby("l_partkey").size().to_dict()
+    part_n: dict[int, int] = {}
+    for parts in baskets:
+        for a in parts:
+            part_n[a] = part_n.get(a, 0) + 1
     pair_c: dict[tuple[int, int], int] = {}
     for parts in baskets:
         for i, a in enumerate(parts):
@@ -417,24 +426,35 @@ def test_range_write_plan_under_heavy_key_skew(spark, tmp_path):
     sf_dir = str(tmp_path / "sf_skew")
     os.makedirs(sf_dir)
     hot = datetime.datetime(2024, 6, 1)
-    rows = [(hot,)] * 100 + [
-        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),)
+    # l_orderkey = 1 keeps every row clear of the query's derived
+    # NULL-injection rule (1 % 101 != 0); the 7 rows with key 101 hit it
+    # and must land in the dedicated null partition, excluded from the
+    # boundary planning entirely
+    rows = [(hot, 1)] * 100 + [
+        (datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), 1)
         for i in range(60)
-    ]
-    spark.createDataFrame(rows, "l_shipdate timestamp").coalesce(1) \
+    ] + [(hot, 101)] * 7
+    spark.createDataFrame(rows, "l_shipdate timestamp, l_orderkey long") \
+        .coalesce(1) \
         .write.parquet(os.path.join(sf_dir, "lineitem.parquet"))
 
     out = range_write_plan(spark, sf_dir).collect()
+    assert sum(r.n_rows for r in out) == 167
+    nulls = [r for r in out if r.partition_id == -1]
+    assert len(nulls) == 1
+    assert nulls[0].n_rows == 7
+    assert nulls[0].min_key is None and nulls[0].max_key is None
+    out = [r for r in out if r.partition_id >= 0]
     assert sum(r.n_rows for r in out) == 160
     # contiguous, non-overlapping key ranges in partition order
     for a, b in zip(out, out[1:]):
         assert a.max_key <= b.min_key
     # the hot key sits in exactly one partition, which therefore carries
-    # at least its 100 rows (share >= 62.5%) — reported, not hidden
+    # at least its 100 rows (share >= 100/167) — reported, not hidden
     hot_parts = [r for r in out if r.min_key <= hot <= r.max_key]
     assert len(hot_parts) == 1
     assert hot_parts[0].n_rows >= 100
-    assert hot_parts[0].share_pct >= 62.5
+    assert hot_parts[0].share_pct >= 59.8
 
 
 def test_fk_integrity_audit_null_and_orphan_semantics(spark, tmp_path):

@@ -31,68 +31,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose most recent driver correctness row is the oldest, topped up
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
-# This tuple is EXACTLY the 50-entry driver window for round 7:
-# 5 new + 6 changed-implementation + all 32 round-3-vintage rows +
-# the 7 oldest round-4 rows.  It is a fixed list committed with the
-# code — the registry order never depends on runtime state or files
+# This tuple is EXACTLY the 50-entry driver window for round 8:
+# 2 new + 7 changed-implementation + all 37 remaining round-4-vintage
+# rows + the 4 oldest round-5 rows.  It is a fixed list committed with
+# the code — the registry order never depends on runtime state or files
 # outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
-    "streaming_cms_ingest",
-    "fk_integrity_audit",
-    "embedding_dim_truncation_recall",
-    "range_write_plan",
+    "embedding_pq_ann_persisted",
+    "backpressure_budget_trajectory",
+    # implementation/oracle changed this round — prior rows validated
+    # old code (PPJoin full filter stack; basket-capped association
+    # rules; NULL-probe FK audit; null-partition range planning; CMS
+    # batch_fp state column; PQ/IVF-PQ cache keying + serving guards)
     "jaccard_prefix_filter_pairs",
-    # implementation changed this round — prior rows validated old code
-    # (pointer-jumping connected components; literal-ADC PQ/IVF-PQ
-    # serving + persisted codes; MAD zero-division guard)
-    "near_dup_clusters",
-    "cluster_quality_canonicals",
-    "streaming_neardup_ingest",
+    "part_affinity_rules",
+    "fk_integrity_audit",
+    "range_write_plan",
+    "streaming_cms_ingest",
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
-    "hourly_anomaly_flags",
-    # last driver row: round 3 (all 32 — the oldest vintage)
-    "multimodal_type_stats",
-    "string_function_showcase",
-    "q12_late_shipment_priority",
-    "video_frame_counts",
-    "incremental_dedup_new_docs",
-    "q16_supplier_diversity",
-    "orders_within_30_days",
-    "events_hourly_window",
-    "nation_pair_volume",
-    "top_return_customers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "revenue_by_nation",
-    "top_customers_by_spend",
-    "segment_nation_rollup",
-    "region_segment_cube",
-    "gopher_quality_gate",
-    "latest_order_per_customer",
-    "pii_digit_masking",
-    "running_revenue_by_month",
-    "priority_counts_with_returns",
-    "parts_never_ordered",
-    "open_minus_finished_custkeys",
-    "open_and_finished_custkeys",
-    "supplier_part_volume",
-    "monthly_order_stats",
-    "nations_per_segment",
-    "order_status_pivot",
-    "orders_page",
-    "top_nation_per_region",
-    "nation_health_score",
-    # last driver row: round 4 (the 7 oldest, declaration order)
-    "q8_national_market_share",
-    "multimodal_metadata",
-    "snapshot_lifecycle",
-    "window_function_showcase",
-    "q11_important_parts",
-    "array_map_function_showcase",
-    "asof_last_click_before_purchase",
+    # last driver row: round 4 (all 37 — the oldest vintage, registry
+    # declaration order)
+    "bucketed_colocated_join",
+    "refs_listing",
+    "weekly_cohort_retention",
+    "spec_evolution_read",
+    "conversion_funnel",
+    "embedding_ivf_ann",
+    "sorted_write_pruned_read",
+    "semantic_dedup_stats",
+    "table_changelog_rows",
+    "bpe_token_budget",
+    "event_type_transitions",
+    "events_json_props",
+    "top_user_by_value_per_type",
+    "skew_split_user_enrichment",
+    "error_rate_by_day",
+    "embedding_near_dup_pairs_exact",
+    "embedding_topk_cosine",
+    "partitions_metadata_stats",
+    "tag_mor_pinned_read",
+    "embedding_multi_query_topk",
+    "tag_time_travel_read",
+    "embedding_norm_stats",
+    "doc_repetition_scores",
+    "embedding_lsh_ann",
+    "source_curation_report",
+    "merge_upsert_result",
+    "normalized_dedup_stats",
+    "doc_length_percentiles",
+    "mix_rebalance_plan",
+    "unigram_logprob_quality",
+    "corpus_retention_funnel",
+    "embedding_quantization_error",
+    "boilerplate_filter_report",
+    "vocab_coverage_curve",
+    "stratified_split_report",
+    "span_duplication_report",
+    "source_overlap_matrix",
+    # last driver row: round 5 (the 4 oldest, declaration order)
+    "near_dup_threshold_sweep",
+    "simhash_near_dup",
+    "multimodal_decode_features",
+    "q20_dominant_blue_suppliers",
 )
 
 

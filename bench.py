@@ -114,6 +114,9 @@ HEADLINE = [
     "inverted_index_stats",
     "shingle_novelty_scores",
     "cluster_quality_canonicals",
+    # round-8 operators
+    "embedding_pq_ann_persisted",
+    "backpressure_budget_trajectory",
 ]
 
 

@@ -877,3 +877,61 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .drop("_p", "_lr")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ index persistence — the index as a LAKE ARTIFACT
+# ---------------------------------------------------------------------------
+# The session cache (_PQ_CODES_CACHE) makes serving warm-fast within one
+# driver; production wants the index to SURVIVE the driver like the
+# reference's manifests survive a writer (TableMetadata persists the data
+# file list — modules/domain/.../TableMetadata.scala:9-16; the PQ code
+# table is the same build-once/read-many artifact for ANN serving).  Two
+# snapshot tables: codes (id + m small ints, ~1/128 of corpus bytes) and
+# codebooks (m*k rows of sub-dim vectors, a bounded side relation).
+
+PQ_BOOKS_DDL = "subspace int, code int, center array<double>"
+
+
+def pq_write_index(
+    coded: DataFrame,
+    codebooks: list[list[list[float]]],
+    codes_table,
+    books_table,
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a built PQ index: the codes relation (raw vectors
+    DROPPED — the whole point of the artifact) and the codebooks as a
+    bounded relation.  Tables are created-or-overwritten, so rebuilding
+    the index is an atomic snapshot commit on both, and time travel over
+    the codes table gives index versioning for free."""
+    codes = coded.drop(vec_col)
+    rows = [
+        (j, c, [float(x) for x in cv])
+        for j, book in enumerate(codebooks)
+        for c, cv in enumerate(book)
+    ]
+    books = codes.sparkSession.createDataFrame(rows, PQ_BOOKS_DDL)
+    for table, df in ((codes_table, codes), (books_table, books)):
+        if table.current_snapshot() is None:
+            table.create(df)
+        else:
+            table.overwrite(df)
+
+
+def pq_read_index(codes_table, books_table):
+    """Load a persisted PQ index: returns (codes DataFrame, codebooks,
+    sub) exactly as ``pq_build`` does, but from the lake tables — a new
+    driver serves ANN without re-training or re-encoding anything.  The
+    codebook collect is bounded by construction (m·k rows)."""
+    rows = books_table.read().collect()
+    if not rows:
+        raise ValueError("pq_read_index: empty codebook table")
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r.subspace, {})[r.code] = list(r.center)
+    codebooks = [
+        [by_sub[j][c] for c in sorted(by_sub[j])] for j in sorted(by_sub)
+    ]
+    sub = len(codebooks[0][0])
+    return codes_table.read(), codebooks, sub

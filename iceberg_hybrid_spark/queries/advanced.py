@@ -166,17 +166,20 @@ def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support floor, top-20 by lift.  The market-basket operator
     behind "customers who bought X also bought Y".
 
-    Scale shape: the basket relation de-dups to (order, part) in one
-    shuffle, then each basket is CAPPED at its ``_BASKET_CAP`` smallest
-    part keys (the standard market-basket fan-out mitigation — a retail
+    Scale shape: ONE shuffle on the order key (collect_set) does basket
+    de-dup, assembly, AND the ``_BASKET_CAP`` smallest-part-keys cap
+    (the standard market-basket fan-out mitigation — a retail
     mega-basket of 10k items would otherwise contribute 50M pair rows
-    by itself), so the pair self-join on the order key is
+    by itself); pairs then generate MAP-SIDE from each sorted capped
+    array (x before y in the array ⇒ x < y), so pair volume is
     O(baskets·cap²) at ANY basket-size distribution — never all-pairs
-    across baskets and never quadratic in a pathological basket.  The
-    cap rule is deterministic (smallest part keys win) and expressed
-    identically in the oracle SQL, so the value gate pins the capped
-    semantics.  Pair counts partial-aggregate; the per-part counts and
-    the single-row basket total attach to the min-support-filtered pair
+    across baskets, never quadratic in a pathological basket, and no
+    self-join at all (r8 rewrite: replaced distinct → row_number window
+    → self-join, three shuffles; 16x floor 7.5 -> 3.9 s).  The cap rule
+    is deterministic (smallest part keys win) and expressed identically
+    in the oracle SQL, so the value gate pins the capped semantics.
+    Pair counts partial-aggregate; the per-part counts and the
+    single-row basket total attach to the min-support-filtered pair
     relation (the whitelisted scalar shape).  Integer arithmetic until
     the three final divisions."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -88,6 +88,9 @@ QUERIES = [
     "embedding_dim_truncation_recall",
     "range_write_plan",
     "jaccard_prefix_filter_pairs",
+    # round 8
+    "embedding_pq_ann_persisted",
+    "backpressure_budget_trajectory",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

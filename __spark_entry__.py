@@ -32,13 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 8:
-# 2 new + 7 changed-implementation + all 37 remaining round-4-vintage
-# rows + the 4 oldest round-5 rows.  It is a fixed list committed with
+# 3 new + 7 changed-implementation + all 37 remaining round-4-vintage
+# rows + the 3 oldest round-5 rows.  It is a fixed list committed with
 # the code — the registry order never depends on runtime state or files
 # outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
     "embedding_pq_ann_persisted",
+    "embedding_ivfpq_ann_persisted",
     "backpressure_budget_trajectory",
     # implementation/oracle changed this round — prior rows validated
     # old code (PPJoin full filter stack; basket-capped association
@@ -90,11 +91,10 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_split_report",
     "span_duplication_report",
     "source_overlap_matrix",
-    # last driver row: round 5 (the 4 oldest, declaration order)
+    # last driver row: round 5 (the 3 oldest, declaration order)
     "near_dup_threshold_sweep",
     "simhash_near_dup",
     "multimodal_decode_features",
-    "q20_dominant_blue_suppliers",
 )
 
 

@@ -116,6 +116,7 @@ HEADLINE = [
     "cluster_quality_canonicals",
     # round-8 operators
     "embedding_pq_ann_persisted",
+    "embedding_ivfpq_ann_persisted",
     "backpressure_budget_trajectory",
 ]
 

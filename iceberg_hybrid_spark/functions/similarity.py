@@ -954,3 +954,62 @@ def pq_read_index(codes_table, books_table):
     ]
     sub = len(codebooks[0][0])
     return codes_table.read(), codebooks, sub
+
+
+IVF_CENTERS_DDL = "cid int, center array<double>"
+
+
+def ivfpq_write_index(
+    coded: DataFrame,
+    centers: list[list[float]],
+    codebooks: list[list[list[float]]],
+    codes_table,
+    books_table,
+    centers_table,
+    vec_col: str = "embedding",
+    centroid_col: str = "ivf_centroid",
+) -> None:
+    """Persist a built IVF-PQ index: the codes table is written SORTED
+    BY the inverted-list id, so files and row groups cluster by list and
+    the serving probe filter (``centroid IN (probed lists)``) prunes at
+    the STORAGE layer — footer min/max skip whole row groups of
+    unprobed lists, which is the read-only-the-probed-lists behavior
+    real IVF serving has (FAISS keeps lists contiguous for the same
+    reason).  Centers join the codebooks as a second bounded side
+    relation; raw vectors are dropped."""
+    codes = coded.drop(vec_col)
+    rows = [
+        (j, c, [float(x) for x in cv])
+        for j, book in enumerate(codebooks)
+        for c, cv in enumerate(book)
+    ]
+    spark = codes.sparkSession
+    books = spark.createDataFrame(rows, PQ_BOOKS_DDL)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        IVF_CENTERS_DDL,
+    )
+    for table, df, sort in (
+        (codes_table, codes, [centroid_col]),
+        (books_table, books, None),
+        (centers_table, cents, None),
+    ):
+        if table.current_snapshot() is None:
+            # sort_by is a carried table property (write.sort-order):
+            # every later append/overwrite re-applies the clustering
+            table.create(df, sort_by=sort)
+        else:
+            table.overwrite(df)
+
+
+def ivfpq_read_index(codes_table, books_table, centers_table):
+    """Load a persisted IVF-PQ index: (codes DataFrame, centers,
+    codebooks, sub) exactly as the build pair returns, from the lake
+    tables alone.  Both side collects are bounded by construction
+    (k_lists and m·k rows)."""
+    codes, codebooks, sub = pq_read_index(codes_table, books_table)
+    crows = centers_table.read().collect()
+    if not crows:
+        raise ValueError("ivfpq_read_index: empty centers table")
+    centers = [list(r.center) for r in sorted(crows, key=lambda r: r.cid)]
+    return codes, centers, codebooks, sub

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..lake.table import HyTable
 from ..sources.tables import load_table
+from ._ivfpq_oracle import EMBEDDING_IVFPQ_PERSISTED_SQL
 from ._pq_oracle import EMBEDDING_PQ_PERSISTED_SQL
 from .spec import QuerySpec
 
@@ -808,6 +809,49 @@ def embedding_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(coded2, books2, sub2, queries, k=4).orderBy(
         "q_vec_id", "rank"
     )
+
+
+def embedding_ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN served from a PERSISTED, LIST-CLUSTERED index: codes +
+    codebooks + centers written as lake tables with the codes SORTED BY
+    the inverted-list id (a carried write.sort-order property), read
+    back through fresh handles, and served with the probe filter
+    ``centroid IN (probed lists)`` pushing into the parquet scan — with
+    list-clustered files/row groups the footer stats skip unprobed
+    lists at the STORAGE layer, which is the read-only-the-probed-lists
+    behavior real IVF serving has (FAISS keeps lists contiguous for
+    the same reason).  Composes the r8 PQ persistence with the IVF
+    probe-pruning story end-to-end: build once, restart, serve from
+    the artifact.
+
+    Serving batch (vec_ids 5, 6; k=4) differs from
+    ``embedding_ivfpq_ann`` so this is a distinct gate over the same
+    pinned artifacts (tools/gen_ivfpq_oracle.py emits both constants —
+    DuckDB independently recomputes probe selection, candidate
+    generation, ADC scoring, and ranking)."""
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=sf_dir)
+    coded, codebooks, sub = S.pq_build(
+        assigned, m=4, k=16, seed=42, cache_key=sf_dir, persist_codes=True
+    )
+    root = _scratch("ivfpqindex")
+    S.ivfpq_write_index(
+        coded, centers, codebooks,
+        HyTable(spark, os.path.join(root, "codes")),
+        HyTable(spark, os.path.join(root, "books")),
+        HyTable(spark, os.path.join(root, "centers")),
+    )
+    coded2, centers2, books2, sub2 = S.ivfpq_read_index(
+        HyTable(spark, os.path.join(root, "codes")),
+        HyTable(spark, os.path.join(root, "books")),
+        HyTable(spark, os.path.join(root, "centers")),
+    )
+    queries = emb.filter(F.col("vec_id").isin(5, 6))
+    return S.ivfpq_topk(
+        coded2, centers2, books2, sub2, queries, k=4, nprobe=3
+    ).orderBy("q_vec_id", "rank")
 
 
 def backpressure_budget_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1829,6 +1873,10 @@ SPECS = [
               EMBEDDING_PQ_PERSISTED_SQL,
               "PQ ANN served from the persisted code-table lake "
               "artifact via fresh handles (build-once/read-many)"),
+    QuerySpec("embedding_ivfpq_ann_persisted", embedding_ivfpq_ann_persisted,
+              EMBEDDING_IVFPQ_PERSISTED_SQL,
+              "IVF-PQ ANN from the persisted list-clustered code table "
+              "(probe filter prunes at the storage layer)"),
     QuerySpec("backpressure_budget_trajectory", backpressure_budget_trajectory,
               BACKPRESSURE_TRAJECTORY_SQL,
               "RateController closed-loop decision trajectory; oracle "

@@ -193,3 +193,46 @@ def test_pq_index_persists_across_fresh_handles(spark, tmp_path):
     S.pq_write_index(coded, codebooks, codes_t, books_t)
     assert codes_t.read().count() == coded.count()
     assert books_t.read().count() == sum(len(b) for b in codebooks)
+
+
+def test_ivfpq_index_persists_and_probe_filter_pushes_down(spark, tmp_path):
+    """Persisted IVF-PQ: fresh-handle serving equals in-session serving,
+    and the probe filter reaches the parquet scan of the persisted codes
+    table (PushedFilters carries ivf_centroid IN) — with the codes
+    written sorted by list id, footer stats skip unprobed lists."""
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, centers = S.ivf_build(emb, k=8, seed=42, cache_key=SF_DIR)
+    coded, codebooks, sub = S.pq_build(
+        assigned, m=M, k=K, seed=42, cache_key=SF_DIR + ":ivfpersist"
+    )
+    tables = [HyTable(spark, str(tmp_path / n))
+              for n in ("codes", "books", "centers")]
+    S.ivfpq_write_index(coded, centers, codebooks, *tables)
+    coded2, centers2, books2, sub2 = S.ivfpq_read_index(
+        HyTable(spark, str(tmp_path / "codes")),
+        HyTable(spark, str(tmp_path / "books")),
+        HyTable(spark, str(tmp_path / "centers")),
+    )
+    assert centers2 == [[float(x) for x in c] for c in centers]
+    assert "embedding" not in coded2.columns
+    queries = emb.filter(F.col("vec_id").isin(0, 1))
+    mem = sorted(map(tuple, S.ivfpq_topk(
+        coded, centers, codebooks, sub, queries, k=5, nprobe=3).collect()))
+    disk = sorted(map(tuple, S.ivfpq_topk(
+        coded2, centers2, books2, sub2, queries, k=5, nprobe=3).collect()))
+    assert mem == disk
+
+    # probe filter reaches the persisted scan: isin on the sort column
+    probed = coded2.filter(F.col("ivf_centroid").isin(1, 3))
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "ivf_centroid" in plan.split(
+        "PushedFilters"
+    )[1].splitlines()[0]

@@ -90,6 +90,7 @@ QUERIES = [
     "jaccard_prefix_filter_pairs",
     # round 8
     "embedding_pq_ann_persisted",
+    "embedding_ivfpq_ann_persisted",
     "backpressure_budget_trajectory",
 ]
 

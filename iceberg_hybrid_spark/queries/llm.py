@@ -190,11 +190,19 @@ ORDER BY doc_id
 
 def near_dup_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most similar document pairs by 3-gram shingle Jaccard,
-    blocked on a length bucket (n_chars//16).
+    blocked on a length bucket (n_chars//16) — the EXACT BASELINE of the
+    near-dup family.
 
-    Blocking is the scale lever: candidate pairs are generated per bucket
-    (a hash-partition self-join) instead of a full cross join — the same
-    posture MinHash-LSH banding takes at 100 TB.
+    Blocking turns the full cross join into per-bucket self-joins, but
+    the sweep remains QUADRATIC in per-block density: when corpus growth
+    concentrates into the same (lang, length-bucket) blocks, pair volume
+    grows as the square of block size (measured: 17.5x wall at 16x data,
+    ~4096x pairs / ~110x wall at 64x — docs/SCALING.md r8).  Top-k has
+    no prunable threshold, so no filter is sound within these semantics;
+    at scale the remedy is OPERATOR CHOICE — MinHash banding (22x
+    cheaper at 64x, recall argument) or the PPJoin threshold join
+    (exactness guarantee) supersede this sweep, and this query exists as
+    the ground-truth baseline they are audited against.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(

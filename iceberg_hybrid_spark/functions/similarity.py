@@ -125,6 +125,14 @@ def ivf_build(
     from pyspark.ml.functions import array_to_vector
 
     assembled = df.withColumn("_v", array_to_vector(as_double_array(vec_col)))
+    # Identity of the INPUT relation, taken pre-transform (a plain
+    # relation's analyzed plan canonicalizes stably, unlike ML-transform
+    # outputs): folded into both the model cache key and the downstream
+    # content stamp so two different corpora passed with the same
+    # cache_key and params can never alias to one cache slot — neither
+    # here (a model trained on the other corpus) nor in pq_build's
+    # persisted-codes cache (codes encoded from the other corpus).
+    src_id = int(df.semanticHash())
     key = None
     if cache_key is not None:
         # centroid_col is baked into the fitted model's predictionCol, so
@@ -132,7 +140,7 @@ def ivf_build(
         # output column would assign under the wrong name.
         key = (
             df.sparkSession.sparkContext.applicationId,
-            cache_key, vec_col, k, seed, centroid_col,
+            cache_key, vec_col, k, seed, centroid_col, src_id,
         )
     if key is not None and key in _IVF_MODEL_CACHE:
         model, centers = _IVF_MODEL_CACHE[key]
@@ -152,7 +160,7 @@ def ivf_build(
     # without the attribute and falls back to the semantic hash.
     try:
         assigned._ihs_content_key = (
-            "ivf", vec_col, k, seed, centroid_col, cache_key,
+            "ivf", vec_col, k, seed, centroid_col, cache_key, src_id,
         )
     except Exception:
         pass
@@ -691,10 +699,20 @@ def pq_build(
 _ADC_MAX_QUERY_BATCH = 32
 
 
-def _adc_empty(spark, query_id_col: str, id_col: str) -> DataFrame:
-    """Empty (q, id, adc_dot, rank) relation — the zero-query result."""
-    return spark.createDataFrame(
-        [], f"{query_id_col} bigint, {id_col} bigint, adc_dot double, rank int"
+def _adc_empty(coded: DataFrame, query_id_col: str, id_col: str) -> DataFrame:
+    """Empty (q, id, adc_dot, rank) relation — the zero-query result.
+
+    The id column's type is DERIVED from the coded relation (the
+    non-empty path passes ``id_col`` through unchanged), so the
+    degenerate branch unions cleanly with the served branch whatever the
+    source id type (bigint vec_id or not).  The query id is bigint by
+    construction in both paths (the non-empty path casts the collected
+    literals to long)."""
+    id_type = dict(coded.dtypes)[id_col]
+    return coded.sparkSession.createDataFrame(
+        [],
+        f"{query_id_col} bigint, {id_col} {id_type}, adc_dot double, "
+        "rank int",
     )
 
 
@@ -744,7 +762,7 @@ def pq_topk(
         F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("_qv")
     ).collect()
     if not q_rows:
-        return _adc_empty(coded.sparkSession, query_id_col, id_col)
+        return _adc_empty(coded, query_id_col, id_col)
     _adc_guard_batch(q_rows, "pq_topk")
     q_structs = []
     for r in q_rows:
@@ -839,7 +857,7 @@ def ivfpq_topk(
         F.col(id_col).alias(query_id_col), as_double_array(vec_col).alias("_qv")
     ).collect()
     if not q_rows:
-        return _adc_empty(coded.sparkSession, query_id_col, id_col)
+        return _adc_empty(coded, query_id_col, id_col)
     _adc_guard_batch(q_rows, "ivfpq_topk")
 
     def cos(a: list[float], b: list[float]) -> float:

@@ -875,12 +875,19 @@ def backpressure_budget_trajectory(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ..control.backpressure import RateController
 
+    from ..functions.text import round_stable
+
     ev = load_table(spark, sf_dir, "events")
+    # round_stable, not F.round: fr feeds the CONTROL-FLOW threshold
+    # (fr > 0.005) below and in the oracle's recurrence — Spark rounds
+    # doubles HALF_UP while DuckDB rounds half-away-from-zero, so a
+    # plain round on a boundary value would flip a gate decision and
+    # diverge the entire downstream trajectory.
     days = (
         ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
+            round_stable(
                 F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
                 / F.count(F.lit(1)),
                 6,
@@ -896,7 +903,7 @@ def backpressure_budget_trajectory(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select(
             "t",
-            F.round(F.col("er") * ((F.col("t") - 1) % 3), 6).alias("fr"),
+            round_stable(F.col("er") * ((F.col("t") - 1) % 3), 6).alias("fr"),
             ((F.col("n") * 37) % 2400).cast("bigint").alias("lag"),
         )
         .orderBy("t")
@@ -922,11 +929,12 @@ WITH RECURSIVE days AS (
   SELECT date_trunc('day', ts) AS day,
          CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-               * 1.0 / COUNT(*), 6) AS er
+               * 1.0 / COUNT(*) - 0.000000001, 6) + 0.0 AS er
   FROM events GROUP BY 1
 ), obs AS (
   SELECT CAST(row_number() OVER (ORDER BY day) AS INT) AS t,
-         ROUND(er * ((row_number() OVER (ORDER BY day) - 1) % 3), 6) AS fr,
+         ROUND(er * ((row_number() OVER (ORDER BY day) - 1) % 3)
+               - 0.000000001, 6) + 0.0 AS fr,
          CAST((n * 37) % 2400 AS BIGINT) AS lag
   FROM days
 ), sim AS (

@@ -464,7 +464,15 @@ def cms_ingest_batch(
     novel_fp = novel.agg(
         F.expr("bit_xor(xxhash64(fp))").alias("bfp")
     ).collect()[0][0]
-    state = cells.read().agg(
+    cur = cells.read()
+    if "batch_fp" not in cur.columns:
+        # Read-compat: state written before the torn-batch guard existed
+        # has no batch_fp column.  Treat those folds as fp-unknown (NULL)
+        # so a checkpointed stream resumes across the upgrade instead of
+        # failing on the missing column; the content guard below only
+        # fires when a fingerprint IS recorded and disagrees.
+        cur = cur.withColumn("batch_fp", F.lit(None).cast("bigint"))
+    state = cur.agg(
         F.max("batch_seq").alias("seq"), F.max("batch_fp").alias("bfp")
     ).collect()[0]
     synced = state["seq"] or 0
@@ -484,7 +492,11 @@ def cms_ingest_batch(
             .localCheckpoint(eager=True)
         )
         cells.overwrite(merged)
-    elif synced == expected and state["bfp"] != novel_fp:
+    elif (
+        synced == expected
+        and state["bfp"] is not None
+        and state["bfp"] != novel_fp
+    ):
         raise RuntimeError(
             "cms_ingest_batch: fold at batch_seq="
             f"{expected} already committed for a DIFFERENT novel set "

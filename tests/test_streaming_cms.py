@@ -158,3 +158,45 @@ def test_torn_batch_nonverbatim_replay_raises(spark, tables):
     ) == 1
     assert _estimate(spark, cells, "omega") == 2
     assert _estimate(spark, cells, "chi") == 1
+
+
+def test_legacy_state_without_batch_fp_resumes(spark, tmp_path):
+    """Read-compat across the batch_fp upgrade: cell state written by the
+    pre-guard version has no batch_fp column.  The first post-upgrade
+    batch must (a) not raise on the missing column, (b) treat a torn
+    legacy fold at the expected sequence as fp-unknown — skip the fold
+    and complete the fingerprint append rather than either re-folding
+    (double count) or raising (stream stuck until a state rebuild)."""
+    LEGACY_DDL = "r int, cell bigint, cnt bigint, batch_seq bigint"
+    counted = HyTable(spark, str(tmp_path / "legacy_counted"))
+    counted.create(spark.createDataFrame([], FINGERPRINT_DDL))
+    cells = HyTable(spark, str(tmp_path / "legacy_cells"))
+    cells.create(spark.createDataFrame([], LEGACY_DDL))
+
+    # Scenario A: empty legacy state — the max("batch_fp") probe must not
+    # raise; the batch folds normally and upgrades the cell schema.
+    batch1 = spark.createDataFrame([(1, "rho sigma")], DOC_SCHEMA)
+    assert cms_ingest_batch(batch1, counted, cells) == 1
+    assert "batch_fp" in cells.read().columns
+    assert _estimate(spark, cells, "rho") == 1
+
+    # Scenario B: torn LEGACY fold — cells already at the expected
+    # sequence but written without a fingerprint.  Rebuild that shape by
+    # stripping batch_fp from the current state and bumping its seq to
+    # what the NEXT batch will expect, as if the old version crashed
+    # between its fold and its fingerprint append.
+    head = counted.current_snapshot()
+    expected_next = (head.sequence_number if head else 0) + 1
+    legacy = (
+        cells.read()
+        .select("r", "cell", "cnt")
+        .withColumn("batch_seq", F.lit(expected_next).cast("bigint"))
+    )
+    cells.overwrite(legacy)
+    batch2 = spark.createDataFrame([(2, "tau upsilon")], DOC_SCHEMA)
+    # fp-unknown at the expected seq: skip the fold (no double count, no
+    # raise), complete the fingerprint append.
+    assert cms_ingest_batch(batch2, counted, cells) == 1
+    assert _estimate(spark, cells, "rho") == 1  # not re-folded
+    # batch2's fps are recorded: a verbatim redelivery is a no-op
+    assert cms_ingest_batch(batch2, counted, cells) == 0

@@ -191,6 +191,191 @@ def simhash64(text_col: Column | str, k: int = 3) -> Column:
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b)
 
 
+# Salt distinguishing the second 64-bit vote fold's hash stream from the
+# first (h2 = xxhash64(h, SALT) — an independent member of the same
+# family, evaluated JVM-side like everything here).
+_SIMHASH128_SALT = 0x5851F42D
+
+
+def simhash128(text_col: Column | str, k: int = 3) -> Column:
+    """128-bit SimHash over the shingle set: struct<lo: bigint, hi: bigint>.
+
+    The scale form of :func:`simhash64`.  Banding a fingerprint into
+    ``b`` chunks for the pigeonhole candidate join gives each chunk
+    ``width/b`` bits, and random within-band collisions grow as
+    n²/2^(width/b) — measured at the 64x spotcheck (docs/SCALING.md r8),
+    the 64-bit form's 4x16-bit bands saturate their 65,536-bucket space
+    by ~320k documents (ratio 8-9x).  Doubling the fingerprint doubles
+    the band width at the SAME band count, so hamming<=3 still needs only
+    d+1=4 bands while each band keys into 2^32 buckets — collision
+    density stays flat through ~10^9 documents.
+
+    Two 64-bit vote folds over the same shingle stream (second stream =
+    per-shingle rehash with a salt), computed in ONE array traversal into
+    a 128-slot vote accumulator — same single-pass discipline as
+    simhash64.
+    """
+    hashes = shingle_hashes(text_col, k)
+    pairs = F.transform(
+        hashes,
+        lambda h: F.struct(
+            h.alias("h1"),
+            F.xxhash64(h, F.lit(_SIMHASH128_SALT)).alias("h2"),
+        ),
+    )
+    votes = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0), 128),
+        lambda acc, p: F.transform(
+            acc,
+            # slot i < 64 votes on bit i of h1; slot i >= 64 on bit i-64
+            # of h2 (the branch is on the loop INDEX — constant-foldable
+            # per slot, no per-row branching on data).
+            lambda a, i: a
+            + F.when(
+                F.call_function(
+                    "shiftrightunsigned",
+                    F.when(i < 64, p["h1"]).otherwise(p["h2"]),
+                    i % 64,
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
+        ),
+    )
+
+    def _collapse(vslice: Column) -> Column:
+        bits = F.zip_with(
+            vslice,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("bigint"), lambda acc, b: acc + b
+        )
+
+    return F.struct(
+        _collapse(F.slice(votes, 1, 64)).alias("lo"),
+        _collapse(F.slice(votes, 65, 64)).alias("hi"),
+    )
+
+
+def simhash128_rel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Relational (codegen) form of :func:`simhash128`: returns
+    ``(id_col, fp struct<lo,hi>)`` with fingerprints bit-identical to the
+    Column form.
+
+    The Column form folds a 128-slot vote array per shingle through
+    ``aggregate``/``transform`` — higher-order functions evaluate
+    INTERPRETED, outside whole-stage codegen, and the doubled slot count
+    made that the dominant cost at scale (29.6 s for the fold alone at
+    the 64x spotcheck).  This form restates the same arithmetic as a
+    plan Tungsten compiles: explode the shingle-hash array, take 128
+    per-bit-position SUMs in one hash aggregate (bit i's vote margin is
+    ``2*ones_i - n``), and assemble the sign bits in a projection.
+    Measured 9.3 s cold / 4.8 s warm on the same corpus — and because
+    the fingerprints come out of an AGGREGATION, a downstream band
+    join's null-key filter can no longer be rewritten through to the
+    scan as a second full fold pass (the r9 plan audit caught exactly
+    that: isnotnull(fold) at the FileScan on both join sides).
+
+    Map-side partial aggregation collapses each document's exploded rows
+    before the exchange (a document's shingles are co-located — they
+    come from one input row), so the shuffle carries one 129-long row
+    per document, not 128 x shingles.  Requires
+    ``spark.sql.codegen.maxFields`` >= 129 (set in session.py) to stay
+    inside whole-stage codegen.
+
+    ``explode_outer`` keeps documents with no shingles (< k tokens):
+    their per-bit sums aggregate over zero rows to NULL, every vote
+    margin comparison is then NULL -> bit 0, reproducing the Column
+    form's all-zero fingerprint.
+    """
+    # The wide expressions are built as SQL strings parsed once in the
+    # JVM: constructing ~3000 Column nodes through the Python API costs
+    # one py4j round-trip per node — measured 3.1 s of driver-side build
+    # PER CALL at any data size, vs milliseconds for the parser.
+    ex = df.select(
+        id_col, F.explode_outer(shingle_hashes(text_col, k)).alias("_h1")
+    ).withColumn("_h2", F.xxhash64(F.col("_h1"), F.lit(_SIMHASH128_SALT)))
+    ones = [
+        F.expr(
+            f"SUM(SHIFTRIGHTUNSIGNED({'_h1' if i < 64 else '_h2'},"
+            f" {i % 64}) & 1) AS _s{i}"
+        )
+        for i in range(128)
+    ]
+    agg = ex.groupBy(id_col).agg(F.count("_h1").alias("_n"), *ones)
+
+    def _half(base: int) -> str:
+        # bit i set iff votes_i > 0 iff 2*ones_i > n.  Terms are summed
+        # in bit order so the sign bit (Long.MIN_VALUE) joins last: every
+        # partial sum stays representable (bits 0..62 total 2^63 - 1),
+        # ANSI-safe.
+        return " + ".join(
+            f"(CASE WHEN _s{base + i} * 2 > _n THEN"
+            f" SHIFTLEFT(CAST(1 AS BIGINT), {i})"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for i in range(64)
+        )
+
+    return agg.select(
+        id_col,
+        F.expr(
+            f"STRUCT({_half(0)} AS lo, {_half(64)} AS hi)"
+        ).alias("fp"),
+    )
+
+
+def hamming128(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash128 structs."""
+    return F.bit_count(a["lo"].bitwiseXOR(b["lo"])) + F.bit_count(
+        a["hi"].bitwiseXOR(b["hi"])
+    )
+
+
+def simhash128_band_structs(fp: Column, band_bits: int = 32) -> Column:
+    """Pigeonhole band keys for a simhash128 struct: an array of
+    struct(band, key) where each key is one ``band_bits``-wide chunk of
+    the 128-bit fingerprint.  ``128/band_bits`` bands certify candidate
+    completeness at hamming <= 128/band_bits - 1 (at most that many
+    flipped bits can each corrupt a distinct band, leaving one intact).
+    ``band_bits`` IS the scale knob: wider bands -> fewer candidates per
+    bucket (collision space 2^band_bits) at a lower certified distance.
+    Must divide 64 or be 64 so a chunk never straddles the lo/hi halves.
+    """
+    if band_bits > 64 or 64 % band_bits:
+        raise ValueError(
+            f"simhash128_band_structs: band_bits={band_bits} must divide 64"
+        )
+    per_half = 64 // band_bits
+    mask = F.lit((1 << band_bits) - 1) if band_bits < 64 else None
+
+    def _chunk(half: Column, j: int) -> Column:
+        c = F.call_function(
+            "shiftrightunsigned", half, F.lit(band_bits * j)
+        )
+        return c.bitwiseAND(mask) if mask is not None else c
+
+    entries = []
+    for i in range(2 * per_half):
+        half = fp["lo"] if i < per_half else fp["hi"]
+        entries.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                _chunk(half, i % per_half).alias("key"),
+            )
+        )
+    return F.array(*entries)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

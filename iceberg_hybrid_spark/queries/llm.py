@@ -1327,35 +1327,40 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit fingerprints, banded into
-    4×16-bit chunks (pigeonhole: any pair within hamming distance 3
+    """SimHash near-dup candidates: 128-bit fingerprints, banded into
+    4×32-bit chunks (pigeonhole: any pair within hamming distance 3
     agrees on ≥1 whole chunk), chunk-equality join, exact hamming verify
-    via bit_count(xor).
+    via bit_count(xor) over both halves.
 
-    At corpus scale this is the cheapest near-dup modality: one 8-byte
+    At corpus scale this is the cheapest near-dup modality: one 16-byte
     fingerprint per document, candidate generation bounded by chunk
-    collisions.  Oracle: the deterministic per-document fingerprints are
-    pinned as literals (tools/gen_simhash_oracle.py — the plane-literal
-    pattern) and DuckDB independently recomputes the pair relation as an
-    exact all-pairs bit_count(xor) <= 3 scan, which also checks the
+    collisions.  The 128-bit width is the scale fix for the r8 finding:
+    the previous 64-bit/4×16-band form saturated its 65,536-bucket band
+    space by ~320k documents (64× spotcheck ratio 8–9, random
+    within-band collisions growing n²/2^16); at the SAME certified
+    distance (d≤3 needs only d+1=4 bands) each band now keys into 2^32
+    buckets, keeping collision density flat through ~10^9 docs.  Band
+    width is an explicit knob (functions/dedup.py
+    ``simhash128_band_structs``).  Oracle: the deterministic
+    per-document fingerprints are pinned as literals
+    (tools/gen_simhash_oracle.py — the plane-literal pattern) and DuckDB
+    independently recomputes the pair relation as an exact all-pairs
+    bit_count(xor) <= 3 scan over both halves, which also checks the
     banding's pigeonhole completeness; planted-pair behavior pinned in
-    tests."""
+    tests.
+
+    Fingerprinting uses the relational fold (``simhash128_rel`` —
+    codegen'd per-bit sums, bit-identical to the ``simhash128`` Column
+    form the oracle generator pins): the fold is the dominant cost and
+    the Column form's interpreted 128-slot HOF fold measured 3x slower —
+    and, being a plain projection, was additionally re-evaluated at the
+    scan by the band join's pushed null-key filter."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", D.simhash64("text").alias("fp"))
+    d = D.simhash128_rel(docs, "text", "doc_id")
     chunks = d.select(
         "doc_id",
         "fp",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned("fp", 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("key"),
-                )
-                for i in range(4)
-            ])
-        ).alias("b"),
+        F.explode(D.simhash128_band_structs(F.col("fp"), band_bits=32)).alias("b"),
     ).select("doc_id", "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     # Materialize the fingerprint computation ONCE behind a shuffle on the
     # join key: without this the 64-slot vote fold evaluates on BOTH join
@@ -1376,7 +1381,7 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+            D.hamming128(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
         )
         .distinct()
     )

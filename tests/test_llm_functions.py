@@ -342,3 +342,93 @@ def test_ann_recall_curve_monotone_and_exact_at_full_probe(spark):
         for r in S.ivf_topk(assigned, centers, queries, k=10, nprobe=8).collect()
     }
     assert full == bf
+
+
+def test_simhash128_lo_half_equals_simhash64(spark, docs):
+    """The 128-bit form's lo half is the SAME vote fold over the SAME
+    shingle stream as simhash64 — the wide fingerprint extends the
+    narrow one, it does not replace its semantics."""
+    rows = docs.select(
+        D.simhash64("text").alias("f64"),
+        D.simhash128("text").alias("f128"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.f128.lo == r.f64
+
+
+def test_simhash128_band_structs_pigeonhole_complete():
+    """Structural completeness of the 4x32-bit banding: flipping <= 3
+    bits of a 128-bit fingerprint can corrupt at most 3 of the 4 bands,
+    so at least one (band, key) pair must survive intact.  Mirrors the
+    chunking in pure Python over seeded random fingerprints."""
+    import random
+
+    def chunks(lo, hi, band_bits=32):
+        mask = (1 << band_bits) - 1
+        per_half = 64 // band_bits
+        out = []
+        for i in range(2 * per_half):
+            half = lo if i < per_half else hi
+            out.append((i, ((half % (1 << 64)) >> (band_bits * (i % per_half))) & mask))
+        return set(out)
+
+    rng = random.Random(13)
+    for _ in range(200):
+        lo = rng.getrandbits(64)
+        hi = rng.getrandbits(64)
+        d = rng.randint(0, 3)
+        positions = rng.sample(range(128), d)
+        lo2, hi2 = lo, hi
+        for p in positions:
+            if p < 64:
+                lo2 ^= 1 << p
+            else:
+                hi2 ^= 1 << (p - 64)
+        assert chunks(lo, hi) & chunks(lo2, hi2), (
+            f"no shared band after flipping {d} bits"
+        )
+    # 4 flips CAN corrupt all 4 bands (pigeonhole bound is tight):
+    lo, hi = 0, 0
+    lo2 = (1 << 0) | (1 << 32)
+    hi2 = (1 << 0) | (1 << 32)
+    assert not (chunks(lo, hi) & chunks(lo2, hi2))
+
+
+def test_simhash128_band_structs_rejects_straddling_width():
+    with pytest.raises(ValueError, match="must divide 64"):
+        D.simhash128_band_structs(F.col("fp"), band_bits=24)
+    with pytest.raises(ValueError, match="must divide 64"):
+        D.simhash128_band_structs(F.col("fp"), band_bits=128)
+
+
+def test_hamming128_matches_python_popcount(spark):
+    rows = [
+        (1, -5472158008196925944, 7546647441964032691),
+        (2, -5472158008196925945, 7546647441964032691),
+        (3, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, lo long, hi long")
+    a = df.select(
+        "id", F.struct(F.col("lo"), F.col("hi")).alias("fp")
+    ).alias("a")
+    b = a.alias("b")
+    got = {
+        (r.ia, r.ib): r.h
+        for r in a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            D.hamming128(F.col("a.fp"), F.col("b.fp")).alias("h"),
+        )
+        .collect()
+    }
+
+    def pop(x):
+        return bin(x & ((1 << 64) - 1)).count("1")
+
+    byid = {r[0]: (r[1], r[2]) for r in rows}
+    for (ia, ib), h in got.items():
+        lo_a, hi_a = byid[ia]
+        lo_b, hi_b = byid[ib]
+        assert h == pop(lo_a ^ lo_b) + pop(hi_a ^ hi_b)

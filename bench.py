@@ -104,7 +104,9 @@ HEADLINE = [
     "hard_negative_mining",
     "bpe_tokenize_fertility",
     "quantile_sketch_audit",
-    "kmv_source_overlap",
+    # sketch-only production form is the headline/scaling query; the
+    # audited form stays registered and oracle-gated
+    "kmv_source_overlap_sketch",
     "hll_distinct_audit",
     "bloom_fpr_audit",
     "cms_token_counts",

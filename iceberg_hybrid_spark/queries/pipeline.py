@@ -3165,6 +3165,189 @@ _KMV_INTER = (
 )
 
 
+def _kmv_bottom_k(hv: DataFrame, k_min: int) -> DataFrame:
+    """Two-phase bottom-K per source (exact: the global bottom-K is a
+    subset of the union of per-salt bottom-Ks), so the corpus-cardinality
+    relation is never window-partitioned on the bare low-cardinality
+    source key."""
+    w1 = Window.partitionBy("source", F.col("v") % 64).orderBy("v")
+    w2 = Window.partitionBy("source").orderBy("v")
+    return (
+        hv.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k_min)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= k_min)
+        .select("source", "v")
+    )
+
+
+def _kmv_pair_stats(plist: DataFrame, kmv: DataFrame, k_min: int) -> DataFrame:
+    """Per source pair, the union-sketch statistics the KMV estimators
+    read: m_union_vals (distinct values across both sketches), vk (the
+    K-th smallest), c_both (values present in both sketches among the K
+    smallest).  Everything here runs on <= pairs x 2K rows."""
+    ka, kb = kmv.alias("ka"), kmv.alias("kb")
+    rows_a = plist.join(
+        ka, F.col("ka.source") == F.col("src_a")
+    ).select("src_a", "src_b", "v", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
+    rows_b = plist.join(
+        kb, F.col("kb.source") == F.col("src_b")
+    ).select("src_a", "src_b", "v", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
+    merged = (
+        rows_a.unionByName(rows_b)
+        .groupBy("src_a", "src_b", "v")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("v")
+    return (
+        merged.withColumn("r", F.row_number().over(wp))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("m_union_vals"),
+            F.max(F.when(F.col("r") <= k_min, F.col("v"))).alias("vk"),
+            F.sum(
+                F.when(
+                    (F.col("r") <= k_min)
+                    & (F.col("fa") == 1)
+                    & (F.col("fb") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("c_both"),
+        )
+    )
+
+
+def kmv_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the KMV overlap estimator: sketch only, no
+    exact audit.  ``kmv_source_overlap`` (below) deliberately carries the
+    exact distinct-pair relation next to the estimate because that query
+    IS the audit — but the exact side is also its entire scaling cost
+    (r8 64x decomposition: exact pairwise self-join ~12.6 s of the
+    total), and at 100 TB nobody runs the audit per sweep.  This twin is
+    what the mirror-detection pipeline actually deploys: identical hash,
+    identical sketch build, identical estimators — the audited query
+    certifies the arithmetic, this one carries the scaling claim.
+
+    Scale shape — the corpus-cardinality relation is never sorted and
+    never globally deduplicated.  Bottom-K only needs values BELOW the
+    K-th smallest, so the plan prunes first and proves the prune safe
+    after:
+
+    1. a metadata-cheap documents aggregate (sum of (n_chars+1)/2 — no
+       tokenization, no explode, no hashing; a word needs >= 2 chars of
+       text) upper-bounds each source's distinct shingle count;
+    2. a conservative per-source threshold (hash values are uniform in
+       [0, 2^32)) keeps ~16K expected distinct survivors at a tight
+       bound — the explode+hash runs ONCE, fused with the prune filter
+       in the scan stage, and the DISTINCT and the two-phase bottom-K
+       windows see thousands of rows per source instead of the
+       corpus-cardinality relation;
+    3. exactness never rests on the estimate: the verification is read
+       off the bottom-K itself (a source whose K-th rank never filled
+       pruned too hard) and only those sources rescan their full
+       relation (anything below the threshold was kept, so a filled
+       bottom-K proves the true bottom-K is inside the survivors).  The
+       fallback runs zero Spark jobs in the common case — the under
+       list is checked driver-side against the bounded sketch.
+
+    The pair stage runs on <= pairs x 512 rows.  No self-join anywhere;
+    the audited twin certifies the estimator arithmetic on the exact
+    (unpruned) build — this plan provably returns identical sketches."""
+    k_min = 256
+    docs = load_table(spark, sf_dir, "documents")
+    raw = (
+        docs.select("source", F.explode(T.shingles("text", 3)).alias("s"))
+        .select(
+            "source", F.md5(F.concat(F.col("s"), F.lit(":kmv"))).alias("m")
+        )
+        .selectExpr("source", f"{_HEX_INT} AS v")
+    )
+    full_range = 1 << 32
+    # Metadata-cheap pass over the DOCUMENTS (no tokenization): a word
+    # needs at least 2 characters of text (1 letter + separator), so
+    # sum((n_chars + 1) / 2) per source upper-bounds its token — hence
+    # shingle, hence distinct-value — count D.  Hash values are uniform
+    # in [0, 2^32), so keeping v below 2^32 * 16K / D_upper retains
+    # ~16K * (D / D_upper) expected distinct survivors: >= K with wide
+    # margin even at the bound's ~4x typical looseness.  Collected
+    # driver-side (one row per source, the whitelisted bounded shape).
+    thr_rows = [
+        (
+            r.source,
+            min(
+                full_range,
+                int(full_range * 16.0 * k_min / max(int(r.ub), 1)),
+            ),
+        )
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.floor((F.col("n_chars") + 1) / 2).cast("bigint")
+            ).alias("ub")
+        )
+        .collect()
+    ]
+    # The ONE heavy pass over the shingle relation: explode, hash,
+    # prune against the per-source threshold (a literal map lookup —
+    # no join, the scan stage stays one fused codegen stage), dedup
+    # only the survivors, rank.  The bottom-K output is bounded
+    # (<= K x sources rows) and materialized eagerly so the
+    # verification and the pair stage read it without recomputation.
+    thr_map = F.create_map(
+        *[F.lit(x) for s, t in thr_rows for x in (s, t)]
+    )
+    pruned = (
+        raw.filter(F.col("v") < F.element_at(thr_map, F.col("source")))
+        .select("source", "v")
+        .distinct()
+    )
+    kmv0 = _kmv_bottom_k(pruned, k_min).localCheckpoint(eager=True)
+    filled = {
+        r.source: r.m
+        for r in kmv0.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .collect()
+    }
+    # a source pruned UNSAFELY iff it pruned at all (t < 2^32) and its
+    # bottom-K never filled — only those rescan their relation; the
+    # common case is an empty list and the fallback never runs.
+    under = [
+        s
+        for s, t in thr_rows
+        if t < full_range and filled.get(s, 0) < k_min
+    ]
+    if under:
+        fallback = (
+            raw.filter(F.col("source").isin(under))
+            .select("source", "v")
+            .distinct()
+        )
+        kmv = kmv0.filter(~F.col("source").isin(under)).unionByName(
+            _kmv_bottom_k(fallback, k_min)
+        )
+    else:
+        kmv = kmv0
+    sources = kmv.select("source").distinct()
+    sa, sb = sources.alias("sa"), sources.alias("sb")
+    plist = sa.join(sb, F.col("sa.source") < F.col("sb.source")).select(
+        F.col("sa.source").alias("src_a"),
+        F.col("sb.source").alias("src_b"),
+    )
+    per_pair = _kmv_pair_stats(plist, kmv, k_min)
+    return (
+        per_pair.selectExpr(
+            "src_a",
+            "src_b",
+            f"ROUND({_KMV_UNION} - 0.000000001, 2) + 0.0 AS kmv_union_est",
+            f"ROUND({_KMV_INTER} - 0.000000001, 2) + 0.0"
+            " AS kmv_intersection_est",
+            "ROUND(c_both / (CASE WHEN m_union_vals < 256 THEN m_union_vals"
+            " ELSE 256 END) - 0.000000001, 4) + 0.0 AS kmv_jaccard_est",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values sketch (Beyer et al., SIGMOD 2007) SET
     OPERATIONS, audited against exact counts: pairwise source
@@ -3214,17 +3397,7 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    # two-phase bottom-K per source (exact: the global bottom-K is a
-    # subset of the union of per-salt bottom-Ks)
-    w1 = Window.partitionBy("source", F.col("v") % 64).orderBy("v")
-    w2 = Window.partitionBy("source").orderBy("v")
-    kmv = (
-        hv.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= k_min)
-        .withColumn("r2", F.row_number().over(w2))
-        .filter(F.col("r2") <= k_min)
-        .select("source", "v")
-    )
+    kmv = _kmv_bottom_k(hv, k_min)
     ca, cb = counts.alias("ca"), counts.alias("cb")
     plist = (
         ca.join(cb, F.col("ca.source") < F.col("cb.source"))
@@ -3235,35 +3408,7 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cb.n").alias("nb"),
         )
     )
-    ka, kb = kmv.alias("ka"), kmv.alias("kb")
-    rows_a = plist.join(
-        ka, F.col("ka.source") == F.col("src_a")
-    ).select("src_a", "src_b", "v", F.lit(1).alias("fa"), F.lit(0).alias("fb"))
-    rows_b = plist.join(
-        kb, F.col("kb.source") == F.col("src_b")
-    ).select("src_a", "src_b", "v", F.lit(0).alias("fa"), F.lit(1).alias("fb"))
-    merged = (
-        rows_a.unionByName(rows_b)
-        .groupBy("src_a", "src_b", "v")
-        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
-    )
-    wp = Window.partitionBy("src_a", "src_b").orderBy("v")
-    per_pair = (
-        merged.withColumn("r", F.row_number().over(wp))
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.count(F.lit(1)).alias("m_union_vals"),
-            F.max(F.when(F.col("r") <= k_min, F.col("v"))).alias("vk"),
-            F.sum(
-                F.when(
-                    (F.col("r") <= k_min)
-                    & (F.col("fa") == 1)
-                    & (F.col("fb") == 1),
-                    1,
-                ).otherwise(0)
-            ).alias("c_both"),
-        )
-    )
+    per_pair = _kmv_pair_stats(plist, kmv, k_min)
     return (
         plist.join(exact_pairs, ["src_a", "src_b"], "left")
         .join(per_pair, ["src_a", "src_b"])
@@ -3336,6 +3481,51 @@ FROM plist p
 LEFT JOIN exact_pairs e ON p.src_a = e.src_a AND p.src_b = e.src_b
 JOIN per_pair pp ON p.src_a = pp.src_a AND p.src_b = pp.src_b
 ORDER BY p.src_a, p.src_b
+"""
+
+KMV_OVERLAP_SKETCH_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({_duck_shingles(3)}) AS s
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+), hv AS (
+  SELECT DISTINCT source, {_KMV_ADDR} AS v FROM sh
+), ranked AS (
+  SELECT source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS r
+  FROM hv
+), kmv AS (
+  SELECT source, v FROM ranked WHERE r <= 256
+), plist AS (
+  SELECT sa.source AS src_a, sb.source AS src_b
+  FROM (SELECT DISTINCT source FROM kmv) sa
+  JOIN (SELECT DISTINCT source FROM kmv) sb ON sa.source < sb.source
+), rows_ab AS (
+  SELECT p.src_a, p.src_b, k.v, 1 AS fa, 0 AS fb
+  FROM plist p JOIN kmv k ON k.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, k.v, 0 AS fa, 1 AS fb
+  FROM plist p JOIN kmv k ON k.source = p.src_b
+), merged AS (
+  SELECT src_a, src_b, v, MAX(fa) AS fa, MAX(fb) AS fb
+  FROM rows_ab GROUP BY 1, 2, 3
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY v) AS r
+  FROM merged
+), per_pair AS (
+  SELECT src_a, src_b, COUNT(*) AS m_union_vals,
+         MAX(CASE WHEN r <= 256 THEN v END) AS vk,
+         CAST(SUM(CASE WHEN r <= 256 AND fa = 1 AND fb = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_both
+  FROM rk GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       ROUND({_KMV_UNION} - 0.000000001, 2) + 0.0 AS kmv_union_est,
+       ROUND({_KMV_INTER} - 0.000000001, 2) + 0.0 AS kmv_intersection_est,
+       ROUND(c_both / (CASE WHEN m_union_vals < 256 THEN m_union_vals
+                            ELSE 256 END) - 0.000000001, 4) + 0.0
+         AS kmv_jaccard_est
+FROM per_pair
+ORDER BY src_a, src_b
 """
 
 
@@ -3488,6 +3678,10 @@ SPECS = [
     QuerySpec("kmv_source_overlap", kmv_source_overlap, KMV_OVERLAP_SQL,
               "KMV bottom-256 sketch set operations: pairwise source "
               "union/intersection estimates audited against exact"),
+    QuerySpec("kmv_source_overlap_sketch", kmv_source_overlap_sketch,
+              KMV_OVERLAP_SKETCH_SQL,
+              "KMV overlap estimator, sketch-only production form: no "
+              "exact audit side, the shape deployed at corpus scale"),
     QuerySpec("hll_distinct_audit", hll_distinct_audit, HLL_DISTINCT_SQL,
               "HyperLogLog distinct-shingle estimate (1024 relational "
               "max-rank registers) audited against exact counts"),

@@ -160,6 +160,9 @@ ALL_PAIRS_WHITELIST = {
     # corpus cardinality never reaches these joins
     "bloom_fpr_audit",
     "kmv_source_overlap",
+    # round 9 sketch-only twin: same #sources-row self-pairing, built
+    # from the bounded bottom-K sketch instead of the counts relation
+    "kmv_source_overlap_sketch",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

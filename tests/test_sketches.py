@@ -228,3 +228,69 @@ def test_hll_ingest_state_merge_and_idempotence(spark, tmp_path):
         for r in SK.hll_registers(sh, "lang").collect()
     }
     assert got == want
+
+
+def test_kmv_sketch_twin_matches_audit_form(spark):
+    """The sketch-only production twin must produce the identical
+    estimator columns as the audited form — the prune + verified
+    fallback is result-invariant by construction."""
+    from iceberg_hybrid_spark.queries.pipeline import (
+        kmv_source_overlap,
+        kmv_source_overlap_sketch,
+    )
+
+    audit = {
+        (r["src_a"], r["src_b"]): r for r in kmv_source_overlap(spark, SF).collect()
+    }
+    sketch = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_source_overlap_sketch(spark, SF).collect()
+    }
+    assert set(audit) == set(sketch)
+    for k, s in sketch.items():
+        a = audit[k]
+        assert s["kmv_union_est"] == a["kmv_union_est"]
+        assert s["kmv_intersection_est"] == a["kmv_intersection_est"]
+        assert s["kmv_jaccard_est"] == a["kmv_jaccard_est"]
+
+
+def test_kmv_sketch_fallback_rescans_underfull_source(spark, tmp_path):
+    """A pathologically repetitive source (huge n_chars, tiny distinct
+    shingle set) drives the n_chars upper bound far above its true
+    distinct count, the threshold prunes everything below K survivors,
+    and the verified fallback must rescan that source — the result must
+    still equal the audited form's sketch columns."""
+    import os
+
+    from iceberg_hybrid_spark.queries.pipeline import (
+        kmv_source_overlap,
+        kmv_source_overlap_sketch,
+    )
+
+    rep = " ".join(["alpha beta gamma delta"] * 2000)  # ~4 distinct shingles
+    rows = [(0, rep, "looper", "en", len(rep))]
+    for i in range(1, 40):
+        text = " ".join(f"w{i}x{j}" for j in range(60))
+        rows.append((i, text, f"src{i % 3}", "en", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, lang string, n_chars int"
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    df.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    audit = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_source_overlap(spark, sf_dir).collect()
+    }
+    sketch = {
+        (r["src_a"], r["src_b"]): r
+        for r in kmv_source_overlap_sketch(spark, sf_dir).collect()
+    }
+    assert set(audit) == set(sketch)
+    assert any("looper" in k for k in sketch)
+    for k, s in sketch.items():
+        a = audit[k]
+        assert s["kmv_union_est"] == a["kmv_union_est"]
+        assert s["kmv_intersection_est"] == a["kmv_intersection_est"]
+        assert s["kmv_jaccard_est"] == a["kmv_jaccard_est"]

@@ -120,6 +120,8 @@ HEADLINE = [
     "embedding_pq_ann_persisted",
     "embedding_ivfpq_ann_persisted",
     "backpressure_budget_trajectory",
+    # round-9 operators
+    "read_route_scores",
 ]
 
 

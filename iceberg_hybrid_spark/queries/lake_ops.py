@@ -961,6 +961,149 @@ FROM sim WHERE t >= 1 ORDER BY tick
 """
 
 
+def read_route_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read-routing composite (control/router.py ``ReadRouter`` ≙
+    ReadRouter.scala:93-116 scoring, legacy-java ReadRouter.java:63-93
+    3-tier fallback) driven through the VALUE gate — the last reference
+    composite with real arithmetic previously pinned only by pytest.
+
+    A regions/health relation is derived from the nation/region fixture
+    tables identically in both engines: each nation is a serving region
+    whose storage health is a deterministic hash of its key and whose
+    status flips by key residue (ASIA's regions all Inactive so the
+    degraded tier fires; AMERICA / MIDDLE EAST's preferred regions are
+    Active so tier 1 fires; AFRICA / EUROPE's preferred are Inactive
+    with Active siblings so tier 2 fires).  The REAL Registry and
+    ReadRouter objects are registered and routed per table group —
+    ``get_best_read_region`` picks the region, ``scores_df`` (the
+    DataFrame scoring form) supplies the 0.7*storage + 0.3*activity
+    scores — and the oracle replays the scoring and all three fallback
+    tiers in SQL.  Bounded by the region dimension (25 rows), the
+    whitelisted scalar-collect shape."""
+    from ..control.registry import (
+        ACTIVE,
+        INACTIVE,
+        Region,
+        Registry,
+        StorageLocation,
+    )
+    from ..control.router import ReadRouter
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    derived = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_name").alias("rid"),
+            F.col("n_nationkey").alias("k"),
+            F.col("r_name").alias("grp"),
+            F.round(((F.col("n_nationkey") * 37) % 101) / 100.0, 2).alias(
+                "h"
+            ),
+            (
+                (F.col("r_regionkey") != 2)
+                & (F.col("n_nationkey") % 3 != 0)
+            ).alias("is_active"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    registry = Registry(spark)
+    health: dict[str, float] = {}
+    groups: dict[str, list] = {}
+    for r in derived:
+        registry.register_region(
+            Region(r.rid, r.rid.title()),
+            StorageLocation(r.rid, "https://s.example", "bkt", r.rid.lower()),
+        )
+        registry.update_region_status(
+            r.rid, ACTIVE if r.is_active else INACTIVE
+        )
+        registry.register_table_location(r.grp, r.rid, f"tables/{r.grp}")
+        health[r.rid] = float(r.h)
+        groups.setdefault(r.grp, []).append(r)
+    router = ReadRouter(registry, health)
+    scores = {
+        row["region"]: float(row["score"])
+        for row in router.scores_df().collect()
+    }
+    out = []
+    for grp in sorted(groups):
+        members = groups[grp]  # already in nationkey order
+        preferred = members[0].rid
+        preferred_active = bool(members[0].is_active)
+        n_active = sum(1 for m in members if m.is_active)
+        chosen = router.get_best_read_region(grp, preferred)
+        tier = (
+            "preferred"
+            if preferred_active
+            else ("best_active" if n_active else "degraded")
+        )
+        out.append(
+            (
+                grp,
+                preferred,
+                preferred_active,
+                chosen,
+                tier,
+                scores[chosen],
+                n_active,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "table_group string, preferred string, preferred_active boolean, "
+        "chosen string, tier string, chosen_score double, n_active int",
+    ).orderBy("table_group")
+
+
+READ_ROUTE_SCORES_SQL = """
+WITH d AS (
+  SELECT n.n_name AS rid, n.n_nationkey AS k, r.r_name AS grp,
+         ROUND(((n.n_nationkey * 37) % 101) / 100.0, 2) AS h,
+         (r.r_regionkey <> 2 AND n.n_nationkey % 3 <> 0) AS is_active
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+), scored AS (
+  SELECT *,
+         ROUND(0.7 * h + 0.3 * CASE WHEN is_active THEN 1.0 ELSE 0.3 END,
+               6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY k) AS pref_rank,
+         CASE WHEN is_active THEN
+           ROW_NUMBER() OVER (
+             PARTITION BY grp, is_active
+             ORDER BY 0.7 * h + 0.3 * CASE WHEN is_active THEN 1.0
+                                           ELSE 0.3 END DESC, rid DESC)
+         END AS active_rank,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rid) AS name_rank
+  FROM d
+), g AS (
+  SELECT grp,
+         MAX(CASE WHEN pref_rank = 1 THEN rid END) AS preferred,
+         CAST(MAX(CASE WHEN pref_rank = 1 AND is_active THEN 1 ELSE 0 END)
+              AS BOOLEAN) AS preferred_active,
+         CAST(SUM(CASE WHEN is_active THEN 1 ELSE 0 END) AS INT)
+           AS n_active,
+         MAX(CASE WHEN active_rank = 1 THEN rid END) AS best_active,
+         MAX(CASE WHEN name_rank = 1 THEN rid END) AS first_candidate
+  FROM scored GROUP BY grp
+), decided AS (
+  SELECT grp AS table_group, preferred, preferred_active,
+         CASE WHEN preferred_active THEN preferred
+              WHEN n_active > 0 THEN best_active
+              ELSE first_candidate END AS chosen,
+         CASE WHEN preferred_active THEN 'preferred'
+              WHEN n_active > 0 THEN 'best_active'
+              ELSE 'degraded' END AS tier,
+         n_active
+  FROM g
+)
+SELECT dd.table_group, dd.preferred, dd.preferred_active, dd.chosen,
+       dd.tier, s.score AS chosen_score, dd.n_active
+FROM decided dd JOIN scored s ON s.rid = dd.chosen AND s.grp = dd.table_group
+ORDER BY dd.table_group
+"""
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM interval join through the real
     Structured Streaming path: click and purchase streams (two
@@ -1889,4 +2032,9 @@ SPECS = [
               BACKPRESSURE_TRAJECTORY_SQL,
               "RateController closed-loop decision trajectory; oracle "
               "replays the stateful recurrence as a recursive CTE"),
+    QuerySpec("read_route_scores", read_route_scores,
+              READ_ROUTE_SCORES_SQL,
+              "ReadRouter 0.7/0.3 scoring + 3-tier fallback driven "
+              "through the value gate over a fixture-derived region "
+              "dimension; oracle replays scoring and every tier"),
 ]

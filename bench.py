@@ -122,6 +122,7 @@ HEADLINE = [
     "backpressure_budget_trajectory",
     # round-9 operators
     "read_route_scores",
+    "embedding_pq_ann_appended",
 ]
 
 

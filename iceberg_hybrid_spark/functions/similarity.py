@@ -563,6 +563,70 @@ def _kmeans_local(X, k: int, seed: int, iters: int = 25):
 _PQ_TRAIN_SAMPLE = 16384
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    sub: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign PQ codes against FROZEN codebooks — the pure per-vector
+    encode stage shared by the initial build and the incremental append
+    (the FAISS ``add()`` contract: adding vectors never retrains).
+
+    ONE Arrow-vectorized pass computes all m codes per batch as dense
+    matmul-style argmin against the codebooks — the same measured Arrow
+    boundary the LSH signatures use, vs 64 interpreted aggregate-fold
+    expressions JVM-side."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub_dim = sub
+
+    @pandas_udf("array<int>")
+    def _codes(col: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        out = []
+        for j, C in enumerate(books):
+            S_ = V[:, j * sub_dim:(j + 1) * sub_dim]
+            # argmin ||s - c||² == argmin (||c||² - 2 s·c): one matmul
+            d = (C * C).sum(1)[None, :] - 2.0 * (S_ @ C.T)
+            out.append(d.argmin(1))
+        return pd.Series(list(np.stack(out, axis=1)))
+
+    coded = df.withColumn("_pq", _codes(as_double_array(vec_col)))
+    for j in range(m):
+        coded = coded.withColumn(f"pq_code_{j}", F.element_at("_pq", j + 1))
+    return coded.drop("_pq")
+
+
+def assign_frozen_centers(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    centroid_col: str = "ivf_centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest FROZEN IVF centroid (squared
+    euclidean, matching pyspark.ml KMeans.transform's metric) — the
+    inverted-list half of the incremental-append contract: appended
+    vectors join existing lists, the lists themselves never move."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(col: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        d = (C * C).sum(1)[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    return df.withColumn(centroid_col, _assign(as_double_array(vec_col)))
+
+
 def pq_build(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -663,26 +727,7 @@ def pq_build(
         if key is not None:
             _PQ_MODEL_CACHE[key] = (codebooks, sub)
 
-    from pyspark.sql.functions import pandas_udf
-
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    sub_dim = sub
-
-    @pandas_udf("array<int>")
-    def _codes(col: pd.Series) -> pd.Series:
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
-        out = []
-        for j, C in enumerate(books):
-            S_ = V[:, j * sub_dim:(j + 1) * sub_dim]
-            # argmin ||s - c||² == argmin (||c||² - 2 s·c): one matmul
-            d = (C * C).sum(1)[None, :] - 2.0 * (S_ @ C.T)
-            out.append(d.argmin(1))
-        return pd.Series(list(np.stack(out, axis=1)))
-
-    coded = df.withColumn("_pq", _codes(as_double_array(vec_col)))
-    for j in range(m):
-        coded = coded.withColumn(f"pq_code_{j}", F.element_at("_pq", j + 1))
-    coded = coded.drop("_pq")
+    coded = pq_encode(df, codebooks, sub, vec_col)
     if ckey is not None:
         codes_only = coded.drop(vec_col).persist()
         _PQ_CODES_CACHE[ckey] = (codes_only, codebooks, sub)
@@ -1031,3 +1076,100 @@ def ivfpq_read_index(codes_table, books_table, centers_table):
         raise ValueError("ivfpq_read_index: empty centers table")
     centers = [list(r.center) for r in sorted(crows, key=lambda r: r.cid)]
     return codes, centers, codebooks, sub
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance — the FAISS add() contract as lake appends
+# ---------------------------------------------------------------------------
+# Real corpora grow daily; a full rebuild per delta wastes the
+# build-once/read-many story.  Appends encode ONLY the delta against the
+# FROZEN codebooks (and frozen IVF centers), committed as a snapshot
+# APPEND on the codes table — existing code files are never rewritten
+# (byte-identical, pinned by test), and a crashed append is invisible
+# (the snapshot either commits or it doesn't).  The quantization model
+# drifts as the appended distribution diverges from the training sample,
+# so index_staleness() reads the append fraction off the snapshot log
+# and recommends rebuild past a threshold.
+
+
+def pq_append_index(
+    new_vectors: DataFrame,
+    codes_table,
+    books_table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Append new vectors to a persisted PQ index: encode the delta with
+    the FROZEN persisted codebooks (never retrained — the FAISS add()
+    contract) and commit one snapshot append of the new code rows.
+    Ids already indexed are skipped (idempotent re-delivery, the
+    dedup-ingest discipline).  Returns the number of rows appended."""
+    codes, codebooks, sub = pq_read_index(codes_table, books_table)
+    fresh = new_vectors.join(
+        codes.select(id_col), id_col, "left_anti"
+    )
+    delta = pq_encode(fresh, codebooks, sub, vec_col).drop(vec_col)
+    # align to the persisted schema (column order + any extra columns)
+    delta = delta.select(*codes.columns).localCheckpoint(eager=True)
+    n = delta.count()
+    if n:
+        codes_table.append(delta)
+    return n
+
+
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    codes_table,
+    books_table,
+    centers_table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_col: str = "ivf_centroid",
+) -> int:
+    """Append new vectors to a persisted IVF-PQ index: assign each to
+    its nearest FROZEN centroid, encode with the FROZEN codebooks, and
+    commit one snapshot append.  The codes table's carried
+    write.sort-order re-clusters the appended file by inverted list, so
+    the serving probe's storage-layer pruning keeps working across
+    appends.  Returns the number of rows appended."""
+    codes, centers, codebooks, sub = ivfpq_read_index(
+        codes_table, books_table, centers_table
+    )
+    fresh = new_vectors.join(codes.select(id_col), id_col, "left_anti")
+    assigned = assign_frozen_centers(fresh, centers, vec_col, centroid_col)
+    delta = pq_encode(assigned, codebooks, sub, vec_col).drop(vec_col)
+    delta = delta.select(*codes.columns).localCheckpoint(eager=True)
+    n = delta.count()
+    if n:
+        codes_table.append(delta)
+    return n
+
+
+def index_staleness(codes_table, threshold: float = 0.2) -> dict:
+    """How far a persisted index has drifted from its training base:
+    the fraction of currently-served codes that were appended AFTER the
+    last full (re)build, read off the snapshot log — appends encode
+    against frozen codebooks, so quantization error grows as the
+    appended distribution diverges from the training sample.  Returns
+    {base_rows, appended_rows, staleness, rebuild_recommended}; callers
+    rebuild via pq_write_index/ivfpq_write_index (an atomic overwrite)
+    when recommended."""
+    snaps = sorted(
+        codes_table.snapshots(include_staged=False),
+        key=lambda s: s.sequence_number
+    )
+    if not snaps:
+        raise ValueError("index_staleness: table has no snapshots")
+    base_seq = max(
+        s.sequence_number for s in snaps if s.operation != "append"
+    )
+    base_rows = codes_table.read(seq=base_seq).count()
+    total_rows = codes_table.read().count()
+    appended = total_rows - base_rows
+    staleness = appended / total_rows if total_rows else 0.0
+    return {
+        "base_rows": base_rows,
+        "appended_rows": appended,
+        "staleness": staleness,
+        "rebuild_recommended": staleness > threshold,
+    }

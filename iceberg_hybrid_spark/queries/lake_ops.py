@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 from ..lake.table import HyTable
 from ..sources.tables import load_table
 from ._ivfpq_oracle import EMBEDDING_IVFPQ_PERSISTED_SQL
-from ._pq_oracle import EMBEDDING_PQ_PERSISTED_SQL
+from ._pq_oracle import (
+    EMBEDDING_PQ_APPENDED_SQL,
+    EMBEDDING_PQ_PERSISTED_SQL,
+)
 from .spec import QuerySpec
 
 
@@ -806,6 +809,50 @@ def embedding_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         HyTable(spark, os.path.join(root, "books")),
     )
     queries = emb.filter(F.col("vec_id").isin(3, 4))
+    return S.pq_topk(coded2, books2, sub2, queries, k=4).orderBy(
+        "q_vec_id", "rank"
+    )
+
+
+def embedding_pq_ann_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN served ACROSS AN INCREMENTAL APPEND — the index lifecycle
+    real growing corpora need (the FAISS add() contract as lake
+    appends): the index is trained and persisted on the base split only
+    (vec_id % 10 != 7), the held-out split arrives later and is encoded
+    against the FROZEN persisted codebooks (never retrained), committed
+    as ONE snapshot append on the codes table — existing code files are
+    never rewritten (byte-identity pinned in tests/test_pq.py), and
+    ``index_staleness`` reads the drift fraction off the snapshot log to
+    recommend rebuild.
+
+    Serving (vec_ids 7, 8 — query 7 is itself an appended vector; k=4)
+    runs from fresh table handles over base + appended codes.  Oracle:
+    the base-trained codebooks and the full post-append code relation
+    are pinned as literals (tools/gen_pq_oracle.py third constant —
+    pq_encode is the pure per-vector stage, so base-then-delta equals
+    encoding the union) and DuckDB recomputes ADC scoring and ranking
+    independently."""
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    coded, codebooks, sub = S.pq_build(base, m=4, k=16, seed=42)
+    root = _scratch("pqappend")
+    codes_t = HyTable(spark, os.path.join(root, "codes"))
+    books_t = HyTable(spark, os.path.join(root, "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+    S.pq_append_index(
+        delta,
+        HyTable(spark, os.path.join(root, "codes")),
+        HyTable(spark, os.path.join(root, "books")),
+    )
+    # fresh handles: serving sees base + appended codes from disk alone
+    coded2, books2, sub2 = S.pq_read_index(
+        HyTable(spark, os.path.join(root, "codes")),
+        HyTable(spark, os.path.join(root, "books")),
+    )
+    queries = emb.filter(F.col("vec_id").isin(7, 8))
     return S.pq_topk(coded2, books2, sub2, queries, k=4).orderBy(
         "q_vec_id", "rank"
     )
@@ -2032,6 +2079,11 @@ SPECS = [
               BACKPRESSURE_TRAJECTORY_SQL,
               "RateController closed-loop decision trajectory; oracle "
               "replays the stateful recurrence as a recursive CTE"),
+    QuerySpec("embedding_pq_ann_appended", embedding_pq_ann_appended,
+              EMBEDDING_PQ_APPENDED_SQL,
+              "PQ ANN served across an incremental index append: delta "
+              "encoded against frozen persisted codebooks, one snapshot "
+              "append, fresh-handle serving"),
     QuerySpec("read_route_scores", read_route_scores,
               READ_ROUTE_SCORES_SQL,
               "ReadRouter 0.7/0.3 scoring + 3-tier fallback driven "

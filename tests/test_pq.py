@@ -236,3 +236,163 @@ def test_ivfpq_index_persists_and_probe_filter_pushes_down(spark, tmp_path):
     assert "PushedFilters" in plan and "ivf_centroid" in plan.split(
         "PushedFilters"
     )[1].splitlines()[0]
+
+
+def _split(emb):
+    return emb.filter(F.col("vec_id") % 10 != 7), emb.filter(
+        F.col("vec_id") % 10 == 7
+    )
+
+
+def test_pq_append_serves_new_vectors_old_codes_untouched(spark, tmp_path):
+    """The FAISS add() contract as lake appends: the delta is encoded
+    with the FROZEN persisted codebooks, committed as one snapshot
+    append; pre-append code rows and their data files are untouched;
+    serving from fresh handles covers base + appended vectors and equals
+    a from-scratch encode of the union against the same codebooks."""
+    import os
+
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base, delta = _split(emb)
+    coded, codebooks, sub = S.pq_build(base, m=M, k=K, seed=42)
+    codes_t = HyTable(spark, str(tmp_path / "codes"))
+    books_t = HyTable(spark, str(tmp_path / "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+    snap_before = codes_t.current_snapshot()
+    rows_before = {
+        r.vec_id: tuple(r[f"pq_code_{j}"] for j in range(M))
+        for r in codes_t.read().collect()
+    }
+
+    n = S.pq_append_index(delta, codes_t, books_t)
+    assert n == delta.count() > 0
+
+    # old data files are present unchanged in the post-append manifest
+    # (append never rewrites), and the pre-append rows are byte-identical
+    snap_after = codes_t.current_snapshot()
+    assert snap_after.operation == "append"
+    before_files = {f.path for f in snap_before.manifest}
+    after_files = {f.path for f in snap_after.manifest}
+    assert before_files <= after_files
+    rows_base_after = {
+        r.vec_id: tuple(r[f"pq_code_{j}"] for j in range(M))
+        for r in codes_t.read().collect()
+        if r.vec_id in rows_before
+    }
+    assert rows_base_after == rows_before
+
+    # serving from fresh handles includes appended vectors and equals a
+    # from-scratch frozen-codebook encode of the union
+    coded2, books2, sub2 = S.pq_read_index(
+        HyTable(spark, str(tmp_path / "codes")),
+        HyTable(spark, str(tmp_path / "books")),
+    )
+    queries = emb.filter(F.col("vec_id").isin(7, 8))
+    got = S.pq_topk(coded2, books2, sub2, queries, k=5).collect()
+    union_coded = S.pq_encode(emb, codebooks, sub)
+    want = S.pq_topk(union_coded, codebooks, sub, queries, k=5).collect()
+    key = lambda r: (r.q_vec_id, r.rank)  # noqa: E731
+    assert sorted(
+        [(r.q_vec_id, r.rank, r.vec_id, r.adc_dot) for r in got]
+    ) == sorted([(r.q_vec_id, r.rank, r.vec_id, r.adc_dot) for r in want])
+    # appended vectors are genuinely in the serving candidate set: a
+    # deep-k pass must surface them (top-5 may or may not, the corpus
+    # is random)
+    deep = S.pq_topk(coded2, books2, sub2, queries, k=100).collect()
+    assert any(r.vec_id % 10 == 7 for r in deep), "appended vectors served"
+
+    # idempotent redelivery: the same delta appends nothing
+    assert S.pq_append_index(delta, codes_t, books_t) == 0
+
+
+def test_index_staleness_tracks_appends_and_resets_on_rebuild(spark, tmp_path):
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base, delta = _split(emb)
+    coded, codebooks, sub = S.pq_build(base, m=M, k=K, seed=42)
+    codes_t = HyTable(spark, str(tmp_path / "codes"))
+    books_t = HyTable(spark, str(tmp_path / "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+
+    st0 = S.index_staleness(codes_t)
+    assert st0["appended_rows"] == 0 and not st0["rebuild_recommended"]
+
+    S.pq_append_index(delta, codes_t, books_t)
+    st1 = S.index_staleness(codes_t, threshold=0.05)
+    n_base, n_delta = base.count(), delta.count()
+    assert st1["base_rows"] == n_base
+    assert st1["appended_rows"] == n_delta
+    assert abs(st1["staleness"] - n_delta / (n_base + n_delta)) < 1e-9
+    assert st1["rebuild_recommended"]  # 10% > 5% threshold
+    assert not S.index_staleness(codes_t, threshold=0.5)[
+        "rebuild_recommended"
+    ]
+
+    # rebuild (atomic overwrite) resets the staleness base
+    union_coded = S.pq_encode(emb, codebooks, sub)
+    S.pq_write_index(union_coded, codebooks, codes_t, books_t)
+    st2 = S.index_staleness(codes_t)
+    assert st2["appended_rows"] == 0 and not st2["rebuild_recommended"]
+
+
+def test_ivfpq_append_frozen_assignment_and_serving(spark, tmp_path):
+    """IVF-PQ append: the delta is assigned to the nearest FROZEN
+    centroid (pure argmin, pinned against a python replay) and encoded
+    with frozen codebooks; fresh-handle serving equals a from-scratch
+    frozen encode of the union."""
+    import os
+
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base, delta = _split(emb)
+    assigned, centers = S.ivf_build(base, k=8, seed=42)
+    coded, codebooks, sub = S.pq_build(assigned, m=M, k=K, seed=42)
+    root = tmp_path / "ivfpq"
+    tables = [
+        HyTable(spark, str(root / n)) for n in ("codes", "books", "centers")
+    ]
+    S.ivfpq_write_index(coded, centers, codebooks, *tables)
+
+    n = S.ivfpq_append_index(delta, *tables)
+    assert n == delta.count() > 0
+
+    # frozen assignment == python argmin over the frozen centers
+    got_assign = {
+        r.vec_id: r.ivf_centroid
+        for r in tables[0].read().collect()
+        if r.vec_id % 10 == 7
+    }
+    for r in delta.collect():
+        v = list(r.embedding)
+        dists = [
+            sum((x - c) ** 2 for x, c in zip(v, cent)) for cent in centers
+        ]
+        assert got_assign[r.vec_id] == dists.index(min(dists))
+
+    coded2, centers2, books2, sub2 = S.ivfpq_read_index(*[
+        HyTable(spark, str(root / n)) for n in ("codes", "books", "centers")
+    ])
+    queries = emb.filter(F.col("vec_id").isin(7, 8))
+    got = S.ivfpq_topk(
+        coded2, centers2, books2, sub2, queries, k=5, nprobe=8
+    ).collect()
+    union_assigned = S.assign_frozen_centers(
+        emb.join(base.select("vec_id"), "vec_id", "left_anti"), centers
+    )
+    union_coded = S.pq_encode(union_assigned, codebooks, sub).drop(
+        "embedding"
+    ).unionByName(coded.drop("embedding"))
+    want = S.ivfpq_topk(
+        union_coded, centers, codebooks, sub, queries, k=5, nprobe=8
+    ).collect()
+    assert sorted(
+        [(r.q_vec_id, r.rank, r.vec_id, r.adc_dot) for r in got]
+    ) == sorted([(r.q_vec_id, r.rank, r.vec_id, r.adc_dot) for r in want])
+    deep = S.ivfpq_topk(
+        coded2, centers2, books2, sub2, queries, k=100, nprobe=8
+    ).collect()
+    assert any(r.vec_id % 10 == 7 for r in deep)

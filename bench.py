@@ -123,6 +123,7 @@ HEADLINE = [
     # round-9 operators
     "read_route_scores",
     "embedding_pq_ann_appended",
+    "lease_gc_floor",
 ]
 
 

@@ -79,12 +79,25 @@ def produce_candidates(
     retain_last: int = 2,
     grace_s: int = GRACE_S,
     now_ms: int | None = None,
+    min_leased_seq: int | None = None,
 ) -> list[GcCandidate]:
     """Reachability diff: files referenced only by snapshots older than the
-    retained window, plus orphans — each stamped delete_after."""
+    retained window, plus orphans — each stamped delete_after.
+
+    ``min_leased_seq`` is the query-lease GC floor (≙ QueryLease —
+    legacy LeasePort.java:6-11; GC doc :547-824): every snapshot at or
+    after the oldest leased sequence stays reachable regardless of the
+    retention window, so an in-flight reader pinned to a leased snapshot
+    never loses files under it.  Pass
+    ``LeaseStore.min_leased_seq(table)``; None (no active leases) leaves
+    retention-only semantics."""
     now_ms = now_ms or int(time.time() * 1000)
     snaps = table.snapshots()
     retained = snaps[-retain_last:] if retain_last else []
+    if min_leased_seq is not None:
+        retained = retained + [
+            s for s in snaps if s.sequence_number >= min_leased_seq
+        ]
     reachable = {f.path for s in retained for f in s.manifest}
     all_refs = {f.path: f for s in snaps for f in s.manifest}
     out = [

@@ -1008,6 +1008,94 @@ FROM sim WHERE t >= 1 ORDER BY tick
 """
 
 
+def lease_gc_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lease-aware GC END-TO-END through the value gate: the one GC
+    interaction that protects in-flight readers (query leases ≙
+    legacy QueryLease.java:3 / LeasePort.java:6-11; GC doc :547-824),
+    previously pinned only by unit tests, driven as produce-candidates →
+    lease floor → guarded apply-delete over a fixture lifecycle.
+
+    Lifecycle (single-file commits so every count is structural): four
+    snapshots over nation-derived rows (25 → regionkey<3 → <2 → <1
+    rows); an EXPIRED lease on snapshot 1 and ACTIVE leases on 2 and 3
+    put the REAL ``LeaseStore.min_leased_seq`` floor at 2; with
+    retain_last=1, the unguarded candidate set is snapshots 1-3's files
+    (3) while the floor-guarded set is snapshot 1's file alone (1).  A
+    FRESH delete plan is blocked by the safety window first
+    (GCCoordinator.java:81-106 guard), then the aged plan deletes.  The
+    value proof: after GC the leased reader still time-travels to its
+    pinned snapshot (post_gc_leased_rows = the regionkey<3 count) — had
+    the floor not held, that read would have lost its file.  Oracle:
+    derivable row counts recomputed from nation; structural file/guard
+    counts are literals of the single-file commit discipline."""
+    import time as _time
+
+    from ..control.leases import LeaseStore
+    from ..lake import gc as G
+
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    t = HyTable(spark, _scratch("leasegc"))
+    t.create(nation)                                            # seq 1
+    t.overwrite(nation.filter(F.col("n_regionkey") < 3))        # seq 2
+    t.overwrite(nation.filter(F.col("n_regionkey") < 2))        # seq 3
+    t.overwrite(nation.filter(F.col("n_regionkey") < 1))        # seq 4
+
+    leases = LeaseStore(spark)
+    leases.create("t", snapshot_seq=1, holder="expired-reader", ttl_s=1)
+    leases.create("t", snapshot_seq=2, holder="bi-dashboard", ttl_s=3600)
+    leases.create("t", snapshot_seq=3, holder="audit-job", ttl_s=3600)
+    check_ms = int(_time.time() * 1000) + 5_000  # lease 1 expired by then
+    floor = leases.min_leased_seq("t", now_ms=check_ms)
+
+    now = int(_time.time() * 1000)
+    gen = now - 400_000
+    unguarded = G.produce_candidates(t, retain_last=1, grace_s=0, now_ms=gen)
+    guarded = G.produce_candidates(
+        t, retain_last=1, grace_s=0, now_ms=gen, min_leased_seq=floor
+    )
+    # fresh plan first: the safety window blocks every file, nothing is
+    # deleted yet (order matters — a deleted file would report missing)
+    fresh = G.apply_delete_plan(
+        G.DeletePlan(t.root, guarded, now, now, now + 10**7),
+        safety_delay_s=60,
+        now_ms=now,
+    )
+    aged = G.apply_delete_plan(
+        G.DeletePlan(t.root, guarded, gen, gen, now + 10**7),
+        safety_delay_s=60,
+        now_ms=now,
+    )
+    rows = [
+        ("blocked_window_fresh_plan",
+         sum(1 for e in fresh if e.result == "blocked_window")),
+        ("deleted", sum(1 for e in aged if e.result == "deleted")),
+        ("guarded_candidates", len(guarded)),
+        ("lease_floor_seq", int(floor)),
+        ("post_gc_current_rows", t.read().count()),
+        ("post_gc_leased_rows", t.read(seq=floor).count()),
+        ("unguarded_candidates", len(unguarded)),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, value bigint"
+    ).orderBy("metric")
+
+
+LEASE_GC_FLOOR_SQL = """
+WITH m(metric, value) AS (
+  SELECT 'blocked_window_fresh_plan', CAST(1 AS BIGINT)
+  UNION ALL SELECT 'deleted', 1
+  UNION ALL SELECT 'guarded_candidates', 1
+  UNION ALL SELECT 'lease_floor_seq', 2
+  UNION ALL SELECT 'post_gc_current_rows',
+    (SELECT COUNT(*) FROM nation WHERE n_regionkey < 1)
+  UNION ALL SELECT 'post_gc_leased_rows',
+    (SELECT COUNT(*) FROM nation WHERE n_regionkey < 3)
+  UNION ALL SELECT 'unguarded_candidates', 3
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
+"""
+
+
 def read_route_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The read-routing composite (control/router.py ``ReadRouter`` ≙
     ReadRouter.scala:93-116 scoring, legacy-java ReadRouter.java:63-93
@@ -2084,6 +2172,11 @@ SPECS = [
               "PQ ANN served across an incremental index append: delta "
               "encoded against frozen persisted codebooks, one snapshot "
               "append, fresh-handle serving"),
+    QuerySpec("lease_gc_floor", lease_gc_floor,
+              LEASE_GC_FLOOR_SQL,
+              "Lease-aware GC end-to-end: produce-candidates with the "
+              "min_leased_seq floor, safety-window guard, delete, and "
+              "the leased reader's post-GC time travel"),
     QuerySpec("read_route_scores", read_route_scores,
               READ_ROUTE_SCORES_SQL,
               "ReadRouter 0.7/0.3 scoring + 3-tier fallback driven "

@@ -134,3 +134,33 @@ def test_orphan_grace_tiers():
     assert G.orphan_grace_s("data/compaction/tmp/z.parquet") == G.ORPHAN_TMP_GRACE_S
     assert G.orphan_grace_s("data/part-0.parquet") == G.ORPHAN_GRACE_S
     assert G.orphan_grace_s("data/tmpish/f.parquet") == G.ORPHAN_GRACE_S
+
+
+def test_lease_floor_protects_leased_and_newer_snapshots(spark, tmp_table_root):
+    """min_leased_seq is the GC floor: every snapshot at or after the
+    oldest leased sequence stays reachable whatever the retention
+    window, so the in-flight reader pinned there never loses files."""
+    t = HyTable(spark, tmp_table_root)
+    t.create(spark.range(0, 100).toDF("id"))                 # seq 1
+    t.overwrite(spark.range(0, 50).toDF("id"))               # seq 2
+    t.overwrite(spark.range(0, 20).toDF("id"))               # seq 3
+    t.overwrite(spark.range(0, 5).toDF("id"))                # seq 4
+
+    no_floor = {c.file_uri for c in G.produce_candidates(t, retain_last=1)}
+    assert no_floor == {
+        f.path for s in (1, 2, 3) for f in t.snapshot_by_seq(s).manifest
+    }
+
+    floored = {
+        c.file_uri
+        for c in G.produce_candidates(t, retain_last=1, min_leased_seq=2)
+    }
+    assert floored == {f.path for f in t.snapshot_by_seq(1).manifest}
+
+    # floor at the oldest snapshot → nothing is a candidate
+    assert G.produce_candidates(t, retain_last=1, min_leased_seq=1) == []
+    # no active leases (None) → retention-only semantics unchanged
+    assert {
+        c.file_uri
+        for c in G.produce_candidates(t, retain_last=1, min_leased_seq=None)
+    } == no_floor

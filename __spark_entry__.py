@@ -31,70 +31,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose most recent driver correctness row is the oldest, topped up
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
-# This tuple is EXACTLY the 50-entry driver window for round 8:
-# 3 new + 7 changed-implementation + all 37 remaining round-4-vintage
-# rows + the 3 oldest round-5 rows.  It is a fixed list committed with
-# the code — the registry order never depends on runtime state or files
-# outside the package.
+# This tuple is EXACTLY the 50-entry driver window for round 9:
+# 4 new + 9 changed-implementation + the 37 stalest remaining rows (all
+# round-5 vintage; the 6 r5 rows that no longer fit lead round 10's
+# rotation).  It is a fixed list committed with the code — the registry
+# order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
-    "embedding_pq_ann_persisted",
-    "embedding_ivfpq_ann_persisted",
-    "backpressure_budget_trajectory",
+    "kmv_source_overlap_sketch",
+    "read_route_scores",
+    "embedding_pq_ann_appended",
+    "lease_gc_floor",
     # implementation/oracle changed this round — prior rows validated
-    # old code (PPJoin full filter stack; basket-capped association
-    # rules; NULL-probe FK audit; null-partition range planning; CMS
-    # batch_fp state column; PQ/IVF-PQ cache keying + serving guards)
-    "jaccard_prefix_filter_pairs",
-    "part_affinity_rules",
-    "fk_integrity_audit",
-    "range_write_plan",
+    # old code (128-bit simhash + relational fold; kmv bottom-K helper
+    # refactor; bloom window->aggregate rewrite; backpressure
+    # round_stable gate; CMS batch_fp read-compat; pq_encode extraction
+    # + content-keyed caches on the PQ/IVF-PQ family)
+    "simhash_near_dup",
+    "kmv_source_overlap",
+    "bloom_fpr_audit",
+    "backpressure_budget_trajectory",
     "streaming_cms_ingest",
     "embedding_pq_ann",
     "embedding_ivfpq_ann",
-    # last driver row: round 4 (all 37 — the oldest vintage, registry
-    # declaration order)
-    "bucketed_colocated_join",
-    "refs_listing",
-    "weekly_cohort_retention",
-    "spec_evolution_read",
-    "conversion_funnel",
-    "embedding_ivf_ann",
-    "sorted_write_pruned_read",
-    "semantic_dedup_stats",
-    "table_changelog_rows",
-    "bpe_token_budget",
-    "event_type_transitions",
-    "events_json_props",
-    "top_user_by_value_per_type",
-    "skew_split_user_enrichment",
-    "error_rate_by_day",
-    "embedding_near_dup_pairs_exact",
-    "embedding_topk_cosine",
-    "partitions_metadata_stats",
-    "tag_mor_pinned_read",
-    "embedding_multi_query_topk",
-    "tag_time_travel_read",
-    "embedding_norm_stats",
-    "doc_repetition_scores",
-    "embedding_lsh_ann",
-    "source_curation_report",
-    "merge_upsert_result",
-    "normalized_dedup_stats",
-    "doc_length_percentiles",
-    "mix_rebalance_plan",
-    "unigram_logprob_quality",
-    "corpus_retention_funnel",
-    "embedding_quantization_error",
-    "boilerplate_filter_report",
-    "vocab_coverage_curve",
-    "stratified_split_report",
-    "span_duplication_report",
-    "source_overlap_matrix",
-    # last driver row: round 5 (the 3 oldest, declaration order)
-    "near_dup_threshold_sweep",
-    "simhash_near_dup",
-    "multimodal_decode_features",
+    "embedding_pq_ann_persisted",
+    "embedding_ivfpq_ann_persisted",
+    # last driver row: round 5 (the 37 stalest, registry declaration
+    # order)
+    "q20_dominant_blue_suppliers",
+    "q21_last_shipper",
+    "q4_priority_late_orders",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "streaming_watermarked_windows",
+    "q15_top_supplier",
+    "events_daily_by_type",
+    "streaming_dedup_ingest",
+    "q22_idle_rich_customers",
+    "events_sliding_window",
+    "doc_quality_scores",
+    "segment_priority_grouping_sets",
+    "approx_vs_exact_users",
+    "language_prediction",
+    "q13_customer_distribution",
+    "user_sessions",
+    "dedup_exact_documents",
+    "q19_disjunctive_revenue",
+    "shingle_fingerprints",
+    "q6_forecast_revenue",
+    "near_dup_shingle_pairs",
+    "q14_promo_revenue",
+    "q9_profit_by_nation_year",
+    "minhash_near_dup",
+    "embedding_near_dup_pairs",
+    "dsir_importance_weights",
+    "temperature_mix_weights",
+    "curriculum_stages",
+    "cross_split_contamination",
+    "epoch_shuffle",
+    "token_budget_selection",
+    "zorder_clustered_read",
+    "source_token_divergence",
+    "clustered_pruned_read",
+    "hidden_partition_read",
+    "snapshot_diff_rows",
 )
 
 

@@ -66,6 +66,10 @@ QUERIES = [
     "hll_distinct_audit",
     "bloom_fpr_audit",
     "kmv_source_overlap",
+    "kmv_source_overlap_sketch",
+    "read_route_scores",
+    "embedding_pq_ann_appended",
+    "lease_gc_floor",
     "quantile_sketch_audit",
     "bpe_tokenize_fertility",
     "hard_negative_mining",

@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 9:
-# 4 new + 9 changed-implementation + the 37 stalest remaining rows (all
-# round-5 vintage; the 6 r5 rows that no longer fit lead round 10's
+# 5 new + 9 changed-implementation + the 36 stalest remaining rows (all
+# round-5 vintage; the 7 r5 rows that no longer fit lead round 10's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",
+    "simhash_hamming_calibration",
     # implementation/oracle changed this round — prior rows validated
     # old code (128-bit simhash + relational fold; kmv bottom-K helper
     # refactor; bloom window->aggregate rewrite; backpressure
@@ -94,7 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "source_token_divergence",
     "clustered_pruned_read",
     "hidden_partition_read",
-    "snapshot_diff_rows",
 )
 
 

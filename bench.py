@@ -124,6 +124,7 @@ HEADLINE = [
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",
+    "simhash_hamming_calibration",
 ]
 
 

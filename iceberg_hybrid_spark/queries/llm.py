@@ -25,7 +25,10 @@ from ._ivfpq_oracle import EMBEDDING_IVFPQ_SQL
 from ._pq_oracle import EMBEDDING_PQ_SQL
 from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
 from ._cdc_oracle import CDC_CHUNK_OVERLAP_SQL
-from ._simhash_oracle import SIMHASH_NEAR_DUP_SQL
+from ._simhash_oracle import (
+    SIMHASH_CALIBRATION_SQL,
+    SIMHASH_NEAR_DUP_SQL,
+)
 from .spec import QuerySpec
 
 # DuckDB fragment computing distinct 3-token shingles from `text`.
@@ -1388,6 +1391,79 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
 
 
+def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-threshold calibration for the simhash dedup family: per
+    hamming distance 0..7, how many candidate pairs exist and their
+    EXACT aggregate shingle overlap (integer sums of |A∩B| and |A∪B| —
+    no float compare anywhere).  This is the table a pipeline owner
+    reads to pick the hamming cutoff: where the overlap mass collapses
+    is where fingerprint proximity stops meaning textual duplication.
+
+    Exercises the band-width knob the 128-bit simhash exposes
+    (``simhash128_band_structs``): 16-bit bands give 128/16 = 8 bands,
+    certifying pigeonhole completeness at hamming <= 8-1 = 7 — double
+    the distance of the production query's 4x32 banding, at the cost of
+    band-space density (2^16 buckets/band saturates at corpus scale —
+    the r8 finding).  That trade is exactly right here: calibration is
+    an AUDIT-scale sweep (like ``kmv_source_overlap``'s exact side),
+    while the production dedup pass (``simhash_near_dup``) keeps the
+    wide bands.  Oracle: fingerprint literals + DuckDB recomputing the
+    all-pairs hamming relation and the shingle set ops from documents
+    (tools/gen_simhash_oracle.py second constant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = D.simhash128_rel(docs, "text", "doc_id")
+    chunks = d.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            D.simhash128_band_structs(F.col("fp"), band_bits=16)
+        ).alias("b"),
+    ).select(
+        "doc_id", "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    chunks = chunks.repartition(F.col("band"), F.col("key"))
+    a, b = chunks.alias("a"), chunks.alias("b").hint("shuffle_hash")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            D.hamming128(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 7)
+    )
+    sh = docs.select("doc_id", T.shingles("text", 3).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "hamming",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            (
+                F.size("sh_a") + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("un"),
+        )
+    )
+    return (
+        verified.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("inter").cast("bigint").alias("shared_shingles"),
+            F.sum("un").cast("bigint").alias("union_shingles"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aggressiveness tuning curve: for Jaccard thresholds from the
     noise floor (0.005) to near-exact (0.8), how many pairs and distinct
@@ -1575,6 +1651,11 @@ SPECS = [
     QuerySpec("simhash_near_dup", simhash_near_dup, SIMHASH_NEAR_DUP_SQL,
               "SimHash banded candidates + hamming verify vs "
               "fingerprint-literal all-pairs oracle"),
+    QuerySpec("simhash_hamming_calibration", simhash_hamming_calibration,
+              SIMHASH_CALIBRATION_SQL,
+              "Hamming-threshold calibration: 8x16-bit banding "
+              "(certified d<=7) with exact integer shingle-overlap "
+              "sums per hamming bucket"),
     QuerySpec("embedding_pq_ann", embedding_pq_ann, EMBEDDING_PQ_SQL,
               "product-quantization ADC ANN vs codebook-literal oracle"),
     QuerySpec("embedding_ivfpq_ann", embedding_ivfpq_ann, EMBEDDING_IVFPQ_SQL,

@@ -432,3 +432,37 @@ def test_hamming128_matches_python_popcount(spark):
         lo_a, hi_a = byid[ia]
         lo_b, hi_b = byid[ib]
         assert h == pop(lo_a ^ lo_b) + pop(hi_a ^ hi_b)
+
+
+def test_simhash128_band_width_knob_certifies_wider_distance():
+    """band_bits=16 gives 8 bands certifying hamming <= 7 — the knob the
+    calibration query turns.  Same pure-Python chunk mirror as the
+    32-bit test, parameterized width."""
+    import random
+
+    def chunks(lo, hi, band_bits):
+        mask = (1 << band_bits) - 1
+        per_half = 64 // band_bits
+        return {
+            (i, ((lo if i < per_half else hi) % (1 << 64))
+                >> (band_bits * (i % per_half)) & mask)
+            for i in range(2 * per_half)
+        }
+
+    rng = random.Random(29)
+    for _ in range(200):
+        lo, hi = rng.getrandbits(64), rng.getrandbits(64)
+        d = rng.randint(0, 7)
+        lo2, hi2 = lo, hi
+        for p in rng.sample(range(128), d):
+            if p < 64:
+                lo2 ^= 1 << p
+            else:
+                hi2 ^= 1 << (p - 64)
+        assert chunks(lo, hi, 16) & chunks(lo2, hi2, 16), (
+            f"no shared 16-bit band after flipping {d} bits"
+        )
+    # 8 flips CAN corrupt all 8 bands (bound is tight)
+    lo2 = sum(1 << (16 * j) for j in range(4))
+    hi2 = sum(1 << (16 * j) for j in range(4))
+    assert not (chunks(0, 0, 16) & chunks(lo2, hi2, 16))

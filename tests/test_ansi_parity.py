@@ -49,7 +49,9 @@ def test_minhash_signature_is_mode_independent(spark):
     "minhash_near_dup",
     "near_dup_clusters",
     "simhash_near_dup",
+    "simhash_hamming_calibration",
     "near_dup_shingle_pairs",
+    "kmv_source_overlap_sketch",
 ])
 def test_near_dup_family_runs_ansi_on(spark, query_name):
     """Each near-dup query executes (no ANSI arithmetic errors) and

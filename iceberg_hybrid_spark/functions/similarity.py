@@ -1160,8 +1160,15 @@ def index_staleness(codes_table, threshold: float = 0.2) -> dict:
     )
     if not snaps:
         raise ValueError("index_staleness: table has no snapshots")
+    # Only a REBUILD (create/overwrite — retraining + re-encode) resets
+    # the drift base.  A 'replace' is compaction: it rewrites layout,
+    # preserving rows — the appended codes are still frozen-codebook
+    # encodes of post-training data, so the staleness they represent
+    # must survive the rewrite.
     base_seq = max(
-        s.sequence_number for s in snaps if s.operation != "append"
+        s.sequence_number
+        for s in snaps
+        if s.operation in ("create", "overwrite")
     )
     base_rows = codes_table.read(seq=base_seq).count()
     total_rows = codes_table.read().count()

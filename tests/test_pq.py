@@ -396,3 +396,61 @@ def test_ivfpq_append_frozen_assignment_and_serving(spark, tmp_path):
         coded2, centers2, books2, sub2, queries, k=100, nprobe=8
     ).collect()
     assert any(r.vec_id % 10 == 7 for r in deep)
+
+
+def test_appended_index_compaction_preserves_serving(spark, tmp_path):
+    """Daily appends accumulate small code files; compaction
+    (rewrite_data_files, the same maintenance the lake runs on data
+    tables) must merge them without changing a single served result —
+    completing the index lifecycle: build -> append* -> compact ->
+    rebuild-when-stale.  The IVF-PQ form re-clusters by the inverted
+    list on compaction (sort_by carried), so probe pruning survives
+    too."""
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base, delta = _split(emb)
+    assigned, centers = S.ivf_build(base, k=8, seed=42)
+    coded, codebooks, sub = S.pq_build(assigned, m=M, k=K, seed=42)
+    root = tmp_path / "ix"
+    tables = [
+        HyTable(spark, str(root / n)) for n in ("codes", "books", "centers")
+    ]
+    S.ivfpq_write_index(coded, centers, codebooks, *tables)
+    # three append waves -> several small files
+    for part in (
+        delta.filter(F.col("vec_id") % 3 == 0),
+        delta.filter(F.col("vec_id") % 3 == 1),
+        delta.filter(F.col("vec_id") % 3 == 2),
+    ):
+        S.ivfpq_append_index(part, *tables)
+    codes_t = tables[0]
+    files_before = len(codes_t.current_snapshot().manifest)
+    assert files_before >= 4  # base + 3 append waves
+
+    queries = emb.filter(F.col("vec_id").isin(7, 8))
+
+    def serve():
+        c, ce, b, s_ = S.ivfpq_read_index(*[
+            HyTable(spark, str(root / n))
+            for n in ("codes", "books", "centers")
+        ])
+        return sorted(
+            (r.q_vec_id, r.rank, r.vec_id, r.adc_dot)
+            for r in S.ivfpq_topk(c, ce, b, s_, queries, k=5, nprobe=8).collect()
+        )
+
+    st_pre = S.index_staleness(codes_t)
+    assert st_pre["appended_rows"] == delta.count()
+
+    before = serve()
+    snap = codes_t.rewrite_data_files(n_files=1, sort_by=["ivf_centroid"])
+    assert snap.operation == "replace"
+    assert len(codes_t.current_snapshot().manifest) < files_before
+    assert serve() == before
+    # compaction is a REPLACE, not a rebuild: the appended codes are
+    # still frozen-codebook encodes of post-training data, so drift
+    # accounting must survive the layout rewrite unchanged
+    st_post = S.index_staleness(codes_t)
+    assert st_post["appended_rows"] == st_pre["appended_rows"]
+    assert st_post["staleness"] == st_pre["staleness"]

@@ -57,7 +57,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_ann",
     "embedding_pq_ann_persisted",
     "embedding_ivfpq_ann_persisted",
-    # last driver row: round 5 (the 37 stalest, registry declaration
+    # last driver row: round 5 (the 36 stalest, registry declaration
     # order)
     "q20_dominant_blue_suppliers",
     "q21_last_shipper",

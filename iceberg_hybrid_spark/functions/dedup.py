@@ -302,9 +302,20 @@ def simhash128_rel(
     # JVM: constructing ~3000 Column nodes through the Python API costs
     # one py4j round-trip per node — measured 3.1 s of driver-side build
     # PER CALL at any data size, vs milliseconds for the parser.
+    # _h2 must stay NULL when _h1 is NULL (the explode_outer row of a
+    # doc with no shingles): Spark's hash expressions SKIP null inputs
+    # rather than propagate them, so a bare xxhash64(NULL, salt) is a
+    # non-null constant and the hi half would vote on it — diverging
+    # from the Column form's all-zero fingerprint for short docs.
     ex = df.select(
         id_col, F.explode_outer(shingle_hashes(text_col, k)).alias("_h1")
-    ).withColumn("_h2", F.xxhash64(F.col("_h1"), F.lit(_SIMHASH128_SALT)))
+    ).withColumn(
+        "_h2",
+        F.when(
+            F.col("_h1").isNotNull(),
+            F.xxhash64(F.col("_h1"), F.lit(_SIMHASH128_SALT)),
+        ),
+    )
     ones = [
         F.expr(
             f"SUM(SHIFTRIGHTUNSIGNED({'_h1' if i < 64 else '_h2'},"

@@ -667,9 +667,18 @@ def pq_build(
 
     key = None
     if cache_key is not None:
+        # Same corpus-identity discipline as ivf_build's model cache:
+        # the upstream content stamp when present (ML-transform plans
+        # don't canonicalize stably), else the analyzed plan's semantic
+        # hash — so two corpora sharing a cache_key (e.g. a base split
+        # and the full table under one sf_dir) can never alias to one
+        # trained-codebook slot.
+        src_marker = getattr(df, "_ihs_content_key", None)
+        if src_marker is None:
+            src_marker = int(df.semanticHash())
         key = (
             df.sparkSession.sparkContext.applicationId,
-            "pq", cache_key, vec_col, m, k, seed,
+            "pq", cache_key, vec_col, m, k, seed, src_marker,
         )
     # ``persist_codes``: also cache the ENCODED corpus (index-build-once
     # semantics — see _PQ_CODES_CACHE).  Keyed additionally on a CONTENT
@@ -1108,6 +1117,12 @@ def pq_append_index(
     fresh = new_vectors.join(
         codes.select(id_col), id_col, "left_anti"
     )
+    # within-batch dedup too: an at-least-once delivery can carry the
+    # same id twice in ONE batch (neither copy is indexed yet, so the
+    # anti-join passes both) — a duplicate code row would serve one id
+    # at two ranks forever.  Redelivery is verbatim by contract, so any
+    # surviving copy encodes identically.
+    fresh = fresh.dropDuplicates([id_col])
     delta = pq_encode(fresh, codebooks, sub, vec_col).drop(vec_col)
     # align to the persisted schema (column order + any extra columns)
     delta = delta.select(*codes.columns).localCheckpoint(eager=True)
@@ -1136,6 +1151,7 @@ def ivfpq_append_index(
         codes_table, books_table, centers_table
     )
     fresh = new_vectors.join(codes.select(id_col), id_col, "left_anti")
+    fresh = fresh.dropDuplicates([id_col])  # within-batch redelivery
     assigned = assign_frozen_centers(fresh, centers, vec_col, centroid_col)
     delta = pq_encode(assigned, codebooks, sub, vec_col).drop(vec_col)
     delta = delta.select(*codes.columns).localCheckpoint(eager=True)

@@ -97,6 +97,7 @@ class HyCatalog:
         retain_last: int = 3,
         compact_min_files: int = 8,
         audit_checksums: bool = True,
+        lease_floor=None,
     ) -> list[dict]:
         """The nightly upkeep cycle over EVERY table in the warehouse —
         compaction (only when fragmented past ``compact_min_files``) →
@@ -112,7 +113,13 @@ class HyCatalog:
         plan-level safety delay is 0 for this pre-aged nightly plan).
         Each table's cycle is independent — on a real cluster the driver
         fans these out as separate jobs (the scheduler parallelism knob,
-        not a data-plane shuffle)."""
+        not a data-plane shuffle).
+
+        ``lease_floor``: optional callable ``identifier -> int | None``
+        (typically ``lambda t: lease_store.min_leased_seq(t)``) — the
+        query-lease GC floor threaded through BOTH deletion paths
+        (snapshot expiry and candidate production), so a nightly sweep
+        can never delete files under an in-flight leased reader."""
         import time as _time
 
         from . import gc as G
@@ -134,13 +141,19 @@ class HyCatalog:
                         rep["compacted"] = True
                     else:
                         rep["compacted"] = False
-                    exp = t.expire_snapshots(retain_last=retain_last)
+                    floor = lease_floor(identifier) if lease_floor else None
+                    exp = t.expire_snapshots(
+                        retain_last=retain_last, min_leased_seq=floor
+                    )
                     rep["expired_snapshots"] = exp["expired_snapshots"]
                     rep["deleted_files"] = exp["deleted_files"]
                     orphan_cands = [
                         c
                         for c in G.produce_candidates(
-                            t, retain_last=retain_last, now_ms=now_ms
+                            t,
+                            retain_last=retain_last,
+                            now_ms=now_ms,
+                            min_leased_seq=floor,
                         )
                         if c.reason == "orphan"
                     ]

@@ -2029,11 +2029,19 @@ class HyTable:
         retain_last: int = 1,
         older_than_ms: int | None = None,
         delete_files: bool = True,
+        min_leased_seq: int | None = None,
     ) -> dict:
         """≙ expire_snapshots(retain_last, older_than): drop old snapshot
         metadata; physically delete files unreachable from any retained
         snapshot (the gc-producer's `all_files − reachable`,
-        doc :778-795)."""
+        doc :778-795).
+
+        ``min_leased_seq`` is the query-lease GC floor (≙ QueryLease —
+        legacy LeasePort.java:6-11): snapshots at or after the oldest
+        leased sequence survive expiry whatever the retention window, so
+        an in-flight reader pinned to a leased snapshot never loses its
+        version file or data files.  Pass
+        ``LeaseStore.min_leased_seq(table)``."""
         snaps = self.snapshots()
         if not snaps:
             return {"expired_snapshots": 0, "deleted_files": 0}
@@ -2041,6 +2049,12 @@ class HyTable:
         cur = self.current_snapshot()
         if cur:
             keep.add(cur.sequence_number)
+        if min_leased_seq is not None:
+            keep.update(
+                s.sequence_number
+                for s in snaps
+                if s.sequence_number >= min_leased_seq
+            )
         # Branch pointers are refs: their head snapshots (and so their
         # files) must survive expiry even when older than the retain
         # window — Iceberg's ref-protected expire_snapshots.  Expiring a

@@ -466,3 +466,27 @@ def test_simhash128_band_width_knob_certifies_wider_distance():
     lo2 = sum(1 << (16 * j) for j in range(4))
     hi2 = sum(1 << (16 * j) for j in range(4))
     assert not (chunks(0, 0, 16) & chunks(lo2, hi2, 16))
+
+
+def test_simhash128_rel_matches_column_form_on_short_docs(spark):
+    """Docs with < k tokens have no shingles: the Column form yields an
+    all-zero fingerprint and the relational form must match — Spark's
+    hash expressions SKIP null inputs (xxhash64(NULL, salt) is a
+    non-null constant!), so the second hash stream must be explicitly
+    null-gated or the hi half votes on the explode_outer placeholder
+    row (caught by review, empirically divergent before the fix)."""
+    rows = [
+        (1, "a b"), (2, ""), (3, "only two"),
+        (4, "the quick brown fox jumps"), (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_form = {
+        r.doc_id: (r.fp.lo, r.fp.hi)
+        for r in df.select("doc_id", D.simhash128("text").alias("fp")).collect()
+    }
+    rel_form = {
+        r.doc_id: (r.fp.lo, r.fp.hi)
+        for r in D.simhash128_rel(df, "text", "doc_id").collect()
+    }
+    assert col_form == rel_form
+    assert col_form[1] == (0, 0) and col_form[5] == (0, 0)

@@ -132,3 +132,46 @@ def test_catalog_wide_maintenance(spark, tmp_path):
     # data unharmed where audits passed
     assert frag.read().count() == 800
     assert small.read().count() == 10
+
+
+def test_maintenance_respects_lease_floor(spark, tmp_path):
+    """The nightly sweep with a lease_floor resolver must keep every
+    snapshot at/after the oldest leased sequence — version file AND
+    data files — while an unleased table expires normally; releasing
+    the lease lets the next cycle reclaim."""
+    from iceberg_hybrid_spark.control.leases import LeaseStore
+    from iceberg_hybrid_spark.lake.catalog import HyCatalog
+
+    cat = HyCatalog(spark, str(tmp_path / "wh"))
+    leased = cat.create_table(
+        "a.leased", spark.range(0, 100).toDF("id").coalesce(1)
+    )
+    for lo in (100, 200, 300):
+        leased.overwrite(spark.range(lo, lo + 50).toDF("id").coalesce(1))
+    free = cat.create_table(
+        "a.free", spark.range(0, 100).toDF("id").coalesce(1)
+    )
+    for lo in (100, 200, 300):
+        free.overwrite(spark.range(lo, lo + 50).toDF("id").coalesce(1))
+
+    leases = LeaseStore(spark)
+    lease = leases.create("a.leased", snapshot_seq=2, holder="bi", ttl_s=3600)
+    floor = lambda t: leases.min_leased_seq(t)  # noqa: E731
+
+    reports = {
+        r["table"]: r
+        for r in cat.run_maintenance(retain_last=1, lease_floor=floor)
+    }
+    # snapshots 2..4 survive on the leased table (floor), only 1 expires
+    assert reports["a.leased"]["expired_snapshots"] == 1
+    # the unleased twin expires its full pre-window history
+    assert reports["a.free"]["expired_snapshots"] == 3
+    # the leased reader still time-travels to its pinned snapshot
+    assert cat.load_table("a.leased").read(seq=2).count() == 50
+    # released lease -> the next cycle reclaims what the floor protected
+    leases.release(lease.lease_id)
+    reports2 = {
+        r["table"]: r
+        for r in cat.run_maintenance(retain_last=1, lease_floor=floor)
+    }
+    assert reports2["a.leased"]["expired_snapshots"] == 2

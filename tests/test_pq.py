@@ -454,3 +454,24 @@ def test_appended_index_compaction_preserves_serving(spark, tmp_path):
     st_post = S.index_staleness(codes_t)
     assert st_post["appended_rows"] == st_pre["appended_rows"]
     assert st_post["staleness"] == st_pre["staleness"]
+
+
+def test_pq_append_dedupes_within_batch(spark, tmp_path):
+    """One at-least-once batch carrying the same id twice must append a
+    single code row — neither copy is in the index yet, so the
+    anti-join alone cannot catch it."""
+    from iceberg_hybrid_spark.lake.table import HyTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base, delta = _split(emb)
+    coded, codebooks, sub = S.pq_build(base, m=M, k=K, seed=42)
+    codes_t = HyTable(spark, str(tmp_path / "codes"))
+    books_t = HyTable(spark, str(tmp_path / "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+
+    doubled = delta.unionByName(delta)  # verbatim within-batch redelivery
+    assert S.pq_append_index(doubled, codes_t, books_t) == delta.count()
+    per_id = (
+        codes_t.read().groupBy("vec_id").count().filter("count > 1").count()
+    )
+    assert per_id == 0

@@ -67,6 +67,7 @@ QUERIES = [
     "bloom_fpr_audit",
     "kmv_source_overlap",
     "kmv_source_overlap_sketch",
+    "simhash_hamming_calibration",
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",

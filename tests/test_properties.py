@@ -633,3 +633,56 @@ def test_prefix_filter_complete_on_random_corpora(
         if j >= 0.3:
             want.add((x, y))
     assert got == want
+
+
+# --- KMV sketch twin: prune exactness on random corpora ----------------------
+
+_kmv_doc = st.lists(
+    st.sampled_from("abcdefghijklmn"), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(_kmv_doc, min_size=4, max_size=24),
+    rep=st.integers(min_value=1, max_value=30),
+)
+def test_kmv_sketch_twin_equals_audit_on_random_corpora(spark, tmp_path_factory, docs, rep):
+    """The sketch twin's threshold prune + verified fallback must be
+    RESULT-INVARIANT for any corpus shape hypothesis can produce —
+    including sub-k-token docs (empty shingle sets), extreme repetition
+    (the n_chars upper bound maximally loose, forcing the fallback), and
+    skewed source sizes.  Equality target: the audited form's estimator
+    columns on the same directory."""
+    import os
+
+    from iceberg_hybrid_spark.queries.pipeline import (
+        kmv_source_overlap,
+        kmv_source_overlap_sketch,
+    )
+
+    rows = []
+    for i, words in enumerate(docs):
+        text = " ".join(words * (rep if i % 3 == 0 else 1))
+        rows.append((i, text, f"src{i % 3}", "en", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, lang string, n_chars int"
+    )
+    sf_dir = str(tmp_path_factory.mktemp("kmvprop"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    audit = {
+        (r["src_a"], r["src_b"]): (
+            r["kmv_union_est"], r["kmv_intersection_est"], r["kmv_jaccard_est"]
+        )
+        for r in kmv_source_overlap(spark, sf_dir).collect()
+    }
+    sketch = {
+        (r["src_a"], r["src_b"]): (
+            r["kmv_union_est"], r["kmv_intersection_est"], r["kmv_jaccard_est"]
+        )
+        for r in kmv_source_overlap_sketch(spark, sf_dir).collect()
+    }
+    assert sketch == audit

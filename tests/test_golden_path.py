@@ -76,15 +76,16 @@ def test_golden_path(spark, env, tmp_path):
     cands = G.produce_candidates(src, retain_last=1, grace_s=0, now_ms=gen)
     assert cands
 
-    # 10. an in-flight query holds a lease on snapshot 1 → GC must wait
+    # 10. an in-flight query holds a lease on snapshot 1 → the GC floor
+    # (produce_candidates(min_leased_seq=…), the real library path since
+    # round 9) keeps every snapshot at/after it reachable: no candidates
     leases = LeaseStore(spark)
     lease = leases.create(table, snapshot_seq=1, holder="bi-dashboard", ttl_s=60)
     plan = G.DeletePlan(src.root, cands, gen, gen, now + 10**7)
-    if leases.min_leased_seq(table) is not None and leases.min_leased_seq(table) <= 1:
-        execs = []  # coordinator refuses to run the plan while leased
-    else:
-        execs = G.apply_delete_plan(plan, safety_delay_s=60, now_ms=now)
-    assert execs == []
+    assert G.produce_candidates(
+        src, retain_last=1, grace_s=0, now_ms=gen,
+        min_leased_seq=leases.min_leased_seq(table),
+    ) == []
 
     # 11-12. lease released → safety-windowed delete executes
     leases.release(lease.lease_id)

@@ -125,6 +125,11 @@ HEADLINE = [
     "embedding_pq_ann_appended",
     "lease_gc_floor",
     "simhash_hamming_calibration",
+    # round-9 monitoring/calibration additions
+    "ewma_hourly_baseline",
+    "source_psi_drift",
+    "minhash_estimate_calibration",
+    "dedup_modality_agreement",
 ]
 
 

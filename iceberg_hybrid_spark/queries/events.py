@@ -753,6 +753,99 @@ FROM scored ORDER BY abs(mad_z) DESC, hour_start ASC LIMIT 10
 """
 
 
+# EWMA fragments shared verbatim by both engines.  The recurrence
+# ewma_t = a*x_t + (1-a)*ewma_{t-1} is unrolled to its closed form over
+# the last _EWMA_W present hours: a normalized decay-weighted lag sum
+# (pandas ewm(adjust=True) over a bounded horizon).  Unrolling instead
+# of recursing keeps the whole computation ONE window node — no
+# recursive CTE, no iterative job, no driver loop; 0.7^24 ~ 1.9e-4 so
+# the truncated tail is far below the 4 dp output resolution.
+_EWMA_W = 24
+_EWMA_DECAY = "0.7"
+_EWMA_OVER = "OVER (PARTITION BY event_type ORDER BY hour_start)"
+_EWMA_NUM = " + ".join(
+    f"POWER(CAST({_EWMA_DECAY} AS DOUBLE), {k - 1})"
+    f" * COALESCE(LAG(c, {k}) {_EWMA_OVER}, CAST(0.0 AS DOUBLE))"
+    for k in range(1, _EWMA_W + 1)
+)
+_EWMA_DEN = " + ".join(
+    f"POWER(CAST({_EWMA_DECAY} AS DOUBLE), {k - 1})"
+    f" * (CASE WHEN LAG(c, {k}) {_EWMA_OVER} IS NULL"
+    f" THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END)"
+    for k in range(1, _EWMA_W + 1)
+)
+
+
+def ewma_hourly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA burst detector on per-type hourly volumes: each hour is
+    scored against the exponentially-weighted mean of its own type's
+    previous 24 present hours (decay 0.7), the classic ingest-rate
+    baseline a streaming pipeline keeps per key.  burst_score is
+    |ln(count/ewma)| — symmetric in spikes and droughts — and is_burst
+    fires when the hour is >1.5x or <1/1.5x its baseline.  Complements
+    ``hourly_anomaly_flags``: MAD scores hours against the GLOBAL
+    distribution; EWMA scores them against their own key's RECENT
+    history, so a slow regime change never poisons the baseline.
+
+    Scale shape: ONE counting shuffle collapses the corpus to the
+    calendar-bounded (type x hour) relation; the 24 LAG terms share a
+    single Window node (one sort per type partition of a bounded
+    relation); scoring is map-side arithmetic and the top-50 is
+    TakeOrderedAndProject.  At 100 TB the hourly relation is still
+    types x hours — the window never sees raw events.
+
+    Oracle: identical unrolled fragment text in both engines; the
+    bounded float sums differ only in last-ulp ordering, absorbed by
+    the 4 dp rounding."""
+    ev = _ev(spark, sf_dir)
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    scored = cnt.selectExpr(
+        "event_type",
+        "hour_start",
+        "c",
+        f"({_EWMA_NUM}) AS num",
+        f"({_EWMA_DEN}) AS den",
+    ).filter("den > 0")
+    return (
+        scored.selectExpr(
+            "event_type",
+            "hour_start",
+            "CAST(c AS BIGINT) AS event_count",
+            "ROUND(num / den - 0.000000001, 4) + 0.0 AS ewma_prev",
+            "ROUND(ABS(LN(c * den / num)) - 0.000000001, 4) + 0.0"
+            " AS burst_score",
+            "CAST(CASE WHEN c * den / num > 1.5 OR c * den / num < 1.0 / 1.5"
+            " THEN 1 ELSE 0 END AS INT) AS is_burst",
+        )
+        .orderBy(F.desc("burst_score"), "event_type", "hour_start")
+        .limit(50)
+    )
+
+
+EWMA_HOURLY_SQL = f"""
+WITH cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour_start, c,
+         ({_EWMA_NUM}) AS num,
+         ({_EWMA_DEN}) AS den
+  FROM cnt
+)
+SELECT event_type, CAST(hour_start AS TIMESTAMP) AS hour_start,
+       CAST(c AS BIGINT) AS event_count,
+       ROUND(num / den - 0.000000001, 4) + 0.0 AS ewma_prev,
+       ROUND(ABS(LN(c * den / num)) - 0.000000001, 4) + 0.0 AS burst_score,
+       CAST(CASE WHEN c * den / num > 1.5 OR c * den / num < 1.0 / 1.5
+            THEN 1 ELSE 0 END AS INT) AS is_burst
+FROM scored WHERE den > 0
+ORDER BY burst_score DESC, event_type, hour_start LIMIT 50
+"""
+
+
 # Jensen-Shannon term fragments, identical literal text in both engines
 # (CASTs keep Spark off DECIMAL literals; the p > 0 guards give the
 # standard 0·ln0 = 0 convention; all evaluated on a <= weeks x types
@@ -887,6 +980,10 @@ SPECS = [
               HOURLY_ANOMALY_SQL,
               "robust median/MAD z-score anomaly flags on hourly "
               "volumes, top-10 most anomalous"),
+    QuerySpec("ewma_hourly_baseline", ewma_hourly_baseline,
+              EWMA_HOURLY_SQL,
+              "per-type EWMA ingest-rate baseline (decay 0.7, 24h "
+              "horizon) with symmetric burst scores, top-50"),
     QuerySpec("daily_trend_slopes", daily_trend_slopes, DAILY_TREND_SQL,
               "per-type OLS volume trend (slope/intercept/r2) from "
               "BIGINT-exact closed-form sums"),

@@ -25,8 +25,10 @@ from ._ivfpq_oracle import EMBEDDING_IVFPQ_SQL
 from ._pq_oracle import EMBEDDING_PQ_SQL
 from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
 from ._cdc_oracle import CDC_CHUNK_OVERLAP_SQL
+from ._minhash_calib_oracle import MINHASH_CALIB_SQL
 from ._simhash_oracle import (
     SIMHASH_CALIBRATION_SQL,
+    SIMHASH_FPS_VALUES,
     SIMHASH_NEAR_DUP_SQL,
 )
 from .spec import QuerySpec
@@ -1464,6 +1466,215 @@ def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash family: per exact-Jaccard
+    decile bin, how far the 32-slot signature estimate (matching slots
+    / 32) sits from the true shingle Jaccard — mean/max absolute error
+    and the estimate's mean, over the 1-row-band candidate relation
+    (any matching slot).  This is the table a pipeline owner reads to
+    trust the banded dedup family: the binomial error bound predicts
+    sigma = sqrt(J(1-J)/32) <= 0.088, and this query MEASURES it on the
+    corpus instead of assuming it.  1-row banding is deliberately the
+    widest candidate net (the shape ``minhash_near_dup``'s docstring
+    rejects for production): calibration needs LOW-similarity pairs in
+    the sample, exactly the pairs 2-row bands are built to exclude —
+    audit-scale by design, like ``simhash_hamming_calibration``.
+
+    Scale shape: ONE explode+repartition on (slot, value) materializes
+    the signature fold once (ReusedExchange build side); the candidate
+    join meets only slot-equal documents; per-pair verify is map-side
+    array arithmetic; the output is the bounded 10-bin relation.
+    Degenerate empty-shingle pairs (union 0 — all-init signatures match
+    every slot, the known minhash failure on sub-width docs) are
+    excluded by the identical ``u > 0`` guard in both engines.
+
+    Bins floor the EXACT ratio 10·i/u (integer operands: exact at every
+    boundary in both engines — a double can hold these integers, and
+    integer-result division is exact).  Oracle: per-doc signature
+    literals (tools/gen_minhash_calib_oracle.py) + DuckDB recomputing
+    the all-pairs slot-match and shingle set ops from documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.shingle_hashes("text").alias("sh"))
+    sig = d.select(
+        "doc_id", D.minhash_from_hashes(F.col("sh"), 32).alias("sig")
+    )
+    slots = sig.select("doc_id", F.posexplode("sig")).toDF(
+        "doc_id", "slot", "v"
+    )
+    slots = slots.repartition(F.col("slot"), F.col("v"))
+    a, b = slots.alias("a"), slots.alias("b").hint("shuffle_hash")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    paired = (
+        cands.join(sig.selectExpr("doc_id AS id_a", "sig AS sig_a"), "id_a")
+        .join(sig.selectExpr("doc_id AS id_b", "sig AS sig_b"), "id_b")
+        .join(d.selectExpr("doc_id AS id_a", "sh AS sh_a"), "id_a")
+        .join(d.selectExpr("doc_id AS id_b", "sh AS sh_b"), "id_b")
+    )
+    stats = (
+        paired.select(
+            # barrier: keep the u > 0 filter above the candidate joins so
+            # the array_intersect is not re-evaluated as a pushed residual
+            stop_predicate_pushdown(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("i"),
+            (F.size("sh_a") + F.size("sh_b")).alias("ss"),
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b,"
+                " (x, y) -> CAST(x = y AS INT)), 0, (acc, e) -> acc + e)"
+            ).alias("m"),
+        )
+        .selectExpr("i", "ss - i AS u", "m")
+        .filter("u > 0")
+    )
+    binned = stats.selectExpr(
+        "CAST(LEAST(9, FLOOR((10.0 * i) / u)) AS INT) AS j_bin",
+        "CAST(i AS DOUBLE) / u AS exact_j",
+        "CAST(m AS DOUBLE) / 32.0 AS est_j",
+    )
+    return (
+        binned.groupBy("j_bin")
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            round_stable(F.avg("exact_j"), 4).alias("mean_exact_j"),
+            round_stable(F.avg("est_j"), 4).alias("mean_est_j"),
+            round_stable(
+                F.avg(F.abs(F.col("est_j") - F.col("exact_j"))), 4
+            ).alias("mean_abs_err"),
+            round_stable(
+                F.max(F.abs(F.col("est_j") - F.col("exact_j"))), 4
+            ).alias("max_abs_err"),
+        )
+        .orderBy("j_bin")
+    )
+
+
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup agreement matrix: every pair flagged by ANY
+    of the three production near-dup modalities — exact (md5), MinHash
+    (2-row-band LSH + Jaccard >= 0.3 verify), SimHash (128-bit, hamming
+    <= 3) — bucketed by WHICH modalities flagged it.  This is the table
+    that justifies a modality ladder: exact-only rows are trivial
+    dups, minhash-only rows are token-level rewrites simhash's global
+    fingerprint smooths over, simhash-only rows are its
+    hamming-proximity false positives (or sub-shingle-width docs), and
+    the all-three diagonal is the planted-duplicate mass every modality
+    must agree on.
+
+    Scale shape: three bounded pair relations (md5-keyed equality join
+    on 16-byte digests; the banded relations reused verbatim from their
+    production queries), a union-distinct to the flagged universe, and
+    three broadcast-sized left joins — pair relations at true-duplicate
+    density stay linear-ish in corpus size (the r8/r9 64x evidence for
+    each modality).  Exact pairs enumerate within-group pairs
+    (quadratic per group) — honest for an audit report; the production
+    DEDUP path (``dedup_exact_documents``) only ever keys groups.
+
+    Oracle: DuckDB recomputes exact pairs from raw text equality,
+    minhash pairs as the exact all-pairs Jaccard >= 0.3 relation (valid
+    at banding recall 1.0 — MINHASH_NEAR_DUP_SQL's argument), and
+    simhash pairs from the pinned fingerprint literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("f")
+    )
+    fp = fp.repartition(F.col("f"))
+    fa, fb = fp.alias("a"), fp.alias("b").hint("shuffle_hash")
+    exact = (
+        fa.join(
+            fb,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    mh = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
+    sh = simhash_near_dup(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    universe = exact.union(mh).union(sh).distinct()
+    flags = (
+        universe.join(
+            exact.withColumn("e", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .join(mh.withColumn("m", F.lit(1)), ["id_a", "id_b"], "left")
+        .join(sh.withColumn("s", F.lit(1)), ["id_a", "id_b"], "left")
+        .selectExpr(
+            "CAST(COALESCE(e, 0) AS INT) AS in_exact",
+            "CAST(COALESCE(m, 0) AS INT) AS in_minhash",
+            "CAST(COALESCE(s, 0) AS INT) AS in_simhash",
+        )
+    )
+    return (
+        flags.groupBy("in_exact", "in_minhash", "in_simhash")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(
+            F.desc("in_exact"), F.desc("in_minhash"), F.desc("in_simhash")
+        )
+    )
+
+
+_DUCK_J = (
+    "ROUND(len(list_filter(da.sh, s -> list_contains(db.sh, s)))"
+    " / (len(da.sh) + len(db.sh)"
+    " - len(list_filter(da.sh, s -> list_contains(db.sh, s))))"
+    " - 0.000000001, 4) + 0.0"
+)
+
+DEDUP_AGREEMENT_SQL = f"""
+WITH fps(doc_id, lo, hi) AS (VALUES
+  {SIMHASH_FPS_VALUES}
+), sh_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+), ex_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.doc_id < b.doc_id AND a.text = b.text
+), d AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+), mh_pairs AS (
+  SELECT da.doc_id AS id_a, db.doc_id AS id_b
+  FROM d da JOIN d db ON da.doc_id < db.doc_id
+  WHERE {_DUCK_J} >= 0.3
+), universe AS (
+  SELECT id_a, id_b FROM ex_pairs
+  UNION SELECT id_a, id_b FROM mh_pairs
+  UNION SELECT id_a, id_b FROM sh_pairs
+), flags AS (
+  SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+         CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_minhash,
+         CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_simhash
+  FROM universe u
+  LEFT JOIN ex_pairs e ON u.id_a = e.id_a AND u.id_b = e.id_b
+  LEFT JOIN mh_pairs m ON u.id_a = m.id_a AND u.id_b = m.id_b
+  LEFT JOIN sh_pairs s ON u.id_a = s.id_a AND u.id_b = s.id_b
+)
+SELECT CAST(in_exact AS INT) AS in_exact,
+       CAST(in_minhash AS INT) AS in_minhash,
+       CAST(in_simhash AS INT) AS in_simhash,
+       COUNT(*) AS pair_count
+FROM flags GROUP BY 1, 2, 3 ORDER BY 1 DESC, 2 DESC, 3 DESC
+"""
+
+
 def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aggressiveness tuning curve: for Jaccard thresholds from the
     noise floor (0.005) to near-exact (0.8), how many pairs and distinct
@@ -1656,6 +1867,15 @@ SPECS = [
               "Hamming-threshold calibration: 8x16-bit banding "
               "(certified d<=7) with exact integer shingle-overlap "
               "sums per hamming bucket"),
+    QuerySpec("minhash_estimate_calibration", minhash_estimate_calibration,
+              MINHASH_CALIB_SQL,
+              "MinHash estimator calibration: per exact-Jaccard decile "
+              "bin, mean/max |estimate - exact| over the 1-row-band "
+              "candidate relation vs signature-literal oracle"),
+    QuerySpec("dedup_modality_agreement", dedup_modality_agreement,
+              DEDUP_AGREEMENT_SQL,
+              "cross-modality dedup agreement matrix: exact/minhash/"
+              "simhash flag combinations with pair counts"),
     QuerySpec("embedding_pq_ann", embedding_pq_ann, EMBEDDING_PQ_SQL,
               "product-quantization ADC ANN vs codebook-literal oracle"),
     QuerySpec("embedding_ivfpq_ann", embedding_ivfpq_ann, EMBEDDING_IVFPQ_SQL,

@@ -383,6 +383,120 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --- distribution drift (PSI) ----------------------------------------------
+
+def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the corpus baseline — the standard
+    covariate-shift gauge (credit-scoring lineage; PSI < 0.1 stable,
+    0.1–0.25 moderate, > 0.25 major shift).  Bins are the corpus's own
+    n_chars deciles, so every source is scored on a common yardstick;
+    empty bins take the standard 1e-6 clamp (the 0·ln0 guard).
+    Complements ``source_token_divergence`` (JS over token mix): PSI
+    watches the LENGTH distribution, the signal that catches truncation
+    bugs, boilerplate floods, and chunking regressions per source.
+
+    Scale shape: decile edges are one exact-percentile aggregate
+    (sketchable at 100 TB via percentile_approx); binning is map-side
+    arithmetic against the broadcast 9-edge row; ONE counting shuffle
+    on (source, bin); the scaffold join and PSI fold run on the bounded
+    sources x 10 relation.  Oracle: identical bin/clamp/term text; edges
+    rounded to 4 dp in BOTH engines so integer n_chars never straddles a
+    last-ulp interpolation difference."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.selectExpr("CAST(n_chars AS DOUBLE) AS nc").selectExpr(
+        *[
+            f"ROUND(percentile(nc, 0.{k}) - 0.000000001, 4) + 0.0 AS e{k}"
+            for k in range(1, 10)
+        ]
+    )
+    bin_expr = "1 + " + " + ".join(
+        f"(CASE WHEN CAST(n_chars AS DOUBLE) > e{k} THEN 1 ELSE 0 END)"
+        for k in range(1, 10)
+    )
+    binned = docs.crossJoin(F.broadcast(edges)).selectExpr(
+        "source", f"CAST(({bin_expr}) AS INT) AS bin"
+    )
+    src_bin = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("double").alias("sc")
+    )
+    src_tot = src_bin.groupBy("source").agg(F.sum("sc").alias("st"))
+    cor_bin = src_bin.groupBy("bin").agg(F.sum("sc").alias("cc"))
+    cor_tot = cor_bin.agg(F.sum("cc").alias("ct"))
+    scaffold = src_tot.crossJoin(
+        F.broadcast(
+            binned.sparkSession.range(1, 11).selectExpr("CAST(id AS INT) AS bin")
+        )
+    )
+    term = (
+        "(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
+        " - GREATEST(cc / ct, 0.000001))"
+        " * LN(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
+        " / GREATEST(cc / ct, 0.000001))"
+    )
+    contrib = (
+        scaffold.join(src_bin, ["source", "bin"], "left")
+        .join(F.broadcast(cor_bin), "bin")
+        .crossJoin(F.broadcast(cor_tot))
+        .selectExpr("source", "st", f"{term} AS contrib")
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.max("st").cast("bigint").alias("n_docs"),
+            T.round_stable(F.sum("contrib"), 6).alias("psi"),
+            T.round_stable(F.max("contrib"), 6).alias("max_bin_contrib"),
+        )
+        .orderBy("source")
+    )
+
+
+_PSI_TERM = (
+    "(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
+    " - GREATEST(cc / ct, 0.000001))"
+    " * LN(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
+    " / GREATEST(cc / ct, 0.000001))"
+)
+
+SOURCE_PSI_SQL = f"""
+WITH edges AS (
+  SELECT {", ".join(
+      f"ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.{k})"
+      f" - 0.000000001, 4) + 0.0 AS e{k}" for k in range(1, 10))}
+  FROM documents
+), binned AS (
+  SELECT source,
+         CAST((1 + {" + ".join(
+             f"(CASE WHEN CAST(n_chars AS DOUBLE) > e{k} THEN 1 ELSE 0 END)"
+             for k in range(1, 10))}) AS INT) AS bin
+  FROM documents CROSS JOIN edges
+), src_bin AS (
+  SELECT source, bin, CAST(COUNT(*) AS DOUBLE) AS sc
+  FROM binned GROUP BY source, bin
+), src_tot AS (
+  SELECT source, SUM(sc) AS st FROM src_bin GROUP BY source
+), cor_bin AS (
+  SELECT bin, SUM(sc) AS cc FROM src_bin GROUP BY bin
+), cor_tot AS (SELECT SUM(cc) AS ct FROM cor_bin),
+scaffold AS (
+  SELECT s.source, s.st, g.bin
+  FROM src_tot s CROSS JOIN (SELECT UNNEST(generate_series(1, 10)) AS bin) g
+), contrib AS (
+  SELECT sc_f.source, sc_f.st, {_PSI_TERM} AS contrib
+  FROM (SELECT scaffold.source, scaffold.st, scaffold.bin, src_bin.sc
+        FROM scaffold LEFT JOIN src_bin
+          ON scaffold.source = src_bin.source
+         AND scaffold.bin = src_bin.bin) sc_f
+  JOIN cor_bin ON sc_f.bin = cor_bin.bin
+  CROSS JOIN cor_tot
+)
+SELECT source, CAST(MAX(st) AS BIGINT) AS n_docs,
+       ROUND(SUM(contrib) - 0.000000001, 6) + 0.0 AS psi,
+       ROUND(MAX(contrib) - 0.000000001, 6) + 0.0 AS max_bin_contrib
+FROM contrib GROUP BY source ORDER BY source
+"""
+
+
 # --- mix rebalancing --------------------------------------------------------
 
 def mix_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3795,6 +3909,9 @@ SPECS = [
     QuerySpec("doc_length_percentiles", doc_length_percentiles,
               DOC_LENGTH_PCTL_SQL,
               "exact token-count percentiles per language"),
+    QuerySpec("source_psi_drift", source_psi_drift, SOURCE_PSI_SQL,
+              "Population Stability Index of per-source length "
+              "distributions vs the corpus decile baseline"),
     QuerySpec("mix_rebalance_plan", mix_rebalance_plan, MIX_REBALANCE_SQL,
               "per-language sampling rates for a target token budget"),
     QuerySpec("domain_mix_sample", domain_mix_sample, DOMAIN_MIX_SQL,

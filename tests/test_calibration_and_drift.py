@@ -1,0 +1,196 @@
+"""Semantic invariants for the round-9 monitoring/calibration operators
+(EWMA ingest baselines, PSI length drift, MinHash estimator calibration,
+cross-modality dedup agreement) beyond the DuckDB value oracle: planted
+spikes surface, identical distributions score zero drift, identical
+documents calibrate error-free, and the modality flags are mutually
+consistent."""
+
+import math
+import os
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from iceberg_hybrid_spark.queries.events import ewma_hourly_baseline
+from iceberg_hybrid_spark.queries.llm import (
+    dedup_modality_agreement,
+    minhash_estimate_calibration,
+)
+from iceberg_hybrid_spark.queries.pipeline import source_psi_drift
+from iceberg_hybrid_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_EV_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+_DOC_SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def _write_events(spark, tmp_path, rows):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "events.parquet"))
+    return sf
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(rows, _DOC_SCHEMA).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+# --- EWMA ingest baseline ---------------------------------------------------
+
+def test_ewma_planted_spike_tops_the_report(spark, tmp_path):
+    """30 steady hours at 10 events/h, then one hour at 100: the spike
+    hour must rank first with baseline 10.0 and score ln(10)."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(31):
+        n = 100 if h == 30 else 10
+        for i in range(n):
+            rows.append(
+                (eid, t0 + timedelta(hours=h, seconds=i), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = ewma_hourly_baseline(spark, sf).collect()
+    top = out[0]
+    assert top.event_type == "a"
+    assert top.hour_start == t0 + timedelta(hours=30)
+    assert top.event_count == 100
+    assert top.ewma_prev == 10.0
+    assert top.burst_score == round(math.log(10.0), 4)
+    assert top.is_burst == 1
+    # every steady hour scores 0 against its own flat baseline
+    for r in out[1:]:
+        assert r.burst_score == 0.0 and r.is_burst == 0, r
+
+
+def test_ewma_flag_matches_score_on_fixture(spark):
+    out = ewma_hourly_baseline(spark, SF_DIR).collect()
+    assert len(out) <= 50
+    scores = [r.burst_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    thr = math.log(1.5)
+    for r in out:
+        if abs(r.burst_score - thr) < 1e-3:
+            continue  # rounding boundary: flag derives from the raw ratio
+        assert r.is_burst == (1 if r.burst_score > thr else 0), r
+        assert r.ewma_prev > 0.0
+
+
+# --- PSI length drift -------------------------------------------------------
+
+def test_psi_identical_sources_score_zero(spark, tmp_path):
+    """Two sources with the SAME length multiset: PSI must be exactly 0
+    (p == q per bin, bit-for-bit: sc/st vs 2sc/2st round identically)."""
+    texts = [("w " * (5 + i)).strip() for i in range(20)]
+    rows = [(i, t, "en", "src_a") for i, t in enumerate(texts)] + [
+        (100 + i, t, "en", "src_b") for i, t in enumerate(texts)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.source: r for r in source_psi_drift(spark, sf).collect()}
+    assert set(out) == {"src_a", "src_b"}
+    for r in out.values():
+        assert r.n_docs == 20
+        assert r.psi == 0.0 and r.max_bin_contrib == 0.0, r
+
+
+def test_psi_nonnegative_and_max_bounded_by_sum(spark):
+    out = source_psi_drift(spark, SF_DIR).collect()
+    assert out, "fixture corpus has sources"
+    for r in out:
+        assert r.psi >= 0.0, r
+        assert 0.0 <= r.max_bin_contrib <= r.psi + 1e-3, r
+
+
+# --- MinHash estimator calibration ------------------------------------------
+
+def test_minhash_calibration_identical_docs_are_error_free(spark, tmp_path):
+    """Identical documents: signature match 32/32 and exact Jaccard 1.0
+    land in bin 9 with zero estimator error; a disjoint-vocabulary doc
+    shares no slots and never becomes a candidate."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, dup, "en", "s"), (2, dup, "en", "s"), (3, other, "en", "s")],
+    )
+    out = minhash_estimate_calibration(spark, sf).collect()
+    by_bin = {r.j_bin: r for r in out}
+    nine = by_bin[9]
+    assert nine.pair_count == 1
+    assert nine.mean_exact_j == 1.0 and nine.mean_est_j == 1.0
+    assert nine.mean_abs_err == 0.0 and nine.max_abs_err == 0.0
+    # disjoint docs share no signature slot: no other bins
+    assert set(by_bin) == {9}, by_bin
+
+
+def test_minhash_calibration_bins_and_error_bounds(spark):
+    out = minhash_estimate_calibration(spark, SF_DIR).collect()
+    assert out, "1-row banding yields candidates on the fixture corpus"
+    for r in out:
+        assert 0 <= r.j_bin <= 9
+        assert r.pair_count >= 1
+        # mean exact J lies inside its own bin (up to 4dp rounding)
+        assert r.j_bin / 10 - 1e-4 <= r.mean_exact_j, r
+        assert r.mean_exact_j <= (r.j_bin + 1) / 10 + 1e-4 or r.j_bin == 9, r
+        assert 0.0 <= r.mean_est_j <= 1.0
+        # 32-slot binomial: sigma <= 0.0884; max |err| beyond 0.6 would
+        # be >6.7 sigma — the estimator is broken, not unlucky
+        assert r.max_abs_err <= 0.6, r
+        assert r.mean_abs_err <= 0.2, r
+
+
+# --- cross-modality dedup agreement -----------------------------------------
+
+def test_modality_agreement_planted_triple(spark, tmp_path):
+    """Two identical 10-token docs: flagged by all three modalities —
+    exactly one bucket (1,1,1) with one pair."""
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, dup, "en", "s"), (2, dup, "en", "s"), (3, other, "en", "s")],
+    )
+    out = dedup_modality_agreement(spark, sf).collect()
+    got = {(r.in_exact, r.in_minhash, r.in_simhash): r.pair_count for r in out}
+    assert got.get((1, 1, 1)) == 1, got
+    # no modality may flag the disjoint pair
+    assert all(k == (1, 1, 1) for k in got), got
+
+
+def test_modality_agreement_flags_consistent_on_fixture(spark):
+    out = dedup_modality_agreement(spark, SF_DIR).collect()
+    assert out, "fixture corpus has planted duplicates"
+    docs = load_table(spark, SF_DIR, "documents")
+    groups = (
+        docs.groupBy("text").agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1").collect()
+    )
+    expected_exact = sum(g.n * (g.n - 1) // 2 for g in groups)
+    got_exact = sum(r.pair_count for r in out if r.in_exact == 1)
+    assert got_exact == expected_exact
+    # every flagged pair carries at least one flag
+    assert all(r.in_exact + r.in_minhash + r.in_simhash >= 1 for r in out)
+    # identical docs of >= shingle width imply agreement of the banded
+    # modalities (Jaccard 1, hamming 0) — valid while the corpus has no
+    # sub-3-token duplicates
+    has_short_dup = any(len(g.text.split()) < 3 for g in groups)
+    if not has_short_dup:
+        for r in out:
+            if r.in_exact == 1:
+                assert r.in_minhash == 1 and r.in_simhash == 1, r

@@ -68,6 +68,10 @@ QUERIES = [
     "kmv_source_overlap",
     "kmv_source_overlap_sketch",
     "simhash_hamming_calibration",
+    "ewma_hourly_baseline",
+    "source_psi_drift",
+    "minhash_estimate_calibration",
+    "dedup_modality_agreement",
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",

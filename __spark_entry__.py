@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 9:
-# 9 new + 9 changed-implementation + the 32 stalest remaining rows (all
-# round-5 vintage; the 11 r5 rows that no longer fit lead round 10's
+# 10 new + 9 changed-implementation + the 31 stalest remaining rows (all
+# round-5 vintage; the 12 r5 rows that no longer fit lead round 10's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
@@ -47,6 +47,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_psi_drift",
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
+    "embedding_label_outliers",
     # implementation/oracle changed this round — prior rows validated
     # old code (128-bit simhash + relational fold; kmv bottom-K helper
     # refactor; bloom window->aggregate rewrite; backpressure
@@ -61,7 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_ann",
     "embedding_pq_ann_persisted",
     "embedding_ivfpq_ann_persisted",
-    # last driver row: round 5 (the 32 stalest, registry declaration
+    # last driver row: round 5 (the 31 stalest, registry declaration
     # order)
     "q20_dominant_blue_suppliers",
     "q21_last_shipper",
@@ -94,7 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "curriculum_stages",
     "cross_split_contamination",
     "epoch_shuffle",
-    "token_budget_selection",
 )
 
 

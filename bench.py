@@ -130,6 +130,7 @@ HEADLINE = [
     "source_psi_drift",
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
+    "embedding_label_outliers",
 ]
 
 

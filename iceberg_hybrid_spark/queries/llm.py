@@ -1126,6 +1126,108 @@ GROUP BY label ORDER BY label
 """
 
 
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conditioned embedding outlier audit: each vector's Euclidean
+    distance to its OWN label's centroid, z-scored against that label's
+    distance distribution — the top-20 are the mislabeled / poisoned /
+    out-of-distribution candidates a curation pipeline routes to review
+    before the label column is trusted for supervised mixing or hard
+    negatives.  Complements ``embedding_norm_stats`` (global geometry)
+    and ``semantic_dedup_stats`` (cluster-scoped duplication): this is
+    the per-LABEL cohesion audit.
+
+    Scale shape: ONE posexplode shuffle keyed (label, dim) whose output
+    is labels x 64 rows at any corpus size (partial map-side averages);
+    centroid arrays re-assembled and BROADCAST back; distance is
+    map-side zip_with arithmetic; the z-score pass is one bounded
+    per-label aggregate over narrow (label, dist) rows; top-20 is
+    TakeOrderedAndProject.  No stage ever shuffles raw vectors twice.
+
+    Cross-engine determinism: centroids are rounded to 6 dp BEFORE the
+    distance pass (per-dim averages are the one sum whose order differs
+    between engines); the distance sum itself runs in INDEX order in
+    both engines (zip_with fold / list_sum over list_transform), and
+    dist / mean / sd are re-rounded at each boundary.  The 64-dim width
+    is pinned in the oracle like the LSH plane literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double_array("embedding")
+    dims = emb.select(F.col("label"), F.posexplode(v)).toDF(
+        "label", "dim", "x"
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        round_stable(F.avg("x"), 6).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("carr")
+    )
+    d = emb.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        round_stable(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, F.col("carr"), lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                )
+            ),
+            6,
+        ).alias("dist"),
+    )
+    stats = d.groupBy("label").agg(
+        round_stable(F.avg("dist"), 6).alias("mean_dist"),
+        round_stable(F.stddev_samp("dist"), 6).alias("sd_dist"),
+    )
+    return (
+        d.join(F.broadcast(stats), "label")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "dist",
+            "mean_dist AS label_mean_dist",
+            "ROUND(CASE WHEN sd_dist > 0"
+            " THEN (dist - mean_dist) / sd_dist"
+            " ELSE CAST(0.0 AS DOUBLE) END - 0.000000001, 4) + 0.0 AS z",
+        )
+        .orderBy(F.desc("z"), "vec_id")
+        .limit(20)
+    )
+
+
+EMBEDDING_LABEL_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, ROUND(AVG(x) - 0.000000001, 6) + 0.0 AS c
+  FROM e GROUP BY label, dim
+), carr AS (
+  SELECT label, list(c ORDER BY dim) AS carr FROM cent GROUP BY label
+), d AS (
+  SELECT emb.vec_id, emb.label,
+         ROUND(sqrt(list_sum(list_transform(generate_series(1, 64),
+               j -> (CAST(emb.embedding[j] AS DOUBLE) - carr.carr[j])
+                    * (CAST(emb.embedding[j] AS DOUBLE) - carr.carr[j]))))
+               - 0.000000001, 6) + 0.0 AS dist
+  FROM embeddings emb JOIN carr ON emb.label = carr.label
+), stats AS (
+  SELECT label, ROUND(AVG(dist) - 0.000000001, 6) + 0.0 AS mean_dist,
+         ROUND(stddev_samp(dist) - 0.000000001, 6) + 0.0 AS sd_dist
+  FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, d.dist, stats.mean_dist AS label_mean_dist,
+       ROUND(CASE WHEN sd_dist > 0 THEN (dist - mean_dist) / sd_dist
+             ELSE CAST(0.0 AS DOUBLE) END - 0.000000001, 4) + 0.0 AS z
+FROM d JOIN stats ON d.label = stats.label
+ORDER BY z DESC, vec_id LIMIT 20
+"""
+
+
 def _lsh_ann_planes() -> list[list[float]]:
     """The 6 seeded hyperplanes shared by the Spark query and its DuckDB
     oracle (inlined as literals on both sides, so bucketing is the same
@@ -1876,6 +1978,10 @@ SPECS = [
               DEDUP_AGREEMENT_SQL,
               "cross-modality dedup agreement matrix: exact/minhash/"
               "simhash flag combinations with pair counts"),
+    QuerySpec("embedding_label_outliers", embedding_label_outliers,
+              EMBEDDING_LABEL_OUTLIERS_SQL,
+              "label-conditioned outlier audit: top-20 vectors by "
+              "z-scored distance to their own label centroid"),
     QuerySpec("embedding_pq_ann", embedding_pq_ann, EMBEDDING_PQ_SQL,
               "product-quantization ADC ANN vs codebook-literal oracle"),
     QuerySpec("embedding_ivfpq_ann", embedding_ivfpq_ann, EMBEDDING_IVFPQ_SQL,

@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from iceberg_hybrid_spark.queries.events import ewma_hourly_baseline
 from iceberg_hybrid_spark.queries.llm import (
     dedup_modality_agreement,
+    embedding_label_outliers,
     minhash_estimate_calibration,
 )
 from iceberg_hybrid_spark.queries.pipeline import source_psi_drift
@@ -152,6 +153,51 @@ def test_minhash_calibration_bins_and_error_bounds(spark):
         # be >6.7 sigma — the estimator is broken, not unlucky
         assert r.max_abs_err <= 0.6, r
         assert r.mean_abs_err <= 0.2, r
+
+
+# --- label-conditioned embedding outliers -----------------------------------
+
+def test_label_outliers_planted_far_vector_tops(spark, tmp_path):
+    """12 tight vectors + 1 planted far vector in label 0: the far one
+    must rank first with a large positive z; a clean second label must
+    not outrank it."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(64)], 0)
+        )
+    rows.append((99, [5.0] * 64, 0))  # planted outlier
+    for i in range(5):
+        rows.append(
+            (200 + i, [rng.uniform(-0.01, 0.01) for _ in range(64)], 1)
+        )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    out = embedding_label_outliers(spark, sf).collect()
+    top = out[0]
+    assert top.vec_id == 99 and top.label == 0
+    assert top.z > 3.0, top
+    # z-scores arrive sorted descending; distances are nonnegative
+    zs = [r.z for r in out]
+    assert zs == sorted(zs, reverse=True)
+    assert all(r.dist >= 0.0 for r in out)
+
+
+def test_label_outliers_fixture_invariants(spark):
+    out = embedding_label_outliers(spark, SF_DIR).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.dist >= 0.0 and r.label_mean_dist > 0.0
+        # top-20 of a ~500-vector corpus are all above their label mean
+        assert r.z > 0.0, r
 
 
 # --- cross-modality dedup agreement -----------------------------------------

@@ -72,6 +72,7 @@ QUERIES = [
     "source_psi_drift",
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
+    "embedding_label_outliers",
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",

@@ -385,6 +385,17 @@ GROUP BY lang ORDER BY lang
 
 # --- distribution drift (PSI) ----------------------------------------------
 
+# PSI term, identical literal text in both engines (the _EWMA_NUM/_DEN
+# sharing pattern): one definition so the clamp can never drift between
+# the Spark expression and the oracle SQL.
+_PSI_TERM = (
+    "(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
+    " - GREATEST(cc / ct, 0.000001))"
+    " * LN(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
+    " / GREATEST(cc / ct, 0.000001))"
+)
+
+
 def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of each source's document-length
     distribution against the corpus baseline — the standard
@@ -404,11 +415,19 @@ def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 4 dp in BOTH engines so integer n_chars never straddles a
     last-ulp interpolation difference."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = docs.selectExpr("CAST(n_chars AS DOUBLE) AS nc").selectExpr(
-        *[
-            f"ROUND(percentile(nc, 0.{k}) - 0.000000001, 4) + 0.0 AS e{k}"
-            for k in range(1, 10)
-        ]
+    # ONE percentile buffer for all nine edges (the array form shares a
+    # single value-count map; nine scalar percentile() expressions each
+    # keep and merge their own copy of the distinct-length map)
+    qs = ", ".join(f"0.{k}D" for k in range(1, 10))
+    edges = (
+        docs.selectExpr("CAST(n_chars AS DOUBLE) AS nc")
+        .selectExpr(f"percentile(nc, array({qs})) AS p")
+        .selectExpr(
+            *[
+                f"ROUND(element_at(p, {k}) - 0.000000001, 4) + 0.0 AS e{k}"
+                for k in range(1, 10)
+            ]
+        )
     )
     bin_expr = "1 + " + " + ".join(
         f"(CASE WHEN CAST(n_chars AS DOUBLE) > e{k} THEN 1 ELSE 0 END)"
@@ -428,17 +447,11 @@ def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             binned.sparkSession.range(1, 11).selectExpr("CAST(id AS INT) AS bin")
         )
     )
-    term = (
-        "(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
-        " - GREATEST(cc / ct, 0.000001))"
-        " * LN(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
-        " / GREATEST(cc / ct, 0.000001))"
-    )
     contrib = (
         scaffold.join(src_bin, ["source", "bin"], "left")
         .join(F.broadcast(cor_bin), "bin")
         .crossJoin(F.broadcast(cor_tot))
-        .selectExpr("source", "st", f"{term} AS contrib")
+        .selectExpr("source", "st", f"{_PSI_TERM} AS contrib")
     )
     return (
         contrib.groupBy("source")
@@ -450,13 +463,6 @@ def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
-
-_PSI_TERM = (
-    "(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
-    " - GREATEST(cc / ct, 0.000001))"
-    " * LN(GREATEST(COALESCE(sc, 0.0) / st, 0.000001)"
-    " / GREATEST(cc / ct, 0.000001))"
-)
 
 SOURCE_PSI_SQL = f"""
 WITH edges AS (

@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 9:
-# 10 new + 9 changed-implementation + the 31 stalest remaining rows (all
-# round-5 vintage; the 12 r5 rows that no longer fit lead round 10's
+# 12 new + 9 changed-implementation + the 29 stalest remaining rows (all
+# round-5 vintage; the 14 r5 rows that no longer fit lead round 10's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
@@ -48,6 +48,8 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
     "embedding_label_outliers",
+    "packing_efficiency_sweep",
+    "column_stats_profile",
     # implementation/oracle changed this round — prior rows validated
     # old code (128-bit simhash + relational fold; kmv bottom-K helper
     # refactor; bloom window->aggregate rewrite; backpressure
@@ -62,7 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_ann",
     "embedding_pq_ann_persisted",
     "embedding_ivfpq_ann_persisted",
-    # last driver row: round 5 (the 31 stalest, registry declaration
+    # last driver row: round 5 (the 29 stalest, registry declaration
     # order)
     "q20_dominant_blue_suppliers",
     "q21_last_shipper",
@@ -93,8 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "temperature_mix_weights",
     "curriculum_stages",
-    "cross_split_contamination",
-    "epoch_shuffle",
 )
 
 

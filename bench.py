@@ -131,6 +131,8 @@ HEADLINE = [
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
     "embedding_label_outliers",
+    "packing_efficiency_sweep",
+    "column_stats_profile",
 ]
 
 

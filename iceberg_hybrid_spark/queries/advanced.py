@@ -690,6 +690,136 @@ FROM (SELECT ch.k, ch.c, pa.p
 FK_INTEGRITY_SQL = _fk_integrity_sql()
 
 
+# ANALYZE-profiled columns of the orders table: (name, kind) where kind
+# picks the canonical min/max representation — numeric as DOUBLE, string
+# as-is, timestamp via DATE so both engines format 'YYYY-MM-DD'.
+_STATS_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE equivalent: per-column statistics of the orders
+    table in ONE scan — row count, null count, exact NDV (the value the
+    gate pins), the mergeable-sketch NDV's bounded-error claim (the
+    at-scale path: ``approx_count_distinct`` is ONE pass and mergeable,
+    where exact NDV per column is a shuffle each), and canonical
+    min/max (numeric as DOUBLE, strings as-is, dates as 'YYYY-MM-DD' —
+    the representation both engines format identically).  These are the
+    statistics a lake table carries for cost-based planning and
+    file-skipping (the manifest min/max path `lake/table.py` already
+    uses per file; this is the table-level roll a catalog stores).
+
+    Same estimate-gating contract as ``approx_vs_exact_users``: the
+    sketch value itself is engine-specific, so the oracle-compared
+    output carries the exact NDV plus the claim the sketch landed
+    within 3x its 5% rsd — deterministic (fixed hash family), a stable
+    contract rather than a flaky tolerance.
+
+    Scale shape: nulls / min / max / NDV sketches come from ONE
+    expand-free pass over the scan (every expression partial-aggregates
+    map-side); the exact-NDV audit runs on a STACKED narrow
+    (col_name, value) relation — one shuffle of map-side-distinct pairs
+    — instead of Spark's multi-countDistinct expand, which replicates
+    every full-width row once per audited column (measured 5.5x at the
+    16x corpus; the stacked form is 1.6x).  The 100 TB profile drops
+    the exact-NDV audit and keeps the single-pass sketches."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _STATS_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"{c}__nulls")
+        )
+        aggs.append(
+            F.approx_count_distinct(c, rsd=0.05).alias(f"{c}__andv")
+        )
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+        elif kind == "date":
+            aggs.append(
+                F.min(F.col(c).cast("date")).cast("string").alias(f"{c}__min")
+            )
+            aggs.append(
+                F.max(F.col(c).cast("date")).cast("string").alias(f"{c}__max")
+            )
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    row = orders.agg(*aggs)
+    stack_args = []
+    for c, kind in _STATS_COLS:
+        min_num = f"{c}__min" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        max_num = f"{c}__max" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        min_str = f"{c}__min" if kind != "num" else "CAST(NULL AS STRING)"
+        max_str = f"{c}__max" if kind != "num" else "CAST(NULL AS STRING)"
+        stack_args.append(
+            f"'{c}', {c}__nulls, {c}__andv, "
+            f"{min_num}, {max_num}, {min_str}, {max_str}"
+        )
+    base = row.selectExpr(
+        "n_rows",
+        f"stack({len(_STATS_COLS)}, {', '.join(stack_args)}) AS "
+        "(col_name, n_nulls, andv, min_num, max_num, min_str, max_str)",
+    )
+    # exact-NDV audit: stacked narrow (col_name, value) relation — one
+    # shuffle of map-side-distinct pairs, no full-width row replication
+    stack_vals = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c, _ in _STATS_COLS
+    )
+    ndv = (
+        orders.selectExpr(
+            f"stack({len(_STATS_COLS)}, {stack_vals}) AS (col_name, v)"
+        )
+        .groupBy("col_name")
+        .agg(F.countDistinct("v").alias("ndv_exact"))
+    )
+    return (
+        base.join(F.broadcast(ndv), "col_name")
+        .selectExpr(
+            "col_name", "n_rows", "n_nulls", "ndv_exact",
+            "abs(andv - ndv_exact) / CAST(ndv_exact AS DOUBLE) <= 0.15"
+            " AS approx_within_bounds",
+            "min_num", "max_num", "min_str", "max_str",
+        )
+        .orderBy("col_name")
+    )
+
+
+def _column_stats_sql() -> str:
+    parts = []
+    for c, kind in _STATS_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            mns, mxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "date":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns = f"CAST(CAST(MIN({c}) AS DATE) AS VARCHAR)"
+            mxs = f"CAST(CAST(MAX({c}) AS DATE) AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(f"""\
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(DISTINCT {c}) AS ndv_exact,
+       TRUE AS approx_within_bounds,
+       {mn} AS min_num, {mx} AS max_num,
+       {mns} AS min_str, {mxs} AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+COLUMN_STATS_SQL = _column_stats_sql()
+
+
 SPECS = [
     QuerySpec("rfm_customer_segments", rfm_customer_segments,
               RFM_SEGMENTS_SQL,
@@ -711,4 +841,8 @@ SPECS = [
     QuerySpec("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_SQL,
               "referential-integrity audit: orphans + unreferenced "
               "parents per FK edge, one key join each"),
+    QuerySpec("column_stats_profile", column_stats_profile,
+              COLUMN_STATS_SQL,
+              "ANALYZE TABLE: per-column nulls/NDV/min-max in one "
+              "scan with sketch-NDV bounded-error gating"),
 ]

@@ -656,6 +656,98 @@ GROUP BY lang, bin ORDER BY lang, bin
 """
 
 
+_PACK_SIZES = (512, 1024, 2048, 4096)
+
+
+def packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning table: the greedy contiguous pack of
+    ``sequence_packing`` evaluated at 512/1024/2048/4096-token bins in
+    ONE pass — per candidate context length, how many training bins the
+    corpus needs, the capacity they reserve, the achieved fill ratio,
+    and how many documents exceed the window outright (the truncation
+    exposure).  This is the table read before fixing a model's context
+    length: small windows overflow (fill > 1 means boundary-crossing
+    documents would truncate), large windows strand capacity in each
+    language's tail bin.
+
+    Scale shape: the cumulative-token window runs ONCE (same per-lang
+    key as sequence_packing — the shards knob there is the 100 TB
+    parallelization of this same pass); the 4-way context sweep is a
+    map-side explode of an already-windowed row, then two bounded
+    aggregates (langs x sizes, then sizes).  Sweeping N candidate sizes
+    costs one window pass, not N."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = T.token_count("text")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    d = (
+        docs.select("lang", "doc_id", tc.alias("tc"))
+        .withColumn("cum", F.sum("tc").over(w))
+    )
+    e = d.select(
+        "lang",
+        "tc",
+        "cum",
+        F.explode(F.array(*[F.lit(s) for s in _PACK_SIZES])).alias("ctx"),
+    )
+    per_lang = (
+        e.select(
+            "lang",
+            "ctx",
+            "tc",
+            F.floor((F.col("cum") - F.col("tc")) / F.col("ctx")).alias("bin"),
+        )
+        .groupBy("ctx", "lang")
+        .agg(
+            (F.max("bin") + 1).alias("n_bins"),
+            F.sum("tc").alias("tokens"),
+            F.sum(
+                F.when(F.col("tc") > F.col("ctx"), 1).otherwise(0)
+            ).alias("oversize"),
+        )
+    )
+    return (
+        per_lang.groupBy("ctx")
+        .agg(
+            F.sum("n_bins").cast("bigint").alias("n_bins"),
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_bins") * F.col("ctx")).cast("bigint").alias(
+                "capacity_tokens"
+            ),
+            T.round_stable(
+                F.sum("tokens") / (F.sum("n_bins") * F.col("ctx")), 4
+            ).alias("fill_ratio"),
+            F.sum("oversize").cast("bigint").alias("oversize_docs"),
+        )
+        .orderBy("ctx")
+    )
+
+
+PACKING_SWEEP_SQL = """
+WITH d AS (
+  SELECT lang, doc_id, tc,
+         SUM(tc) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS tc
+        FROM documents) x
+), e AS (
+  SELECT lang, tc, cum, ctx
+  FROM d CROSS JOIN (SELECT UNNEST([512, 1024, 2048, 4096]) AS ctx) s
+), per_lang AS (
+  SELECT ctx, lang, MAX(CAST(FLOOR((cum - tc) / ctx) AS BIGINT)) + 1 AS n_bins,
+         SUM(tc) AS tokens,
+         SUM(CASE WHEN tc > ctx THEN 1 ELSE 0 END) AS oversize
+  FROM e GROUP BY ctx, lang
+)
+SELECT ctx, CAST(SUM(n_bins) AS BIGINT) AS n_bins,
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bins) * ctx AS BIGINT) AS capacity_tokens,
+       ROUND(CAST(SUM(tokens) AS DOUBLE) / (SUM(n_bins) * ctx)
+             - 0.000000001, 4) + 0.0 AS fill_ratio,
+       CAST(SUM(oversize) AS BIGINT) AS oversize_docs
+FROM per_lang GROUP BY ctx ORDER BY ctx
+"""
+
+
 # --- retention funnel -------------------------------------------------------
 
 def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3926,6 +4018,10 @@ SPECS = [
               "corpus-frequent n-gram boilerplate detection"),
     QuerySpec("sequence_packing", sequence_packing, PACKING_SQL,
               "greedy contiguous 512-token sequence packing"),
+    QuerySpec("packing_efficiency_sweep", packing_efficiency_sweep,
+              PACKING_SWEEP_SQL,
+              "context-length planning: bins/capacity/fill/truncation "
+              "exposure at 512-4096 tokens from one window pass"),
     QuerySpec("unigram_logprob_quality", unigram_logprob_quality,
               UNIGRAM_QUALITY_SQL,
               "CCNet-style per-language unigram cross-entropy histogram"),

@@ -1,0 +1,93 @@
+"""Semantic invariants for the round-9 profiling operators: the
+context-length packing sweep must agree with the single-size packer and
+behave monotonically in the window size; the ANALYZE-style column
+profile must match independently computed statistics."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from iceberg_hybrid_spark.queries.advanced import column_stats_profile
+from iceberg_hybrid_spark.queries.pipeline import (
+    packing_efficiency_sweep,
+    sequence_packing,
+)
+from iceberg_hybrid_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_packing_sweep_agrees_with_single_size_packer(spark):
+    sweep = {r.ctx: r for r in packing_efficiency_sweep(spark, SF_DIR).collect()}
+    assert set(sweep) == {512, 1024, 2048, 4096}
+    single = sequence_packing(spark, SF_DIR).collect()
+    assert sweep[512].n_bins == len({(r.lang, r.bin) for r in single})
+    assert sweep[512].total_tokens == sum(r.bin_tokens for r in single)
+
+
+def test_packing_sweep_monotonicity(spark):
+    rows = packing_efficiency_sweep(spark, SF_DIR).collect()
+    by_ctx = sorted(rows, key=lambda r: r.ctx)
+    tokens = {r.total_tokens for r in by_ctx}
+    assert len(tokens) == 1, "total tokens are ctx-independent"
+    bins = [r.n_bins for r in by_ctx]
+    assert bins == sorted(bins, reverse=True), "bigger windows, fewer bins"
+    oversize = [r.oversize_docs for r in by_ctx]
+    assert oversize == sorted(oversize, reverse=True)
+    for r in by_ctx:
+        assert r.capacity_tokens == r.n_bins * r.ctx
+        assert r.fill_ratio > 0.0
+
+
+def test_column_stats_match_direct_computation(spark):
+    out = {r.col_name: r for r in column_stats_profile(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders")
+    n = orders.count()
+    for r in out.values():
+        assert r.n_rows == n
+    direct = orders.agg(
+        F.countDistinct("o_orderkey").alias("k"),
+        F.countDistinct("o_orderstatus").alias("s"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("cn"),
+    ).collect()[0]
+    assert out["o_orderkey"].ndv_exact == direct.k
+    assert out["o_orderstatus"].ndv_exact == direct.s
+    assert out["o_totalprice"].min_num == direct.mn
+    assert out["o_totalprice"].max_num == direct.mx
+    assert out["o_custkey"].n_nulls == direct.cn
+    # representation contract: numeric columns carry no string min/max
+    assert out["o_orderkey"].min_str is None
+    assert out["o_orderstatus"].min_num is None
+    # date column formats as YYYY-MM-DD
+    assert len(out["o_orderdate"].min_str) == 10
+
+
+def test_column_stats_planted_nulls_and_ndv(spark, tmp_path):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    from datetime import datetime
+
+    rows = [
+        (1, 10, "A", 5.0, datetime(2024, 1, 1), "P1"),
+        (2, None, "A", 7.5, datetime(2024, 6, 15), "P2"),
+        (3, 10, "B", None, datetime(2024, 12, 31), "P1"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "orders.parquet")
+    )
+    out = {r.col_name: r for r in column_stats_profile(spark, sf).collect()}
+    assert out["o_custkey"].n_nulls == 1 and out["o_custkey"].ndv_exact == 1
+    assert out["o_totalprice"].n_nulls == 1
+    assert out["o_totalprice"].min_num == 5.0
+    assert out["o_totalprice"].max_num == 7.5
+    assert out["o_orderstatus"].ndv_exact == 2
+    assert out["o_orderdate"].min_str == "2024-01-01"
+    assert out["o_orderdate"].max_str == "2024-12-31"
+    # tiny cardinalities: the sketch must sit inside its bound
+    assert all(r.approx_within_bounds for r in out.values())

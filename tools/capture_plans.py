@@ -73,6 +73,8 @@ QUERIES = [
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
     "embedding_label_outliers",
+    "packing_efficiency_sweep",
+    "column_stats_profile",
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",

@@ -133,6 +133,7 @@ HEADLINE = [
     "embedding_label_outliers",
     "packing_efficiency_sweep",
     "column_stats_profile",
+    "cluster_aware_split",
 ]
 
 

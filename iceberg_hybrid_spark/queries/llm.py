@@ -1738,6 +1738,129 @@ _DUCK_J = (
     " - 0.000000001, 4) + 0.0"
 )
 
+
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: assignment is keyed on the
+    near-dup COMPONENT, not the document — whole duplicate clusters land
+    in one split, closing the near-duplicate train→eval leak that
+    ``cross_split_contamination`` measures and that the byte-identical
+    fingerprint split (``stratified_split_report``) cannot close.  This
+    is the APPLY step of that audit's finding: dedup clustering feeds
+    split assignment (Lee et al. 2107.06499's protocol for honest
+    held-out sets).  Reports per-split mass plus ``straddling_clusters``
+    — components spanning >1 split — which is 0 by construction and
+    verified independently by the oracle's recomputation.
+
+    Scale shape: the pair relation and component map are the SAME
+    artifacts the dedup pipeline already produces (at 100 TB this query
+    reuses them rather than recomputing); assignment is one map-side
+    md5 over the broadcast-joined component id; the report is one
+    counting shuffle plus two 1-row aggregates.  Oracle: recursive-CTE
+    components over the exact Jaccard >= 0.3 relation (the
+    NEAR_DUP_CLUSTERS_SQL recall-1.0 argument), identical split-bucket
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    verified = minhash_near_dup(spark, sf_dir)
+    comps = D.connected_components(verified, "id_a", "id_b")
+    assigned = docs.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("component", F.coalesce("component", F.col("doc_id")))
+    bucket = F.substring(
+        F.md5(F.col("component").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        F.when(bucket <= "f9", "train")
+        .when(bucket <= "fc", "val")
+        .otherwise("test")
+    )
+    tagged = assigned.select(
+        "doc_id",
+        "component",
+        split.alias("split"),
+        T.token_count("text").alias("tc"),
+    )
+    straddle = (
+        tagged.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("straddling_clusters")
+        )
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+        F.sum("tc").cast("bigint").alias("total_tokens"),
+    )
+    total = per_split.agg(F.sum("n_docs").alias("tot"))
+    return (
+        per_split.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(straddle))
+        .selectExpr(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "total_tokens",
+            "ROUND(CAST(n_docs AS DOUBLE) / tot - 0.000000001, 4) + 0.0"
+            " AS pct_docs",
+            "straddling_clusters",
+        )
+        .orderBy("split")
+    )
+
+
+CLUSTER_AWARE_SPLIT_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+              / (len(a.sh) + len(b.sh)
+                 - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+              - 0.000000001, 4) + 0.0 >= 0.3
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+  WHERE r.label < s.dst
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), assigned AS (
+  SELECT doc.doc_id, COALESCE(comp.component, doc.doc_id) AS component,
+         len(string_split(doc.text, ' ')) AS tc
+  FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.node
+), tagged AS (
+  SELECT doc_id, component, tc,
+         CASE WHEN substring(md5(CAST(component AS VARCHAR)), 1, 2) <= 'f9'
+              THEN 'train'
+              WHEN substring(md5(CAST(component AS VARCHAR)), 1, 2) <= 'fc'
+              THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+), straddle AS (
+  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS straddling_clusters
+  FROM (SELECT component, COUNT(DISTINCT split) AS ns
+        FROM tagged GROUP BY component) x
+), per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+         CAST(SUM(tc) AS BIGINT) AS total_tokens
+  FROM tagged GROUP BY split
+), tot AS (SELECT SUM(n_docs) AS tot FROM per_split)
+SELECT split, n_docs, n_clusters, total_tokens,
+       ROUND(CAST(n_docs AS DOUBLE) / tot - 0.000000001, 4) + 0.0
+         AS pct_docs,
+       straddling_clusters
+FROM per_split CROSS JOIN tot CROSS JOIN straddle ORDER BY split
+"""
+
 DEDUP_AGREEMENT_SQL = f"""
 WITH fps(doc_id, lo, hi) AS (VALUES
   {SIMHASH_FPS_VALUES}
@@ -1982,6 +2105,11 @@ SPECS = [
               EMBEDDING_LABEL_OUTLIERS_SQL,
               "label-conditioned outlier audit: top-20 vectors by "
               "z-scored distance to their own label centroid"),
+    QuerySpec("cluster_aware_split", cluster_aware_split,
+              CLUSTER_AWARE_SPLIT_SQL,
+              "leakage-free split keyed on near-dup components: whole "
+              "clusters land in one split, straddle count 0 by "
+              "construction"),
     QuerySpec("embedding_pq_ann", embedding_pq_ann, EMBEDDING_PQ_SQL,
               "product-quantization ADC ANN vs codebook-literal oracle"),
     QuerySpec("embedding_ivfpq_ann", embedding_ivfpq_ann, EMBEDDING_IVFPQ_SQL,

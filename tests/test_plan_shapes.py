@@ -167,6 +167,9 @@ ALL_PAIRS_WHITELIST = {
     # aggregate (map-side binning), the 10-row bin scaffold, and the
     # 1-row corpus total — all aggregate- or literal-bounded
     "source_psi_drift",
+    # round 9 leakage-free split: the cross sides are the 1-row corpus
+    # total and the 1-row straddle audit — both aggregate-bounded
+    "cluster_aware_split",
 }
 
 # queries allowed to carry a broadcast HINT over a corpus-derived side:

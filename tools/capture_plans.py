@@ -75,6 +75,7 @@ QUERIES = [
     "embedding_label_outliers",
     "packing_efficiency_sweep",
     "column_stats_profile",
+    "cluster_aware_split",
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",

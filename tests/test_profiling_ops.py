@@ -21,8 +21,17 @@ def test_packing_sweep_agrees_with_single_size_packer(spark):
     sweep = {r.ctx: r for r in packing_efficiency_sweep(spark, SF_DIR).collect()}
     assert set(sweep) == {512, 1024, 2048, 4096}
     single = sequence_packing(spark, SF_DIR).collect()
-    assert sweep[512].n_bins == len({(r.lang, r.bin) for r in single})
+    # n_bins is per-lang max(bin)+1 — windows the corpus NEEDS, counting
+    # windows an oversize doc spills through, so compare against the
+    # same max-based count, not the occupied-group count (which skips
+    # bins an oversize doc jumped over)
+    per_lang_max = {}
+    for r in single:
+        per_lang_max[r.lang] = max(per_lang_max.get(r.lang, -1), r.bin)
+    assert sweep[512].n_bins == sum(m + 1 for m in per_lang_max.values())
     assert sweep[512].total_tokens == sum(r.bin_tokens for r in single)
+    # the sweep never under-counts occupied windows
+    assert sweep[512].n_bins >= len({(r.lang, r.bin) for r in single})
 
 
 def test_packing_sweep_monotonicity(spark):
@@ -91,3 +100,40 @@ def test_column_stats_planted_nulls_and_ndv(spark, tmp_path):
     assert out["o_orderdate"].max_str == "2024-12-31"
     # tiny cardinalities: the sketch must sit inside its bound
     assert all(r.approx_within_bounds for r in out.values())
+
+
+def test_column_stats_all_null_and_empty_table(spark, tmp_path):
+    """An all-NULL column must profile (ndv 0, bounds TRUE — not an ANSI
+    DIVIDE_BY_ZERO), and an empty table must still return one row per
+    column, matching the oracle's per-column aggregates."""
+    from datetime import datetime
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    rows = [
+        (1, None, "A", 5.0, datetime(2024, 1, 1), "P1"),
+        (2, None, "B", 6.0, datetime(2024, 2, 1), "P2"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "orders.parquet"))
+    out = {r.col_name: r for r in column_stats_profile(spark, sf).collect()}
+    assert out["o_custkey"].ndv_exact == 0
+    assert out["o_custkey"].n_nulls == 2
+    assert out["o_custkey"].approx_within_bounds is True
+    # empty table: one row per profiled column, all zeros/NULLs
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2, exist_ok=True)
+    spark.createDataFrame([], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf2, "orders.parquet"))
+    empty = column_stats_profile(spark, sf2).collect()
+    assert len(empty) == 6
+    for r in empty:
+        assert r.n_rows == 0 and r.ndv_exact == 0
+        assert r.approx_within_bounds is True
+        assert r.min_num is None and r.min_str is None

@@ -134,6 +134,7 @@ HEADLINE = [
     "packing_efficiency_sweep",
     "column_stats_profile",
     "cluster_aware_split",
+    "user_event_sequences",
 ]
 
 

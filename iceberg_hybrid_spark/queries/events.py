@@ -846,6 +846,84 @@ ORDER BY burst_score DESC, event_type, hour_start LIMIT 50
 """
 
 
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence construction from the event stream: each
+    user's most recent 20 events, ordered, serialized as one
+    '>'-joined event-type string — the example shape a behavioral /
+    recommendation model trains on, with per-sequence length, distinct
+    type count, and time-span features.  Reports the 100 most active
+    users (deterministic tiebreak) — the cohort whose sequences
+    dominate a per-user training mix.
+
+    Scale shape: state is BOUNDED BEFORE collection — one shuffle on
+    user_id, a row_number window keeps only the last 20 events per
+    user, and only then does the per-user aggregate build the (<= 20
+    element) sequence, so no executor ever materializes an unbounded
+    user history (the whale-user failure mode of collect_list-first
+    designs).  Top-100 is TakeOrderedAndProject.
+
+    Cross-engine determinism: ordering is (ts, event_id) — event_id
+    breaks timestamp ties; Spark serializes via
+    sort_array(collect_list(struct)) (deterministic regardless of
+    arrival order), DuckDB via string_agg(... ORDER BY)."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    recent = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )
+    return (
+        recent.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").alias("distinct_types"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("seq"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.max("ts"))
+                    - F.unix_timestamp(F.min("ts"))
+                )
+                / 60
+            )
+            .cast("bigint")
+            .alias("span_minutes"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(100)
+    )
+
+
+USER_EVENT_SEQ_SQL = """
+WITH recent AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 60) AS BIGINT)
+         AS span_minutes
+FROM recent WHERE rn <= 20
+GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 100
+"""
+
+
 # Jensen-Shannon term fragments, identical literal text in both engines
 # (CASTs keep Spark off DECIMAL literals; the p > 0 guards give the
 # standard 0·ln0 = 0 convention; all evaluated on a <= weeks x types
@@ -984,6 +1062,10 @@ SPECS = [
               EWMA_HOURLY_SQL,
               "per-type EWMA ingest-rate baseline (decay 0.7, 24h "
               "horizon) with symmetric burst scores, top-50"),
+    QuerySpec("user_event_sequences", user_event_sequences,
+              USER_EVENT_SEQ_SQL,
+              "bounded training-sequence construction: last-20 event "
+              "types per user, serialized + featurized, top-100 users"),
     QuerySpec("daily_trend_slopes", daily_trend_slopes, DAILY_TREND_SQL,
               "per-type OLS volume trend (slope/intercept/r2) from "
               "BIGINT-exact closed-form sums"),

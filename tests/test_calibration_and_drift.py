@@ -11,7 +11,10 @@ from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F
 
-from iceberg_hybrid_spark.queries.events import ewma_hourly_baseline
+from iceberg_hybrid_spark.queries.events import (
+    ewma_hourly_baseline,
+    user_event_sequences,
+)
 from iceberg_hybrid_spark.queries.llm import (
     cluster_aware_split,
     dedup_modality_agreement,
@@ -91,6 +94,40 @@ def test_ewma_flag_matches_score_on_fixture(spark):
             continue  # rounding boundary: flag derives from the raw ratio
         assert r.is_burst == (1 if r.burst_score > thr else 0), r
         assert r.ewma_prev > 0.0
+
+
+# --- bounded training-sequence construction ----------------------------------
+
+def test_user_event_sequences_keeps_last_20_in_order(spark, tmp_path):
+    """25 events for one user: only the LAST 20 survive, serialized in
+    ascending time order; a second light user keeps everything."""
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    for i in range(25):
+        rows.append((i, t0 + timedelta(minutes=i), 1, f"t{i}", 1.0, "{}"))
+    rows.append((100, t0, 2, "view", 1.0, "{}"))
+    rows.append((101, t0 + timedelta(minutes=5), 2, "click", 1.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r.user_id: r for r in user_event_sequences(spark, sf).collect()}
+    heavy = out[1]
+    assert heavy.n_events == 20
+    assert heavy.seq == ">".join(f"t{i}" for i in range(5, 25))
+    assert heavy.span_minutes == 19
+    light = out[2]
+    assert light.n_events == 2 and light.seq == "view>click"
+    assert light.span_minutes == 5
+
+
+def test_user_event_sequences_bounded_on_fixture(spark):
+    out = user_event_sequences(spark, SF_DIR).collect()
+    assert 0 < len(out) <= 100
+    counts = [r.n_events for r in out]
+    assert counts == sorted(counts, reverse=True)
+    for r in out:
+        assert 1 <= r.n_events <= 20
+        assert len(r.seq.split(">")) == r.n_events
+        assert 1 <= r.distinct_types <= r.n_events
+        assert r.span_minutes >= 0
 
 
 # --- PSI length drift -------------------------------------------------------

@@ -76,6 +76,7 @@ QUERIES = [
     "packing_efficiency_sweep",
     "column_stats_profile",
     "cluster_aware_split",
+    "user_event_sequences",
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",

@@ -891,12 +891,19 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ">",
             ).alias("seq"),
+            # EXACT microsecond epoch on BOTH engines (unix_micros ==
+            # DuckDB epoch_us; the NTZ->TIMESTAMP cast is a wall-clock
+            # no-op under the session's pinned UTC): unix_timestamp
+            # truncates to whole seconds and diverges from a
+            # fractional-seconds oracle by 1 minute when the fractional
+            # parts straddle a 60 s boundary — the same pitfall
+            # user_sessions' interval comparison documents
             F.floor(
                 (
-                    F.unix_timestamp(F.max("ts"))
-                    - F.unix_timestamp(F.min("ts"))
+                    F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+                    - F.unix_micros(F.min(F.col("ts").cast("timestamp")))
                 )
-                / 60
+                / 60000000.0
             )
             .cast("bigint")
             .alias("span_minutes"),
@@ -916,8 +923,8 @@ WITH recent AS (
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
-       CAST(FLOOR((epoch(MAX(ts)) - epoch(MIN(ts))) / 60) AS BIGINT)
-         AS span_minutes
+       CAST(FLOOR((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0)
+            AS BIGINT) AS span_minutes
 FROM recent WHERE rn <= 20
 GROUP BY user_id
 ORDER BY n_events DESC, user_id LIMIT 100

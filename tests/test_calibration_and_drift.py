@@ -105,8 +105,22 @@ def test_user_event_sequences_keeps_last_20_in_order(spark, tmp_path):
     rows = []
     for i in range(25):
         rows.append((i, t0 + timedelta(minutes=i), 1, f"t{i}", 1.0, "{}"))
-    rows.append((100, t0, 2, "view", 1.0, "{}"))
-    rows.append((101, t0 + timedelta(minutes=5), 2, "click", 1.0, "{}"))
+    # sub-second fractions straddling the 60 s boundary: true span is
+    # 299.1 s = 4 whole minutes; whole-second truncation (the
+    # unix_timestamp bug this pins) would see 300 s and report 5
+    rows.append(
+        (100, t0 + timedelta(microseconds=950_000), 2, "view", 1.0, "{}")
+    )
+    rows.append(
+        (
+            101,
+            t0 + timedelta(minutes=5, microseconds=50_000),
+            2,
+            "click",
+            1.0,
+            "{}",
+        )
+    )
     sf = _write_events(spark, tmp_path, rows)
     out = {r.user_id: r for r in user_event_sequences(spark, sf).collect()}
     heavy = out[1]
@@ -115,7 +129,7 @@ def test_user_event_sequences_keeps_last_20_in_order(spark, tmp_path):
     assert heavy.span_minutes == 19
     light = out[2]
     assert light.n_events == 2 and light.seq == "view>click"
-    assert light.span_minutes == 5
+    assert light.span_minutes == 4
 
 
 def test_user_event_sequences_bounded_on_fixture(spark):

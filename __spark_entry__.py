@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 9:
-# 14 new + 9 changed-implementation + the 27 stalest remaining rows (all
-# round-5 vintage; the 16 r5 rows that no longer fit lead round 10's
+# 15 new + 9 changed-implementation + the 26 stalest remaining rows (all
+# round-5 vintage; the 17 r5 rows that no longer fit lead round 10's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     "column_stats_profile",
     "cluster_aware_split",
     "user_event_sequences",
+    "strip_boilerplate_text",
     # implementation/oracle changed this round — prior rows validated
     # old code (128-bit simhash + relational fold; kmv bottom-K helper
     # refactor; bloom window->aggregate rewrite; backpressure
@@ -66,7 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_ann",
     "embedding_pq_ann_persisted",
     "embedding_ivfpq_ann_persisted",
-    # last driver row: round 5 (the 27 stalest, registry declaration
+    # last driver row: round 5 (the 26 stalest, registry declaration
     # order)
     "q20_dominant_blue_suppliers",
     "q21_last_shipper",
@@ -94,7 +95,6 @@ _PRIORITY: tuple[str, ...] = (
     "q9_profit_by_nation_year",
     "minhash_near_dup",
     "embedding_near_dup_pairs",
-    "dsir_importance_weights",
 )
 
 

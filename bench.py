@@ -135,6 +135,7 @@ HEADLINE = [
     "column_stats_profile",
     "cluster_aware_split",
     "user_event_sequences",
+    "strip_boilerplate_text",
 ]
 
 

@@ -748,6 +748,137 @@ FROM per_lang GROUP BY ctx ORDER BY ctx
 """
 
 
+def strip_boilerplate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the transform, not the report: every token
+    covered by an 8-token window that appears in >= 3 distinct documents
+    is stripped, and the cleaned text is reconstructed in token order.
+    This is the cleaning pass ``boilerplate_ngrams`` /
+    ``boilerplate_filter_report`` only diagnose: headers, footers and
+    license blocks shared across documents come out; each document's
+    unique prose stays.  Value-gated END TO END: the oracle rebuilds the
+    cleaned text independently and the md5 of the reconstruction must
+    match byte-for-byte, so window positions, coverage intervals, token
+    order and joining are all pinned — not just the counts.
+
+    Scale shape: positional windows are map-side (n >= 8 guard — Spark's
+    sequence counts DOWN on an empty range); window df is ONE counting
+    shuffle on the 8-byte window hash; coverage explodes matched windows
+    into (doc, pos) and dedups; removal is a left-anti join on
+    (doc, pos); reconstruction sorts each doc's kept tokens inside one
+    bounded-by-document-length aggregate.  The window identity is
+    engine-internal (xxhash64 here, the window string in DuckDB) — only
+    the reconstructed TEXT crosses engines.  Reports the 100
+    most-stripped documents (deterministic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform("
+                "CASE WHEN size(w) >= 8 THEN sequence(1, size(w) - 7)"
+                " ELSE array() END,"
+                " i -> struct(i AS pos,"
+                " xxhash64(concat_ws(' ', slice(w, i, 8))) AS wh))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh"))
+    boiler = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter("df >= 3")
+        .select("wh")
+    )
+    covered = (
+        wins.join(boiler.hint("shuffle_hash"), "wh")
+        .select(
+            "doc_id", F.explode(F.expr("sequence(pos, pos + 7)")).alias("pos")
+        )
+        .distinct()
+    )
+    tok_rows = (
+        toks.select("doc_id", F.posexplode("w"))
+        .toDF("doc_id", "p0", "tok")
+        .selectExpr("doc_id", "p0 + 1 AS pos", "tok")
+    )
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("cleaned_md5"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(cleaned, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "COALESCE(kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens",
+            "n_tokens - COALESCE(kept_tokens, CAST(0 AS BIGINT))"
+            " AS removed_tokens",
+            "COALESCE(cleaned_md5, md5(CAST('' AS BINARY))) AS cleaned_md5",
+        )
+        .filter("removed_tokens > 0")
+        .orderBy(F.desc("removed_tokens"), "doc_id")
+        .limit(100)
+    )
+
+
+_DUCK_WIN8 = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(8))
+
+STRIP_BOILERPLATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), wins AS (
+  SELECT doc_id, i AS pos, {_DUCK_WIN8} AS win
+  FROM (SELECT doc_id, w,
+               UNNEST(CASE WHEN len(w) >= 8
+                      THEN generate_series(1, len(w) - 7)
+                      ELSE CAST([] AS BIGINT[]) END) AS i
+        FROM t)
+), boiler AS (
+  SELECT win FROM (SELECT win, COUNT(DISTINCT doc_id) AS df
+                   FROM wins GROUP BY win) b
+  WHERE df >= 3
+), covered AS (
+  SELECT DISTINCT doc_id, cpos
+  FROM (SELECT wins.doc_id,
+               UNNEST(generate_series(wins.pos, wins.pos + 7)) AS cpos
+        FROM wins JOIN boiler USING (win)) c
+), tok AS (
+  SELECT doc_id, UNNEST(w) AS tok, generate_subscripts(w, 1) AS pos FROM t
+), kept AS (
+  SELECT tok.doc_id, tok.tok, tok.pos
+  FROM tok LEFT JOIN covered
+    ON tok.doc_id = covered.doc_id AND tok.pos = covered.cpos
+  WHERE covered.cpos IS NULL
+), cleaned AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT base.doc_id, n_tokens,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       n_tokens - COALESCE(kept_tokens, 0) AS removed_tokens,
+       COALESCE(cleaned_md5, md5('')) AS cleaned_md5
+FROM base LEFT JOIN cleaned ON base.doc_id = cleaned.doc_id
+WHERE n_tokens - COALESCE(kept_tokens, 0) > 0
+ORDER BY removed_tokens DESC, base.doc_id LIMIT 100
+"""
+
+
 # --- retention funnel -------------------------------------------------------
 
 def corpus_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4022,6 +4153,10 @@ SPECS = [
               PACKING_SWEEP_SQL,
               "context-length planning: bins/capacity/fill/truncation "
               "exposure at 512-4096 tokens from one window pass"),
+    QuerySpec("strip_boilerplate_text", strip_boilerplate_text,
+              STRIP_BOILERPLATE_SQL,
+              "boilerplate removal transform: strip tokens covered by "
+              "cross-document 8-token windows, md5-gated reconstruction"),
     QuerySpec("unigram_logprob_quality", unigram_logprob_quality,
               UNIGRAM_QUALITY_SQL,
               "CCNet-style per-language unigram cross-entropy histogram"),

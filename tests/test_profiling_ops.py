@@ -11,6 +11,7 @@ from iceberg_hybrid_spark.queries.advanced import column_stats_profile
 from iceberg_hybrid_spark.queries.pipeline import (
     packing_efficiency_sweep,
     sequence_packing,
+    strip_boilerplate_text,
 )
 from iceberg_hybrid_spark.sources.tables import load_table
 
@@ -46,6 +47,42 @@ def test_packing_sweep_monotonicity(spark):
     for r in by_ctx:
         assert r.capacity_tokens == r.n_bins * r.ctx
         assert r.fill_ratio > 0.0
+
+
+def test_strip_boilerplate_removes_shared_block_keeps_prose(spark, tmp_path):
+    """An 8-token block planted in 3 docs is stripped from all three;
+    each document's unique prose survives byte-exactly (md5-checked);
+    a 2-doc shared block is below the df >= 3 bar and stays."""
+    import hashlib
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rare = "r1 r2 r3 r4 r5 r6 r7 r8"  # shared by only 2 docs: kept
+    # tokens FLANKING the boilerplate are doc-unique, so the only
+    # df >= 3 window is the block itself (a shared neighbor would put
+    # the straddling window over the bar too — correct, but not what
+    # this test pins)
+    docs = {
+        1: (f"alpha one1 {boiler} tail1 end1", "alpha one1 tail1 end1"),
+        2: (f"beta two2 {boiler} tail2 end2", "beta two2 tail2 end2"),
+        3: (f"gamma th3 {boiler} tail3 end3", "gamma th3 tail3 end3"),
+        4: (f"delta four {rare} tail four", None),  # nothing stripped
+        5: (f"epsi five {rare} tail five", None),
+    }
+    rows = [(i, t, "en", "s") for i, (t, _) in docs.items()]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("bigint")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r for r in strip_boilerplate_text(spark, sf).collect()}
+    assert set(out) == {1, 2, 3}, out  # rare block never reaches df >= 3
+    for i in (1, 2, 3):
+        expect = docs[i][1]
+        r = out[i]
+        assert r.removed_tokens == 8 and r.kept_tokens == 4, r
+        assert r.cleaned_md5 == hashlib.md5(expect.encode()).hexdigest(), r
 
 
 def test_column_stats_match_direct_computation(spark):

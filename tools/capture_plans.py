@@ -77,6 +77,7 @@ QUERIES = [
     "column_stats_profile",
     "cluster_aware_split",
     "user_event_sequences",
+    "strip_boilerplate_text",
     "read_route_scores",
     "embedding_pq_ann_appended",
     "lease_gc_floor",

@@ -18,14 +18,21 @@ from ..plans.barrier import stop_predicate_pushdown
 from ..functions import similarity as S
 from ..functions import text as T
 from ..functions.text import round_stable
-from ..sources.tables import load_table
+from ..sources.tables import (
+    DUCK_DOC_SAMPLE_WHERE,
+    load_table,
+    sample_documents,
+)
 from ._ivf_oracle import EMBEDDING_IVF_SQL
 from ._recall_oracle import ANN_RECALL_SQL
 from ._ivfpq_oracle import EMBEDDING_IVFPQ_SQL
 from ._pq_oracle import EMBEDDING_PQ_SQL
 from ._semdedup_oracle import SEMANTIC_DEDUP_SQL
 from ._cdc_oracle import CDC_CHUNK_OVERLAP_SQL
-from ._minhash_calib_oracle import MINHASH_CALIB_SQL
+from ._minhash_calib_oracle import (
+    MINHASH_CALIB_SAMPLED_SQL,
+    MINHASH_CALIB_SQL,
+)
 from ._simhash_oracle import (
     SIMHASH_CALIBRATION_SQL,
     SIMHASH_FPS_VALUES,
@@ -524,7 +531,14 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``near_dup_shingle_pairs``.
     Recall is additionally pinned by planted-duplicate unit tests.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _minhash_near_dup(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_near_dup(docs: DataFrame) -> DataFrame:
+    """Body of ``minhash_near_dup`` over an arbitrary documents relation
+    (full corpus, or a hash-sample — banding and verify are per-pair, so
+    the pair relation over a filtered corpus equals the full relation
+    restricted to surviving endpoints)."""
     cands = D.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
     d = docs.select("doc_id", T.shingle_hashes("text").alias("sh"))
     verified = (
@@ -1462,7 +1476,13 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Column form's interpreted 128-slot HOF fold measured 3x slower —
     and, being a plain projection, was additionally re-evaluated at the
     scan by the band join's pushed null-key filter."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_near_dup(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_near_dup(docs: DataFrame) -> DataFrame:
+    """Body of ``simhash_near_dup`` over an arbitrary documents relation
+    (banding and the hamming verify are per-pair — see
+    ``_minhash_near_dup``)."""
     d = D.simhash128_rel(docs, "text", "doc_id")
     chunks = d.select(
         "doc_id",
@@ -1595,7 +1615,40 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-result division is exact).  Oracle: per-doc signature
     literals (tools/gen_minhash_calib_oracle.py) + DuckDB recomputing
     the all-pairs slot-match and shingle set ops from documents."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _minhash_estimate_calibration(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def minhash_estimate_calibration_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fixed-cost production form of ``minhash_estimate_calibration``:
+    the identical calibration (same signature fold, same 1-row-band
+    candidate net, same binning/error arithmetic) over a deterministic
+    ~25% hash-sample of the corpus (``sources.tables.sample_documents``
+    — md5(doc_id) nibble predicate, evaluated identically in BOTH
+    engines, pushed into the scan).  The estimator's per-pair error
+    distribution is a population property, so a uniform doc sample
+    estimates the same table at a quarter of the pair volume — and at
+    100 TB the owner tightens the nibble threshold so the sample (hence
+    the quadratic-ish candidate stage) stays FIXED-size while the full
+    form remains the run-once value gate.  Sample membership is a pure
+    function of doc_id, so the sampled pair relation provably equals the
+    full relation restricted to sampled endpoints
+    (tests/test_sampled_twins.py pins this at sf0.01).
+
+    Oracle: the same signature-literal recomputation, with the identical
+    sample predicate inside the DuckDB documents scan (the literals
+    cover the full corpus; inner joins against the filtered relation
+    restrict them) — sf0.01-only validity, regenerate via
+    tools/gen_minhash_calib_oracle.py if the check scale changes."""
+    return _minhash_estimate_calibration(
+        sample_documents(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _minhash_estimate_calibration(docs: DataFrame) -> DataFrame:
     d = docs.select("doc_id", T.shingle_hashes("text").alias("sh"))
     sig = d.select(
         "doc_id", D.minhash_from_hashes(F.col("sh"), 32).alias("sig")
@@ -1686,8 +1739,39 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recomputes exact pairs from raw text equality,
     minhash pairs as the exact all-pairs Jaccard >= 0.3 relation (valid
     at banding recall 1.0 — MINHASH_NEAR_DUP_SQL's argument), and
-    simhash pairs from the pinned fingerprint literals."""
-    docs = load_table(spark, sf_dir, "documents")
+    simhash pairs from the pinned fingerprint literals.  The oracle
+    composes the pinned SIMHASH_FPS_VALUES literals, so like the
+    simhash/minhash-calibration oracles it inherits sf0.01-only
+    validity: regenerate via tools/gen_simhash_oracle.py if the
+    driver's check scale ever changes."""
+    return _dedup_modality_agreement(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_modality_agreement_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fixed-cost scheduled form of ``dedup_modality_agreement``:
+    the identical three-modality agreement matrix over the deterministic
+    hash-sample (``sources.tables.sample_documents`` — same predicate,
+    both engines, pushed into every modality's scan).  All three pair
+    relations are per-pair predicates of the two endpoint documents
+    (md5 equality; per-doc minhash signature + banding + Jaccard verify;
+    per-doc simhash fingerprint + banding + hamming verify), so the
+    sampled matrix is EXACTLY the full matrix restricted to pairs with
+    both endpoints sampled (pinned by tests/test_sampled_twins.py) —
+    a uniform pair sample of each agreement cell.  At 100 TB the nibble
+    threshold tightens so the sampled corpus — hence every candidate
+    stage — stays fixed-size per scheduled run; the full form remains
+    the value gate.  Oracle: same composition as the full form with the
+    sample predicate applied to the documents scan and to the pinned
+    fingerprint literals (same doc_id predicate — membership is a pure
+    function of doc_id); sf0.01-only validity as the full form."""
+    return _dedup_modality_agreement(
+        sample_documents(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _dedup_modality_agreement(docs: DataFrame) -> DataFrame:
     fp = docs.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("f")
     )
@@ -1705,8 +1789,8 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    mh = minhash_near_dup(spark, sf_dir).select("id_a", "id_b")
-    sh = simhash_near_dup(spark, sf_dir).select(
+    mh = _minhash_near_dup(docs).select("id_a", "id_b")
+    sh = _simhash_near_dup(docs).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
     universe = exact.union(mh).union(sh).distinct()
@@ -1861,20 +1945,30 @@ SELECT split, n_docs, n_clusters, total_tokens,
 FROM per_split CROSS JOIN tot CROSS JOIN straddle ORDER BY split
 """
 
-DEDUP_AGREEMENT_SQL = f"""
-WITH fps(doc_id, lo, hi) AS (VALUES
+def _dedup_agreement_sql(where: str) -> str:
+    """DEDUP_AGREEMENT oracle over the documents satisfying ``where``
+    (a pure doc_id predicate — 'TRUE' for the full form, the shared
+    hash-sample predicate for the sampled twin; the fps literal
+    relation is filtered by the SAME predicate, which is valid exactly
+    because sample membership is a function of doc_id alone)."""
+    return f"""
+WITH fps_all(doc_id, lo, hi) AS (VALUES
   {SIMHASH_FPS_VALUES}
+), fps AS (
+  SELECT * FROM fps_all WHERE ({where})
+), sdocs AS (
+  SELECT * FROM documents WHERE ({where})
 ), sh_pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM fps a JOIN fps b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
 ), ex_pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM documents a JOIN documents b
+  FROM sdocs a JOIN sdocs b
     ON a.doc_id < b.doc_id AND a.text = b.text
 ), d AS (
   SELECT doc_id, {_DUCK_SHINGLES} AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) x
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sdocs) x
 ), mh_pairs AS (
   SELECT da.doc_id AS id_a, db.doc_id AS id_b
   FROM d da JOIN d db ON da.doc_id < db.doc_id
@@ -1898,6 +1992,11 @@ SELECT CAST(in_exact AS INT) AS in_exact,
        COUNT(*) AS pair_count
 FROM flags GROUP BY 1, 2, 3 ORDER BY 1 DESC, 2 DESC, 3 DESC
 """
+
+
+DEDUP_AGREEMENT_SQL = _dedup_agreement_sql("TRUE")
+
+DEDUP_AGREEMENT_SAMPLED_SQL = _dedup_agreement_sql(DUCK_DOC_SAMPLE_WHERE)
 
 
 def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2097,10 +2196,21 @@ SPECS = [
               "MinHash estimator calibration: per exact-Jaccard decile "
               "bin, mean/max |estimate - exact| over the 1-row-band "
               "candidate relation vs signature-literal oracle"),
+    QuerySpec("minhash_estimate_calibration_sampled",
+              minhash_estimate_calibration_sampled,
+              MINHASH_CALIB_SAMPLED_SQL,
+              "fixed-cost production twin of the MinHash calibration: "
+              "identical estimator audit over the deterministic "
+              "hash-sampled corpus (same predicate both engines)"),
     QuerySpec("dedup_modality_agreement", dedup_modality_agreement,
               DEDUP_AGREEMENT_SQL,
               "cross-modality dedup agreement matrix: exact/minhash/"
               "simhash flag combinations with pair counts"),
+    QuerySpec("dedup_modality_agreement_sampled",
+              dedup_modality_agreement_sampled,
+              DEDUP_AGREEMENT_SAMPLED_SQL,
+              "fixed-cost scheduled twin of the modality agreement "
+              "matrix over the deterministic hash-sampled corpus"),
     QuerySpec("embedding_label_outliers", embedding_label_outliers,
               EMBEDDING_LABEL_OUTLIERS_SQL,
               "label-conditioned outlier audit: top-20 vectors by "

@@ -21,7 +21,11 @@ from ..functions import sketch as SK
 from ..functions import text as T
 from ._bpe_apply_oracle import BPE_APPLY_SQL
 from ._bpe_oracle import BPE_ROUNDS_SQL
-from ..sources.tables import load_table
+from ..sources.tables import (
+    DUCK_DOC_SAMPLE_WHERE,
+    load_table,
+    sample_documents,
+)
 from .spec import QuerySpec
 
 # DuckDB fragment: distinct k-token shingles from pre-split words `w`.
@@ -767,8 +771,13 @@ def strip_boilerplate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, pos); reconstruction sorts each doc's kept tokens inside one
     bounded-by-document-length aggregate.  The window identity is
     engine-internal (xxhash64 here, the window string in DuckDB) — only
-    the reconstructed TEXT crosses engines.  Reports the 100
-    most-stripped documents (deterministic tiebreak)."""
+    the reconstructed TEXT crosses engines.  A 64-bit collision between
+    DISTINCT windows could merge their df counts past the df >= 3 gate
+    (probability ~n_windows²/2⁶⁴ — negligible at this corpus); if a
+    deployment's window count approaches 2³², pair the xxhash64 with a
+    second independent hash (or the window's token-length) as the df
+    key to push the bound back down.  Reports the 100 most-stripped
+    documents (deterministic tiebreak)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
     wins = toks.select(
@@ -3718,7 +3727,9 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, sketches union by keeping the 256 smallest of the
     merged values (mergeable like CMS/HLL/Bloom), and the intersection
     estimate is ``(|both| / K) * D_union`` over the union sketch's K
-    smallest values — the standard KMV Jaccard trick.
+    smallest values — the standard KMV Jaccard trick.  The sampled twin
+    (``kmv_source_overlap_sampled``) runs this same audit on the
+    deterministic hash-sample — the fixed-cost scheduled form.
 
     Scale shape: ONE distinct shuffle materializes the (source,
     hash-value) relation for all consumers (ReusedExchange); per-source
@@ -3731,8 +3742,32 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision behavior.  Hash = md5-nibble 32-bit with the expression
     text shared verbatim; the estimator divides once, on identical
     literals."""
+    return _kmv_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def kmv_source_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-cost scheduled form of the KMV overlap AUDIT: the
+    identical audited query (exact distinct-pair relation + sketch
+    estimates side by side) over the deterministic ~25% hash-sample
+    (``sources.tables.sample_documents`` — same md5(doc_id) predicate in
+    both engines, pushed into the scan).  The r8/r9 64x decomposition
+    showed the audit's cost IS its exact side (distinct-relation build +
+    pairwise self-join, linear-with-corpus by definition); a uniform doc
+    sample bounds exactly that side while exercising the full estimator
+    arithmetic against a real exact answer — and because sampled
+    per-source shingle sets are subsets of the full sets, the sampled
+    exact union/intersection are provably <= the full audit's
+    (tests/test_sampled_twins.py).  At 100 TB the owner tightens the
+    nibble threshold so the sampled relation stays fixed-size per
+    scheduled audit; ``kmv_source_overlap_sketch`` remains the per-sweep
+    production estimator and the full audit the run-once value gate."""
+    return _kmv_source_overlap(
+        sample_documents(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _kmv_source_overlap(docs: DataFrame) -> DataFrame:
     k_min = 256
-    docs = load_table(spark, sf_dir, "documents")
     hv = (
         docs.select("source", F.explode(T.shingles("text", 3)).alias("s"))
         .select(
@@ -3789,10 +3824,15 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_ADDR = _HEX_INT.replace("(m,", "(md5(s || ':kmv'),")
 
-KMV_OVERLAP_SQL = f"""
+def _kmv_overlap_sql(where: str) -> str:
+    """KMV audited-overlap oracle over the documents satisfying
+    ``where`` (a pure doc_id predicate — 'TRUE' for the full audit,
+    the shared hash-sample predicate for the sampled twin)."""
+    return f"""
 WITH sh AS (
   SELECT DISTINCT source, unnest({_duck_shingles(3)}) AS s
-  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents
+        WHERE ({where}))
 ), hv AS (
   SELECT DISTINCT source, {_KMV_ADDR} AS v FROM sh
 ), counts AS (
@@ -3842,6 +3882,11 @@ LEFT JOIN exact_pairs e ON p.src_a = e.src_a AND p.src_b = e.src_b
 JOIN per_pair pp ON p.src_a = pp.src_a AND p.src_b = pp.src_b
 ORDER BY p.src_a, p.src_b
 """
+
+
+KMV_OVERLAP_SQL = _kmv_overlap_sql("TRUE")
+
+KMV_OVERLAP_SAMPLED_SQL = _kmv_overlap_sql(DUCK_DOC_SAMPLE_WHERE)
 
 KMV_OVERLAP_SKETCH_SQL = f"""
 WITH sh AS (
@@ -4030,6 +4075,111 @@ ORDER BY lang, q
 """
 
 
+def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring tier folded into ONE dashboard-shaped relation —
+    the operator a pipeline owner actually schedules: every health head
+    (EWMA hourly burst detection, PSI length drift per source, MinHash
+    estimator calibration, cross-modality dedup agreement) reshaped to
+    (tag, metric, value, alert) and unioned, so one scheduled query
+    feeds one alerting dashboard instead of four ad-hoc reads.
+
+    Heads and their alert rules:
+    - ``ewma_burst``: per (event_type, hour), |ln(count/EWMA)| with the
+      1.5x-ratio burst flag (``ewma_hourly_baseline``'s top-50);
+    - ``psi_drift``: per source, the decile-bin PSI vs the corpus with
+      the standard PSI > 0.2 'significant shift' alert;
+    - ``minhash_calibration``: per exact-Jaccard decile bin, the mean
+      |estimate - exact| with an alert at the binomial sigma bound
+      sqrt(J(1-J)/32) <= 0.0883 — an estimator drifting past its own
+      error model;
+    - ``dedup_agreement``: per modality-flag cell, the pair count with
+      an alert on single-modality cells (the disagreement mass a
+      modality ladder needs explained).
+
+    The calibration and agreement heads use the SAMPLED production
+    twins — this composite is the scheduled form, so every head must be
+    fixed-cost at 100 TB (the full-corpus calibrators remain the
+    run-once value gates).  Scale shape: a union of four
+    individually-bounded heads (each's 64x/16x evidence in
+    docs/SCALING.md); the union adds no shuffle — each head's plan runs
+    unchanged and the outputs concatenate.  Oracle: the same four
+    oracle queries reshaped and unioned verbatim."""
+    from .events import ewma_hourly_baseline
+    from .llm import (
+        dedup_modality_agreement_sampled,
+        minhash_estimate_calibration_sampled,
+    )
+
+    ewma = ewma_hourly_baseline(spark, sf_dir).selectExpr(
+        "'ewma_burst' AS tag",
+        "concat(event_type, '@', CAST(hour_start AS STRING)) AS metric",
+        "burst_score AS value",
+        "is_burst AS alert",
+    )
+    psi = source_psi_drift(spark, sf_dir).selectExpr(
+        "'psi_drift' AS tag",
+        "source AS metric",
+        "psi AS value",
+        "CAST(CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS INT) AS alert",
+    )
+    cal = minhash_estimate_calibration_sampled(spark, sf_dir).selectExpr(
+        "'minhash_calibration' AS tag",
+        "concat('bin_', CAST(j_bin AS STRING)) AS metric",
+        "mean_abs_err AS value",
+        "CAST(CASE WHEN mean_abs_err > 0.0883 THEN 1 ELSE 0 END AS INT)"
+        " AS alert",
+    )
+    agr = dedup_modality_agreement_sampled(spark, sf_dir).selectExpr(
+        "'dedup_agreement' AS tag",
+        "concat('e', CAST(in_exact AS STRING), 'm',"
+        " CAST(in_minhash AS STRING), 's', CAST(in_simhash AS STRING))"
+        " AS metric",
+        "CAST(pair_count AS DOUBLE) AS value",
+        "CAST(CASE WHEN in_exact + in_minhash + in_simhash = 1"
+        " THEN 1 ELSE 0 END AS INT) AS alert",
+    )
+    return (
+        ewma.unionByName(psi).unionByName(cal).unionByName(agr)
+        .orderBy("tag", "metric")
+    )
+
+
+def _pipeline_health_sql() -> str:
+    from .events import EWMA_HOURLY_SQL
+    from .llm import DEDUP_AGREEMENT_SAMPLED_SQL, MINHASH_CALIB_SAMPLED_SQL
+
+    return f"""
+WITH ewma_h AS ({EWMA_HOURLY_SQL}),
+psi_h AS ({SOURCE_PSI_SQL}),
+cal_h AS ({MINHASH_CALIB_SAMPLED_SQL}),
+agr_h AS ({DEDUP_AGREEMENT_SAMPLED_SQL})
+SELECT * FROM (
+  SELECT 'ewma_burst' AS tag,
+         event_type || '@' || CAST(hour_start AS VARCHAR) AS metric,
+         burst_score AS value, is_burst AS alert
+  FROM ewma_h
+  UNION ALL
+  SELECT 'psi_drift', source, psi,
+         CASE WHEN psi > 0.2 THEN 1 ELSE 0 END
+  FROM psi_h
+  UNION ALL
+  SELECT 'minhash_calibration', 'bin_' || CAST(j_bin AS VARCHAR),
+         mean_abs_err,
+         CASE WHEN mean_abs_err > 0.0883 THEN 1 ELSE 0 END
+  FROM cal_h
+  UNION ALL
+  SELECT 'dedup_agreement',
+         'e' || CAST(in_exact AS VARCHAR) || 'm'
+             || CAST(in_minhash AS VARCHAR) || 's'
+             || CAST(in_simhash AS VARCHAR),
+         CAST(pair_count AS DOUBLE),
+         CASE WHEN in_exact + in_minhash + in_simhash = 1 THEN 1 ELSE 0 END
+  FROM agr_h
+)
+ORDER BY tag, metric
+"""
+
+
 SPECS = [
     QuerySpec("quantile_sketch_audit", quantile_sketch_audit,
               QUANTILE_SKETCH_SQL,
@@ -4042,6 +4192,15 @@ SPECS = [
               KMV_OVERLAP_SKETCH_SQL,
               "KMV overlap estimator, sketch-only production form: no "
               "exact audit side, the shape deployed at corpus scale"),
+    QuerySpec("kmv_source_overlap_sampled", kmv_source_overlap_sampled,
+              KMV_OVERLAP_SAMPLED_SQL,
+              "fixed-cost scheduled form of the KMV overlap audit: "
+              "exact + sketch side by side over the deterministic "
+              "hash-sampled corpus"),
+    QuerySpec("pipeline_health", pipeline_health, _pipeline_health_sql(),
+              "the monitoring tier as ONE dashboard relation (tag, "
+              "metric, value, alert): EWMA bursts + PSI drift + "
+              "sampled MinHash calibration + sampled dedup agreement"),
     QuerySpec("hll_distinct_audit", hll_distinct_audit, HLL_DISTINCT_SQL,
               "HyperLogLog distinct-shingle estimate (1024 relational "
               "max-rank registers) audited against exact counts"),

@@ -125,6 +125,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# --- deterministic corpus sampling ------------------------------------------
+# Shared hash-sample predicate for the audit-tier calibrators' sampled
+# production twins (minhash_estimate_calibration_sampled,
+# dedup_modality_agreement_sampled, kmv_source_overlap_sampled): keep a
+# document iff the first hex nibble of md5(doc_id || ':cal') is <= the
+# threshold nibble.  md5 over the same byte string is identical in Spark
+# and DuckDB (the domain_mix_sample trick), so BOTH engines evaluate the
+# exact same predicate — no RNG state, reproducible across runs, and the
+# sample composes with any downstream per-pair operator because
+# membership is a pure function of doc_id.  The default nibble '3' keeps
+# 4/16 = ~25% of documents; a 100 TB deployment tightens the threshold
+# (more hex digits, smaller prefix) so the expected sample size stays
+# FIXED as the corpus grows — that is the knob that turns the
+# corpus-wide audit queries into fixed-cost scheduled monitors.
+DOC_SAMPLE_NIBBLE = "3"
+
+
+def duck_doc_sample_where(
+    col: str = "doc_id", nibble: str = DOC_SAMPLE_NIBBLE
+) -> str:
+    """DuckDB text of the sample predicate over column ``col`` — the
+    byte-identical twin of ``sample_documents``'s Spark filter."""
+    return f"substr(md5({col}::VARCHAR || ':cal'), 1, 1) <= '{nibble}'"
+
+
+DUCK_DOC_SAMPLE_WHERE = duck_doc_sample_where()
+
+
+def sample_documents(docs: DataFrame, nibble: str = DOC_SAMPLE_NIBBLE) -> DataFrame:
+    """Deterministic hash-sample of a documents relation (see above).
+
+    Evaluates map-side in the scan stage (a pure projection predicate —
+    Catalyst pushes it into the parquet scan), so everything downstream
+    of the filter runs on the sampled relation only."""
+    from pyspark.sql import functions as F
+
+    return docs.filter(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cal"))),
+            1,
+            1,
+        )
+        <= nibble
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -163,6 +163,10 @@ ALL_PAIRS_WHITELIST = {
     # round 9 sketch-only twin: same #sources-row self-pairing, built
     # from the bounded bottom-K sketch instead of the counts relation
     "kmv_source_overlap_sketch",
+    # round 10 sampled audit twin: the full audit's shape (same
+    # whitelisted #sources-row self-pairing) over the hash-sampled
+    # corpus
+    "kmv_source_overlap_sampled",
     # round 9 PSI drift: the cross sides are the 1-row decile-edge
     # aggregate (map-side binning), the 10-row bin scaffold, and the
     # 1-row corpus total — all aggregate- or literal-bounded

@@ -1,0 +1,209 @@
+"""Agreement-with-full-form tests for the sampled audit twins.
+
+The three audit-wide calibrators (minhash_estimate_calibration,
+dedup_modality_agreement, kmv_source_overlap) gained fixed-cost
+production twins that run the identical query over the deterministic
+hash-sample (sources.tables.sample_documents).  These tests pin the
+relationship between sampled and full forms at the driver's check
+scale: because sample membership is a pure function of doc_id and every
+pair predicate depends only on its two endpoint documents, the sampled
+pair relations must EQUAL the full relations restricted to sampled
+endpoints — not merely approximate them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_hybrid_spark.queries.llm import (
+    _dedup_modality_agreement,
+    _minhash_near_dup,
+    _simhash_near_dup,
+    dedup_modality_agreement,
+    dedup_modality_agreement_sampled,
+    minhash_estimate_calibration,
+    minhash_estimate_calibration_sampled,
+)
+from iceberg_hybrid_spark.queries.pipeline import (
+    kmv_source_overlap,
+    kmv_source_overlap_sampled,
+)
+from iceberg_hybrid_spark.sources.tables import (
+    load_table,
+    sample_documents,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _sampled_ids(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return {
+        r.doc_id for r in sample_documents(docs).select("doc_id").collect()
+    }
+
+
+def test_sample_rate_and_determinism(spark):
+    """The nibble-'3' sample keeps ~4/16 of documents, deterministically
+    (two evaluations agree row-for-row)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    ids1 = _sampled_ids(spark)
+    ids2 = _sampled_ids(spark)
+    assert ids1 == ids2
+    # binomial(n, 1/4): allow a generous band around the expectation
+    assert 0.15 * n <= len(ids1) <= 0.35 * n
+
+
+def test_minhash_pairs_sampled_equals_full_restricted(spark):
+    """MinHash-LSH near-dup pairs over the sampled corpus == the full
+    pair relation restricted to both-endpoint-sampled pairs (banding
+    and the Jaccard verify are per-pair)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    ids = _sampled_ids(spark)
+    full = {
+        (r.id_a, r.id_b)
+        for r in _minhash_near_dup(docs).select("id_a", "id_b").collect()
+    }
+    sampled = {
+        (r.id_a, r.id_b)
+        for r in _minhash_near_dup(sample_documents(docs))
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert sampled == {
+        (a, b) for a, b in full if a in ids and b in ids
+    }
+
+
+def test_simhash_pairs_sampled_equals_full_restricted(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    ids = _sampled_ids(spark)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in _simhash_near_dup(docs).select("doc_a", "doc_b").collect()
+    }
+    sampled = {
+        (r.doc_a, r.doc_b)
+        for r in _simhash_near_dup(sample_documents(docs))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert sampled == {
+        (a, b) for a, b in full if a in ids and b in ids
+    }
+
+
+def test_agreement_matrix_sampled_is_restriction_of_full(spark):
+    """Recompute the FULL agreement matrix restricted to sampled pairs
+    driver-side from the full flag relations and assert the sampled
+    query reports exactly that matrix."""
+    docs = load_table(spark, SF_DIR, "documents")
+    ids = _sampled_ids(spark)
+
+    def pairs(df, ca, cb):
+        return {(r[ca], r[cb]) for r in df.select(ca, cb).collect()}
+
+    fp = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("f"))
+    ex = {
+        (r.id_a, r.id_b)
+        for r in fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .collect()
+    }
+    mh = pairs(_minhash_near_dup(docs), "id_a", "id_b")
+    sh = pairs(_simhash_near_dup(docs), "doc_a", "doc_b")
+    keep = lambda s: {(a, b) for a, b in s if a in ids and b in ids}  # noqa: E731
+    ex, mh, sh = keep(ex), keep(mh), keep(sh)
+    expected = {}
+    for p in ex | mh | sh:
+        key = (int(p in ex), int(p in mh), int(p in sh))
+        expected[key] = expected.get(key, 0) + 1
+
+    got = {
+        (r.in_exact, r.in_minhash, r.in_simhash): r.pair_count
+        for r in dedup_modality_agreement_sampled(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_agreement_sampled_cells_bounded_by_full(spark):
+    """Every sampled agreement cell is <= the full form's cell (the
+    sampled universe is a subset of the full universe)."""
+    full = {
+        (r.in_exact, r.in_minhash, r.in_simhash): r.pair_count
+        for r in dedup_modality_agreement(spark, SF_DIR).collect()
+    }
+    sampled = {
+        (r.in_exact, r.in_minhash, r.in_simhash): r.pair_count
+        for r in dedup_modality_agreement_sampled(spark, SF_DIR).collect()
+    }
+    for key, n in sampled.items():
+        assert n <= full.get(key, 0), (key, n, full.get(key))
+
+
+def test_minhash_calibration_sampled_subset_and_consistency(spark):
+    """The sampled calibration's bins are populated from a subset of the
+    full form's pair population: per bin, pair_count <= full pair_count,
+    and the measured error never exceeds the full form's max for that
+    bin (the sampled pairs ARE full-form pairs, so the per-bin max |err|
+    is bounded by the full per-bin max)."""
+    full = {
+        r.j_bin: r for r in minhash_estimate_calibration(spark, SF_DIR).collect()
+    }
+    sampled = minhash_estimate_calibration_sampled(spark, SF_DIR).collect()
+    assert sampled, "sampled calibration produced no bins"
+    for r in sampled:
+        assert r.j_bin in full
+        f = full[r.j_bin]
+        assert r.pair_count <= f.pair_count
+        assert r.max_abs_err <= f.max_abs_err + 1e-9
+
+
+def test_kmv_sampled_exact_sides_bounded_by_full(spark):
+    """Sampled per-source shingle sets are subsets of the full sets, so
+    the sampled audit's exact union/intersection are <= the full
+    audit's, pair for pair; and the sketch estimate still tracks the
+    sampled exact truth within KMV's error envelope."""
+    full = {
+        (r.src_a, r.src_b): r for r in kmv_source_overlap(spark, SF_DIR).collect()
+    }
+    sampled = kmv_source_overlap_sampled(spark, SF_DIR).collect()
+    assert sampled, "sampled audit produced no pairs"
+    for r in sampled:
+        f = full.get((r.src_a, r.src_b))
+        assert f is not None, (r.src_a, r.src_b)
+        assert r.exact_union <= f.exact_union
+        assert r.exact_intersection <= f.exact_intersection
+        # KMV union estimate: relative error ~1/sqrt(K)=6.25% at K=256;
+        # 5-sigma bound (the estimator arithmetic itself is certified
+        # equal to the audited form by the r9 property test)
+        if r.exact_union > 0:
+            assert abs(r.kmv_union_est - r.exact_union) <= max(
+                0.35 * r.exact_union, 32
+            ), (r.src_a, r.src_b, r.kmv_union_est, r.exact_union)
+
+
+def test_sampled_twins_registered_with_oracles():
+    from iceberg_hybrid_spark.queries import all_specs
+
+    specs = all_specs()
+    for name in (
+        "minhash_estimate_calibration_sampled",
+        "dedup_modality_agreement_sampled",
+        "kmv_source_overlap_sampled",
+    ):
+        assert name in specs
+        assert specs[name].oracle
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])

@@ -107,6 +107,10 @@ QUERIES = [
     "embedding_pq_ann_persisted",
     "embedding_ivfpq_ann_persisted",
     "backpressure_budget_trajectory",
+    # round 10 sampled audit twins
+    "minhash_estimate_calibration_sampled",
+    "dedup_modality_agreement_sampled",
+    "kmv_source_overlap_sampled",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

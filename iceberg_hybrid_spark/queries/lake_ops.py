@@ -1096,6 +1096,151 @@ SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
 """
 
 
+def verify_promote_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify-and-promote + orphan detection END-TO-END through the
+    value gate — the last two reference composites with real set
+    arithmetic previously pinned only by pytest
+    (``lake/replication.py`` ``verify``/``audit_closure`` ≙
+    StateReconciler.java:65-80 verification half + the L0/L1/L2 tier
+    ladder of iceberg-arch-hybrid-replica-dr.md:148-158;
+    ``lake/gc.py`` orphan path ≙ Orphan ≈ Inventory − Reachable,
+    iceberg-arch-geo-distributed-ha.md:825-916 with P14D/P3D grace).
+
+    Lifecycle (single-file commits so every count is structural):
+    three snapshots over nation-derived rows (25 → +2 appended →
+    overwrite to regionkey<3); replicate to a destination table (plan →
+    copy → staged shadow-commit → verify → atomic promote), then:
+
+    - **L0** sampled existence/size check on the source head: passes;
+    - **L1** full checksum verify on the head: passes; then a replica
+      file is removed and the same L1 re-verify reports exactly one
+      ``missing replicated file`` — the two-phase marker's guarantee
+      that promotion can never have exposed it;
+    - **L2** closure audit: a SAME-SIZE byte corruption is planted in a
+      file referenced only by the seq-1 snapshot — invisible to every
+      head-only tier by construction — and ``audit_closure`` reports
+      exactly one checksum mismatch attributed to first-referencing
+      snapshot seq 1;
+    - **orphan sweep**: two planted orphans of the same 5-day age — one
+      under ``data/_tmp/`` (P3D tier, already due), one under bare
+      ``data/`` (P14D tier, protected) — produce two 'orphan'
+      candidates of which the aged plan deletes exactly the tmp one and
+      blocks the data one on its grace window;
+    - the value proof: after the sweep the current read still returns
+      the regionkey<3 rows (GC touched only debris, never live data).
+
+    Oracle: derivable row counts recomputed from nation; structural
+    verdict counts are literals of the single-file commit discipline."""
+    import re as _re
+    import time as _time
+
+    from ..lake import gc as G
+    from ..lake import replication as R
+
+    nation = load_table(spark, sf_dir, "nation").coalesce(1)
+    src = HyTable(spark, _scratch("vpo_src"))
+    src.create(nation)                                          # seq 1
+    src.append(nation.filter(F.col("n_regionkey") < 1))         # seq 2
+    src.overwrite(nation.filter(F.col("n_regionkey") < 3))      # seq 3
+
+    dst = HyTable(spark, _scratch("vpo_dst"))
+    promoted, _metrics = R.replicate(spark, src, dst)
+    replica_rows = dst.read().count()
+
+    # L0 sampled + L1 full-checksum verify on the source head: green
+    R.verify(src, src.current_snapshot(), sample_fraction=0.5)
+    l0_ok = 1
+    R.verify(src, src.current_snapshot())
+    l1_ok = 1
+
+    # remove one replica file → L1 re-verify reports it missing
+    gone = os.path.join(dst.root, promoted.manifest[0].path)
+    os.unlink(gone)
+    replica_missing = 0
+    try:
+        R.verify(dst, dst.current_snapshot())
+    except R.VerificationError as e:
+        replica_missing = str(e).count("missing replicated file")
+
+    # same-size corruption of a file referenced ONLY by snapshot seq 1
+    # (head tiers cannot see it; only the L2 closure audit can)
+    current_paths = {f.path for f in src.current_snapshot().manifest}
+    hist = next(
+        f.path
+        for f in src.snapshots()[0].manifest
+        if f.path not in current_paths
+    )
+    full = os.path.join(src.root, hist)
+    blob = bytearray(open(full, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(full, "wb").write(bytes(blob))
+    R.verify(src, src.current_snapshot())  # head L1 still green
+    l2_errors, l2_first_seq = 0, -1
+    try:
+        R.audit_closure(src)
+    except R.VerificationError as e:
+        l2_errors = str(e).count("checksum mismatch")
+        m = _re.search(r"first referenced by snapshot seq (\d+)", str(e))
+        l2_first_seq = int(m.group(1)) if m else -1
+
+    # plant two same-age orphans in different grace tiers
+    old = _time.time() - 5 * 86_400
+    tmp_dir = os.path.join(src.data_dir, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp_orphan = os.path.join(tmp_dir, "partial-upload.parquet")
+    data_orphan = os.path.join(src.data_dir, "stray-debris.parquet")
+    for p in (tmp_orphan, data_orphan):
+        with open(p, "wb") as f:
+            f.write(b"junk-bytes")
+        os.utime(p, (old, old))
+
+    now = int(_time.time() * 1000)
+    gen = now - 400_000
+    cands = G.produce_candidates(src, retain_last=3, now_ms=gen)
+    orphans = [c for c in cands if c.reason == "orphan"]
+    execs = G.apply_delete_plan(
+        G.DeletePlan(src.root, orphans, gen, gen, now + 10**7),
+        safety_delay_s=60,
+        now_ms=now,
+    )
+    rows = [
+        ("l0_sample_ok", l0_ok),
+        ("l1_head_ok", l1_ok),
+        ("l1_replica_missing", replica_missing),
+        ("l1_replica_rows", replica_rows),
+        ("l2_checksum_errors", l2_errors),
+        ("l2_first_ref_seq", l2_first_seq),
+        ("orphan_blocked_grace",
+         sum(1 for e in execs if e.result == "blocked_window")),
+        ("orphan_candidates", len(orphans)),
+        ("orphan_deleted",
+         sum(1 for e in execs if e.result == "deleted")),
+        ("post_gc_current_rows", src.read().count()),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, value bigint"
+    ).orderBy("metric")
+
+
+VERIFY_PROMOTE_ORPHANS_SQL = """
+WITH m(metric, value) AS (
+  SELECT 'l0_sample_ok', CAST(1 AS BIGINT)
+  UNION ALL SELECT 'l1_head_ok', 1
+  UNION ALL SELECT 'l1_replica_missing', 1
+  UNION ALL SELECT 'l1_replica_rows',
+    (SELECT COUNT(*) FROM nation WHERE n_regionkey < 3)
+  UNION ALL SELECT 'l2_checksum_errors', 1
+  UNION ALL SELECT 'l2_first_ref_seq', 1
+  UNION ALL SELECT 'orphan_blocked_grace', 1
+  UNION ALL SELECT 'orphan_candidates', 2
+  UNION ALL SELECT 'orphan_deleted', 1
+  UNION ALL SELECT 'post_gc_current_rows',
+    (SELECT COUNT(*) FROM nation WHERE n_regionkey < 3)
+)
+SELECT metric, CAST(value AS BIGINT) AS value FROM m ORDER BY metric
+"""
+
+
 def read_route_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The read-routing composite (control/router.py ``ReadRouter`` ≙
     ReadRouter.scala:93-116 scoring, legacy-java ReadRouter.java:63-93
@@ -2182,4 +2327,10 @@ SPECS = [
               "ReadRouter 0.7/0.3 scoring + 3-tier fallback driven "
               "through the value gate over a fixture-derived region "
               "dimension; oracle replays scoring and every tier"),
+    QuerySpec("verify_promote_orphans", verify_promote_orphans,
+              VERIFY_PROMOTE_ORPHANS_SQL,
+              "verify-and-promote L0/L1/L2 tier ladder + P14D/P3D "
+              "orphan sweep through the value gate: replicate, remove "
+              "a replica file, plant same-size historical corruption "
+              "and two orphans, read the verdicts"),
 ]

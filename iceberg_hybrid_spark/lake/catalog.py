@@ -98,6 +98,7 @@ class HyCatalog:
         compact_min_files: int = 8,
         audit_checksums: bool = True,
         lease_floor=None,
+        ann_indexes: dict | None = None,
     ) -> list[dict]:
         """The nightly upkeep cycle over EVERY table in the warehouse —
         compaction (only when fragmented past ``compact_min_files``) →
@@ -119,7 +120,23 @@ class HyCatalog:
         (typically ``lambda t: lease_store.min_leased_seq(t)``) — the
         query-lease GC floor threaded through BOTH deletion paths
         (snapshot expiry and candidate production), so a nightly sweep
-        can never delete files under an in-flight leased reader."""
+        can never delete files under an in-flight leased reader.
+
+        ``ann_indexes``: optional ``identifier -> {"threshold": float,
+        "rebuild": callable | None}`` declaring which tables are
+        persisted ANN code tables (PQ / IVF-PQ codes — the FAISS-style
+        frozen-codebook artifacts of ``functions/similarity.py``).  For
+        each, the sweep reads ``index_staleness`` off the snapshot log
+        (fraction of served codes appended after the last full rebuild
+        — appends encode against FROZEN codebooks, so quantization
+        error grows with drift) and records the staleness + rebuild
+        recommendation in the report; when a ``rebuild`` callable is
+        supplied and the threshold is crossed, the sweep invokes it
+        (an atomic overwrite via pq_write_index/ivfpq_write_index,
+        which resets the drift base) and records the post-rebuild
+        staleness.  This closes the FAISS add() contract loop the
+        append path opens: appends are cheap, drift is measured, and
+        the nightly cycle is what acts on it."""
         import time as _time
 
         from . import gc as G
@@ -173,6 +190,24 @@ class HyCatalog:
                     rep["orphans_deferred"] = sum(
                         1 for e in execs if e.result == "blocked_window"
                     )
+                    if ann_indexes and identifier in ann_indexes:
+                        from ..functions.similarity import index_staleness
+
+                        opts = ann_indexes[identifier]
+                        thr = opts.get("threshold", 0.2)
+                        st = index_staleness(t, threshold=thr)
+                        rep["index_staleness"] = round(st["staleness"], 4)
+                        rep["index_rebuild_recommended"] = st[
+                            "rebuild_recommended"
+                        ]
+                        rebuild = opts.get("rebuild")
+                        if st["rebuild_recommended"] and rebuild:
+                            rebuild(t)
+                            post = index_staleness(t, threshold=thr)
+                            rep["index_rebuilt"] = True
+                            rep["index_staleness_after_rebuild"] = round(
+                                post["staleness"], 4
+                            )
                     audit = audit_closure(t, checksums=audit_checksums)
                     rep["audit_ok"] = True
                     rep["files_checked"] = audit["files_checked"]

@@ -175,3 +175,61 @@ def test_maintenance_respects_lease_floor(spark, tmp_path):
         for r in cat.run_maintenance(retain_last=1, lease_floor=floor)
     }
     assert reports2["a.leased"]["expired_snapshots"] == 2
+
+
+def test_maintenance_acts_on_index_staleness(spark, tmp_path):
+    """The nightly sweep consumes the ANN drift counter: appends past
+    the declared threshold raise a rebuild recommendation in the table's
+    report; with a rebuild callable supplied, the sweep rebuilds (atomic
+    overwrite — the FAISS retrain step) and the staleness base resets so
+    the following cycle has nothing to recommend."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions import similarity as S
+    from iceberg_hybrid_spark.lake.catalog import HyCatalog
+    from iceberg_hybrid_spark.lake.table import HyTable
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    coded, codebooks, sub = S.pq_build(base, m=4, k=16, seed=42)
+    cat = HyCatalog(spark, str(tmp_path / "wh"))
+    codes_t = HyTable(spark, os.path.join(cat.warehouse, "ann", "codes"))
+    books_t = HyTable(spark, os.path.join(cat.warehouse, "ann", "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+    S.pq_append_index(delta, codes_t, books_t)
+
+    # recommendation only: staleness recorded, nothing rebuilt
+    reports = {
+        r["table"]: r
+        for r in cat.run_maintenance(
+            ann_indexes={"ann.codes": {"threshold": 0.05}}
+        )
+    }
+    rep = reports["ann.codes"]
+    assert rep["index_rebuild_recommended"]
+    assert rep["index_staleness"] > 0.05
+    assert "index_rebuilt" not in rep
+    assert "index_staleness" not in reports["ann.books"]
+
+    # auto-rebuild behind the flag: the sweep rebuilds and the drift
+    # base resets
+    def rebuild(t):
+        union_coded = S.pq_encode(emb, codebooks, sub)
+        S.pq_write_index(union_coded, codebooks, t, books_t)
+
+    opts = {"ann.codes": {"threshold": 0.05, "rebuild": rebuild}}
+    rep = {
+        r["table"]: r for r in cat.run_maintenance(ann_indexes=opts)
+    }["ann.codes"]
+    assert rep["index_rebuilt"]
+    assert rep["index_staleness_after_rebuild"] == 0.0
+    assert cat.load_table("ann.codes").read().count() == emb.count()
+
+    # the following cycle finds a fresh index: nothing to do
+    rep = {
+        r["table"]: r for r in cat.run_maintenance(ann_indexes=opts)
+    }["ann.codes"]
+    assert not rep["index_rebuild_recommended"]
+    assert "index_rebuilt" not in rep

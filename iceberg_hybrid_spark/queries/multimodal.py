@@ -13,7 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import round_stable
-from ..sources.multimodal import decode_media, media_from_documents, sample_frames
+from ..sources.multimodal import (
+    bmp_pixel_features,
+    decode_media,
+    media_bmp_from_documents,
+    media_from_documents,
+    sample_frames,
+)
 from ..sources.tables import load_table
 from .spec import QuerySpec
 
@@ -130,6 +136,60 @@ ORDER BY media_id
 """
 
 
+def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end — no fake codec anywhere in the
+    path: per document a 24-bit BMP is encoded (deterministic linear
+    pixel gradients, ``media_bmp_from_documents``), then independently
+    DECODED by the pure-numpy BMP parser (header parse → padded
+    bottom-up BGR row slicing → RGB array) and reduced to per-channel
+    pixel statistics.  The oracle recomputes every statistic from the
+    closed pixel formulas in SQL — so the header layout, the 0–3-byte
+    row padding (width 8..16 sweeps every stride remainder), the
+    bottom-up row order (pinned by the orientation-sensitive top-row
+    mean), and the BGR→RGB swap (pinned by the distinct per-channel
+    gradients) are all value-gated, not just smoke-tested.  Spec
+    anchoring against hand-built golden bytes is in
+    tests/test_multimodal.py.
+
+    Scale shape: two chained map-only Arrow stages (encode fixture,
+    decode+reduce) — zero shuffle, linear at any corpus size; a real
+    deployment replaces the fixture stage with a binary-file scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = bmp_pixel_features(media_bmp_from_documents(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        round_stable(F.col("mean_r"), 4).alias("mean_r"),
+        round_stable(F.col("mean_g"), 4).alias("mean_g"),
+        round_stable(F.col("mean_b"), 4).alias("mean_b"),
+        round_stable(F.col("top_row_mean_r"), 4).alias("top_row_mean_r"),
+    ).orderBy("media_id")
+
+
+# mean over x of (base + c1*x + c2*y), x in 0..w-1, y in 0..h-1:
+#   base + c1*(w-1)/2 + c2*(h-1)/2 — exact in binary doubles (halves).
+BMP_PIXEL_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 9 AS INTEGER) AS w,
+         CAST(8 + (3 * doc_id) % 9 AS INTEGER) AS h
+  FROM documents
+)
+SELECT media_id, w AS width, h AS height,
+       ROUND(CAST(media_id % 32 + (w - 1) + 1.5 * (h - 1) AS DOUBLE)
+             - 0.000000001, 4) + 0.0 AS mean_r,
+       ROUND(CAST((5 * media_id) % 32 + 0.5 * (w - 1) + (h - 1) AS DOUBLE)
+             - 0.000000001, 4) + 0.0 AS mean_g,
+       ROUND(CAST((11 * media_id) % 32 + 1.5 * (w - 1) + 0.5 * (h - 1)
+                  AS DOUBLE)
+             - 0.000000001, 4) + 0.0 AS mean_b,
+       ROUND(CAST(media_id % 32 + (w - 1) AS DOUBLE) - 0.000000001, 4) + 0.0
+         AS top_row_mean_r
+FROM dims ORDER BY media_id
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_SQL,
               "binary payload + typed metadata projection"),
@@ -140,4 +200,8 @@ SPECS = [
     QuerySpec("multimodal_decode_features", multimodal_decode_features,
               MULTIMODAL_DECODE_SQL,
               "mapInPandas decode pipeline vs SQL byte-math oracle"),
+    QuerySpec("bmp_pixel_stats", bmp_pixel_stats, BMP_PIXEL_STATS_SQL,
+              "REAL 24-bit BMP decode (pure numpy: header, padding, "
+              "bottom-up BGR) to pixel stats vs closed-form gradient "
+              "oracle"),
 ]

@@ -86,22 +86,108 @@ def _entropy(payload: bytes) -> float:
     return round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
 
 
+# --- real BMP codec, pure numpy --------------------------------------------
+# One real end-to-end decode path with no external codec library: 24-bit
+# uncompressed BITMAPINFOHEADER BMPs (the format IS just a header plus
+# padded BGR rows, so numpy slicing is a complete decoder).  Everything
+# else still raises the honest NotImplementedError below — PNG/JPEG/
+# audio/video genuinely need codec libs this container lacks.
+
+def bmp_encode(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up padded BGR rows —
+    the on-disk layout of the Windows DIB spec)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    offset = 14 + 40
+    header = (
+        b"BM"
+        + (offset + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB, uncompressed
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 DPI
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def bmp_decode(payload: bytes):
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array:
+    parse the two headers, slice the padded bottom-up BGR rows, flip and
+    swap channels.  Raises on anything but the 24-bit BI_RGB layout."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    stride = (w * 3 + 3) // 4 * 4
+    h_abs = abs(h)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h_abs, offset=data_offset
+    ).reshape(h_abs, stride)
+    a = rows[:, : w * 3].reshape(h_abs, w, 3)
+    if h > 0:  # positive height = bottom-up storage
+        a = a[::-1]
+    return a[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 
-    ``fake=False`` raises NotImplementedError from the executors — the
-    real codec isn't available in this environment; the pipeline shape is
-    what's under test.
+    ``fake=False`` decodes REAL payloads where a pure-numpy decoder
+    exists (24-bit BMP — width/height read from the decoded pixel
+    array) and raises NotImplementedError for formats that genuinely
+    need codec libraries absent from this environment; ``fake=True``
+    uses the deterministic byte-math test decoder for arbitrary
+    payloads.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio codecs not "
-                    "present in this environment; pass fake=True for the "
-                    "deterministic test decoder"
-                )
+                dims = []
+                for p in pdf["payload"]:
+                    b = bytes(p)
+                    if b[:2] != b"BM":
+                        raise NotImplementedError(
+                            "real decoding beyond BMP requires image/audio "
+                            "codecs not present in this environment; pass "
+                            "fake=True for the deterministic test decoder"
+                        )
+                    a = bmp_decode(b)
+                    dims.append((a.shape[1], a.shape[0]))
+                payloads = pdf["payload"]
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "fingerprint": payloads.map(
+                        lambda p: hashlib.md5(bytes(p)).hexdigest()
+                    ),
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "byte_entropy": payloads.map(lambda p: _entropy(bytes(p))),
+                })
+                continue
             payloads = pdf["payload"]
             dims = [_fake_decode(bytes(p)) for p in payloads]
             yield pd.DataFrame({
@@ -115,6 +201,103 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             })
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("media_id", SPARK_T.LongType()),
+    SPARK_T.StructField("width", SPARK_T.IntegerType()),
+    SPARK_T.StructField("height", SPARK_T.IntegerType()),
+    SPARK_T.StructField("mean_r", SPARK_T.DoubleType()),
+    SPARK_T.StructField("mean_g", SPARK_T.DoubleType()),
+    SPARK_T.StructField("mean_b", SPARK_T.DoubleType()),
+    SPARK_T.StructField("top_row_mean_r", SPARK_T.DoubleType()),
+])
+
+
+def media_bmp_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format image fixture: per document, a 24-bit
+    BMP whose pixel channels are closed-form linear gradients of the
+    pixel coordinates —
+
+        w = 8 + doc_id % 9,  h = 8 + (3 * doc_id) % 9
+        r(x, y) = (doc_id % 32)      + 2x + 3y
+        g(x, y) = (5 * doc_id % 32)  +  x + 2y
+        b(x, y) = (11 * doc_id % 32) + 3x +  y      (x→right, y→down)
+
+    — all bounded below 256 (no wraparound), so every derived pixel
+    statistic has an exact closed form a SQL oracle can compute from
+    doc_id alone.  The width range 8..16 makes the BMP row padding
+    (stride rounds w*3 up to 4 bytes) take every value 0..3 across the
+    corpus, and the gradients are asymmetric in y, so a decoder that
+    mis-slices padding or forgets the bottom-up row order produces
+    provably different statistics."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 9, 8 + (3 * did) % 9
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                zero = np.zeros((h, w), dtype=np.int64)
+                arr = np.stack(
+                    [
+                        zero + did % 32 + 2 * x + 3 * y,
+                        zero + 5 * did % 32 + x + 2 * y,
+                        zero + 11 * did % 32 + 3 * x + y,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(bmp_encode(arr))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": "image",
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        SPARK_T.StructType([
+            SPARK_T.StructField("media_id", SPARK_T.LongType()),
+            SPARK_T.StructField("media_type", SPARK_T.StringType()),
+            SPARK_T.StructField("payload", SPARK_T.BinaryType()),
+        ]),
+    )
+
+
+def bmp_pixel_features(df: DataFrame) -> DataFrame:
+    """bytes → pixels → features over the REAL numpy BMP decoder
+    (Arrow-batched mapInPandas, map-only): per image, the decoded
+    dimensions, per-channel means, and the mean of the TOP row's red
+    channel — a statistic deliberately sensitive to the bottom-up row
+    order (channel means alone are permutation-invariant and would let
+    an orientation bug pass)."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a = bmp_decode(bytes(p)).astype("float64")
+                rows.append((
+                    int(mid),
+                    a.shape[1],
+                    a.shape[0],
+                    float(a[:, :, 0].mean()),
+                    float(a[:, :, 1].mean()),
+                    float(a[:, :, 2].mean()),
+                    float(a[0, :, 0].mean()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "top_row_mean_r",
+                ],
+            ).astype({"width": "int32", "height": "int32"})
+
+    return df.mapInPandas(features, BMP_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, frame_size: int = 64, max_frames: int = 8) -> DataFrame:

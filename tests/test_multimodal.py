@@ -86,3 +86,77 @@ def test_decode_distributed_batches(spark, media):
     one = decode_media(media.coalesce(1), fake=True).orderBy("media_id").collect()
     many = decode_media(media.repartition(4), fake=True).orderBy("media_id").collect()
     assert one == many
+
+
+# --- real BMP codec ---------------------------------------------------------
+
+def test_bmp_decode_golden_bytes():
+    """Spec anchoring against hand-assembled BMP bytes (independent of
+    our encoder): a 2x2 24-bit bottom-up BMP with one red, green, blue
+    and white pixel, stride padded from 6 to 8 bytes per row.  Pixel
+    layout (image coordinates, y down):
+        top row:    RED(255,0,0)    GREEN(0,255,0)
+        bottom row: BLUE(0,0,255)   WHITE(255,255,255)
+    BMP stores rows bottom-up and channels as BGR, so the payload's
+    first data row is (BLUE, WHITE)."""
+    from iceberg_hybrid_spark.sources.multimodal import bmp_decode, bmp_encode
+    import numpy as np
+
+    header = (
+        b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (16).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+    )
+    bottom_row = bytes([255, 0, 0, 255, 255, 255, 0, 0])  # BGR: blue, white + pad
+    top_row = bytes([0, 0, 255, 0, 255, 0, 0, 0])         # BGR: red, green + pad
+    payload = header + bottom_row + top_row
+    a = bmp_decode(payload)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert a.shape == (2, 2, 3)
+    assert (a == expect).all()
+    # our encoder round-trips to these exact golden bytes' pixel block
+    assert bmp_decode(bmp_encode(expect)).tobytes() == expect.tobytes()
+
+
+def test_bmp_roundtrip_padding_sweep():
+    """Encode→decode is the identity for every stride remainder (widths
+    8..16 sweep row padding 0..3) and non-square shapes."""
+    from iceberg_hybrid_spark.sources.multimodal import bmp_decode, bmp_encode
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for w in range(8, 17):
+        for h in (8, 11, 16):
+            a = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            assert (bmp_decode(bmp_encode(a)) == a).all(), (w, h)
+
+
+def test_decode_media_real_path_decodes_bmp(spark):
+    """decode_media(fake=False) really decodes BMP payloads (dims from
+    the pixel array) and still refuses non-BMP payloads honestly."""
+    from iceberg_hybrid_spark.sources.multimodal import (
+        decode_media,
+        media_bmp_from_documents,
+        media_from_documents,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+    import pytest as _pytest
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    bmp = media_bmp_from_documents(docs)
+    out = {r.media_id: r for r in decode_media(bmp).collect()}
+    assert len(out) == 20
+    for mid, r in out.items():
+        assert r.width == 8 + mid % 9
+        assert r.height == 8 + (3 * mid) % 9
+    with _pytest.raises(Exception) as exc_info:
+        decode_media(media_from_documents(docs)).collect()
+    assert "NotImplementedError" in str(exc_info.value)

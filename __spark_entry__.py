@@ -31,70 +31,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose most recent driver correctness row is the oldest, topped up
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
-# This tuple is EXACTLY the 50-entry driver window for round 9:
-# 15 new + 9 changed-implementation + the 26 stalest remaining rows (all
-# round-5 vintage; the 17 r5 rows that no longer fit lead round 10's
+# This tuple is EXACTLY the 50-entry driver window for round 10:
+# 6 new + 6 changed-implementation + ALL 17 remaining round-5-vintage
+# rows (the r5 cohort retires this round) + the 21 oldest round-6 rows
+# (registry declaration order; the other 21 r6 rows lead round 11's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
-    "kmv_source_overlap_sketch",
-    "read_route_scores",
-    "embedding_pq_ann_appended",
-    "lease_gc_floor",
-    "simhash_hamming_calibration",
-    "ewma_hourly_baseline",
-    "source_psi_drift",
+    "minhash_estimate_calibration_sampled",
+    "dedup_modality_agreement_sampled",
+    "kmv_source_overlap_sampled",
+    "verify_promote_orphans",
+    "pipeline_health",
+    "bmp_pixel_stats",
+    # implementation changed this round — prior rows validated old code
+    # (query bodies extracted to take the documents relation for the
+    # sampled twins; decode_media's real-BMP branch restructured the
+    # mapInPandas fold)
+    "minhash_near_dup",
+    "simhash_near_dup",
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
-    "embedding_label_outliers",
-    "packing_efficiency_sweep",
-    "column_stats_profile",
-    "cluster_aware_split",
-    "user_event_sequences",
-    "strip_boilerplate_text",
-    # implementation/oracle changed this round — prior rows validated
-    # old code (128-bit simhash + relational fold; kmv bottom-K helper
-    # refactor; bloom window->aggregate rewrite; backpressure
-    # round_stable gate; CMS batch_fp read-compat; pq_encode extraction
-    # + content-keyed caches on the PQ/IVF-PQ family)
-    "simhash_near_dup",
     "kmv_source_overlap",
-    "bloom_fpr_audit",
-    "backpressure_budget_trajectory",
-    "streaming_cms_ingest",
-    "embedding_pq_ann",
-    "embedding_ivfpq_ann",
-    "embedding_pq_ann_persisted",
-    "embedding_ivfpq_ann_persisted",
-    # last driver row: round 5 (the 26 stalest, registry declaration
+    "multimodal_decode_features",
+    # last driver row: round 5 — the final r5 cohort, retired this
+    # round (registry declaration order)
+    "dsir_importance_weights",
+    "temperature_mix_weights",
+    "curriculum_stages",
+    "cross_split_contamination",
+    "zorder_clustered_read",
+    "epoch_shuffle",
+    "clustered_pruned_read",
+    "token_budget_selection",
+    "hidden_partition_read",
+    "source_token_divergence",
+    "snapshot_diff_rows",
+    "time_travel_read",
+    "benchmark_contamination",
+    "token_window_chunking",
+    "domain_mix_sample",
+    "boilerplate_ngrams",
+    "sequence_packing",
+    # last driver row: round 6 — the 21 stalest (registry declaration
     # order)
-    "q20_dominant_blue_suppliers",
-    "q21_last_shipper",
-    "q4_priority_late_orders",
-    "q17_small_quantity_revenue",
-    "q2_min_cost_supplier",
-    "streaming_watermarked_windows",
-    "q15_top_supplier",
-    "events_daily_by_type",
-    "streaming_dedup_ingest",
-    "q22_idle_rich_customers",
-    "events_sliding_window",
-    "doc_quality_scores",
-    "segment_priority_grouping_sets",
-    "approx_vs_exact_users",
-    "language_prediction",
-    "q13_customer_distribution",
-    "user_sessions",
-    "dedup_exact_documents",
-    "q19_disjunctive_revenue",
-    "shingle_fingerprints",
-    "q6_forecast_revenue",
-    "near_dup_shingle_pairs",
-    "q14_promo_revenue",
-    "q9_profit_by_nation_year",
-    "minhash_near_dup",
-    "embedding_near_dup_pairs",
+    "event_type_drift",
+    "quantile_sketch_audit",
+    "rfm_customer_segments",
+    "events_hourly_gapfilled",
+    "key_skew_profile",
+    "mor_delete_upsert_read",
+    "date_function_showcase",
+    "daily_trend_slopes",
+    "hll_distinct_audit",
+    "doc_tfidf",
+    "view_to_purchase_latency",
+    "cms_token_counts",
+    "weighted_corpus_sample",
+    "events_by_type",
+    "bpe_merge_rounds",
+    "bpe_tokenize_fertility",
+    "streaming_session_windows",
+    "textrank_keywords",
+    "embedding_ann_recall_curve",
+    "bigram_pmi_collocations",
+    "streaming_hll_ingest",
 )
 
 

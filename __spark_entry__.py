@@ -32,9 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 10:
-# 6 new + 6 changed-implementation + ALL 17 remaining round-5-vintage
-# rows (the r5 cohort retires this round) + the 21 oldest round-6 rows
-# (registry declaration order; the other 21 r6 rows lead round 11's
+# 6 new + 7 changed-implementation + ALL 17 remaining round-5-vintage
+# rows (the r5 cohort retires this round) + the 20 oldest round-6 rows
+# (registry declaration order; the other 22 r6 rows lead round 11's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
@@ -48,13 +48,15 @@ _PRIORITY: tuple[str, ...] = (
     # implementation changed this round — prior rows validated old code
     # (query bodies extracted to take the documents relation for the
     # sampled twins; decode_media's real-BMP branch restructured the
-    # mapInPandas fold)
+    # mapInPandas fold; q4 decorrelated off its corpus-broadcast
+    # semi-join after the sf1 bench caught it at 5.5x)
     "minhash_near_dup",
     "simhash_near_dup",
     "minhash_estimate_calibration",
     "dedup_modality_agreement",
     "kmv_source_overlap",
     "multimodal_decode_features",
+    "q4_priority_late_orders",
     # last driver row: round 5 — the final r5 cohort, retired this
     # round (registry declaration order)
     "dsir_importance_weights",
@@ -96,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "textrank_keywords",
     "embedding_ann_recall_curve",
     "bigram_pmi_collocations",
-    "streaming_hll_ingest",
 )
 
 

@@ -136,6 +136,17 @@ HEADLINE = [
     "cluster_aware_split",
     "user_event_sequences",
     "strip_boilerplate_text",
+    # round-10 operators: the fixed-cost sampled calibrator twins (the
+    # forms a schedule actually runs — their full audit forms stay
+    # registered and oracle-gated), the verify/promote + orphan
+    # lifecycle, the one-relation monitoring dashboard, and the real
+    # BMP decode path
+    "minhash_estimate_calibration_sampled",
+    "dedup_modality_agreement_sampled",
+    "kmv_source_overlap_sampled",
+    "verify_promote_orphans",
+    "pipeline_health",
+    "bmp_pixel_stats",
 ]
 
 

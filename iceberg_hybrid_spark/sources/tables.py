@@ -146,8 +146,12 @@ def duck_doc_sample_where(
     col: str = "doc_id", nibble: str = DOC_SAMPLE_NIBBLE
 ) -> str:
     """DuckDB text of the sample predicate over column ``col`` — the
-    byte-identical twin of ``sample_documents``'s Spark filter."""
-    return f"substr(md5({col}::VARCHAR || ':cal'), 1, 1) <= '{nibble}'"
+    byte-identical twin of ``sample_documents``'s Spark filter.
+    ``nibble`` may be a multi-character hex prefix for finer rates:
+    '3' keeps 4/16, '00' keeps 1/256, '00f' keeps 16/4096 — the knob a
+    growing corpus tightens to hold the expected SAMPLE SIZE fixed."""
+    n = len(nibble)
+    return f"substr(md5({col}::VARCHAR || ':cal'), 1, {n}) <= '{nibble}'"
 
 
 DUCK_DOC_SAMPLE_WHERE = duck_doc_sample_where()
@@ -165,7 +169,7 @@ def sample_documents(docs: DataFrame, nibble: str = DOC_SAMPLE_NIBBLE) -> DataFr
         F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cal"))),
             1,
-            1,
+            len(nibble),
         )
         <= nibble
     )

@@ -207,3 +207,37 @@ def test_sampled_twins_registered_with_oracles():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_multi_nibble_prefix_matches_duckdb(spark):
+    """The tightened-threshold knob (multi-char hex prefix — the form a
+    growing corpus uses to hold sample SIZE fixed) selects identical
+    doc_id sets in Spark and DuckDB, and tighter prefixes nest."""
+    import duckdb
+
+    from iceberg_hybrid_spark.sources.tables import duck_doc_sample_where
+
+    docs = load_table(spark, SF_DIR, "documents")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    prev = None
+    for nib in ("00", "0a", "3", "7f"):
+        got = {
+            r.doc_id for r in sample_documents(docs, nib).select("doc_id").collect()
+        }
+        want = {
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM documents WHERE "
+                + duck_doc_sample_where(nibble=nib)
+            ).fetchall()
+        }
+        assert got == want, nib
+        if prev is not None and len(nib) >= len(prev[0]):
+            # a lexicographically tighter threshold of >= length nests
+            if nib.startswith(prev[0]) or nib <= prev[0]:
+                assert got <= prev[1] or prev[1] <= got
+        prev = (nib, got)

@@ -171,6 +171,10 @@ ALL_PAIRS_WHITELIST = {
     # aggregate (map-side binning), the 10-row bin scaffold, and the
     # 1-row corpus total — all aggregate- or literal-bounded
     "source_psi_drift",
+    # round 10 dashboard composite: unions the PSI head verbatim, so
+    # its plan carries exactly source_psi_drift's whitelisted bounded
+    # cross sides (no new cross anywhere in the other three heads)
+    "pipeline_health",
     # round 9 leakage-free split: the cross sides are the 1-row corpus
     # total and the 1-row straddle audit — both aggregate-bounded
     "cluster_aware_split",

@@ -32,9 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
 # This tuple is EXACTLY the 50-entry driver window for round 10:
-# 6 new + 7 changed-implementation + ALL 17 remaining round-5-vintage
-# rows (the r5 cohort retires this round) + the 20 oldest round-6 rows
-# (registry declaration order; the other 22 r6 rows lead round 11's
+# 7 new + 7 changed-implementation + ALL 17 remaining round-5-vintage
+# rows (the r5 cohort retires this round) + the 19 oldest round-6 rows
+# (registry declaration order; the other 23 r6 rows lead round 11's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
@@ -45,6 +45,7 @@ _PRIORITY: tuple[str, ...] = (
     "verify_promote_orphans",
     "pipeline_health",
     "bmp_pixel_stats",
+    "wav_audio_stats",
     # implementation changed this round — prior rows validated old code
     # (query bodies extracted to take the documents relation for the
     # sampled twins; decode_media's real-BMP branch restructured the
@@ -76,7 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "domain_mix_sample",
     "boilerplate_ngrams",
     "sequence_packing",
-    # last driver row: round 6 — the 21 stalest (registry declaration
+    # last driver row: round 6 — the 19 stalest (registry declaration
     # order)
     "event_type_drift",
     "quantile_sketch_audit",
@@ -97,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_session_windows",
     "textrank_keywords",
     "embedding_ann_recall_curve",
-    "bigram_pmi_collocations",
 )
 
 

@@ -147,6 +147,7 @@ HEADLINE = [
     "verify_promote_orphans",
     "pipeline_health",
     "bmp_pixel_stats",
+    "wav_audio_stats",
 ]
 
 

@@ -18,7 +18,9 @@ from ..sources.multimodal import (
     decode_media,
     media_bmp_from_documents,
     media_from_documents,
+    media_wav_from_documents,
     sample_frames,
+    wav_audio_features,
 )
 from ..sources.tables import load_table
 from .spec import QuerySpec
@@ -190,6 +192,62 @@ FROM dims ORDER BY media_id
 """
 
 
+def wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end — the WAV sibling of
+    ``bmp_pixel_stats``: per document a 16-bit mono PCM RIFF/WAVE file
+    is encoded (closed-form integer ramp, ``media_wav_from_documents``),
+    independently DECODED by the pure-numpy chunk-walking parser, and
+    reduced to duration/amplitude statistics.  The oracle recomputes
+    everything from the ramp's closed forms (integer sum and
+    sum-of-squares divided exactly once — both engines round-trip the
+    identical double), so the RIFF chunk walk, int16 little-endian
+    signedness (the ramps cross zero), and sample count are all
+    value-gated.  Golden-bytes spec anchoring in
+    tests/test_multimodal.py.
+
+    Scale shape: two chained map-only Arrow stages — zero shuffle,
+    linear at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = wav_audio_features(media_wav_from_documents(docs))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        round_stable(F.col("mean_amp"), 4).alias("mean_amp"),
+        round_stable(F.col("rms_amp"), 4).alias("rms_amp"),
+        "peak_amp",
+    ).orderBy("media_id")
+
+
+# ramp s[i] = a + b*i, i in 0..n-1:
+#   sum   = a*n + b*n(n-1)/2                     (exact integers)
+#   sumsq = a²n + 2ab·n(n-1)/2 + b²·n(n-1)(2n-1)/6
+#   peak  = max(|a|, |a + b(n-1)|)               (ramp is monotone)
+WAV_AUDIO_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CAST(64 + doc_id % 37 AS BIGINT) AS n,
+         CAST((doc_id % 64) - 32 AS BIGINT) AS a,
+         CAST((doc_id % 7) - 3 AS BIGINT) AS b
+  FROM documents
+), s AS (
+  SELECT media_id, n, a, b,
+         a * n + b * (n * (n - 1) // 2) AS tot,
+         a * a * n + 2 * a * b * (n * (n - 1) // 2)
+           + b * b * (n * (n - 1) * (2 * n - 1) // 6) AS totsq
+  FROM p
+)
+SELECT media_id,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(8000 + 1000 * (media_id % 3) AS INTEGER) AS sample_rate,
+       ROUND(CAST(tot AS DOUBLE) / n - 0.000000001, 4) + 0.0 AS mean_amp,
+       ROUND(sqrt(CAST(totsq AS DOUBLE) / n) - 0.000000001, 4) + 0.0
+         AS rms_amp,
+       GREATEST(ABS(a), ABS(a + b * (n - 1))) AS peak_amp
+FROM s ORDER BY media_id
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_SQL,
               "binary payload + typed metadata projection"),
@@ -204,4 +262,7 @@ SPECS = [
               "REAL 24-bit BMP decode (pure numpy: header, padding, "
               "bottom-up BGR) to pixel stats vs closed-form gradient "
               "oracle"),
+    QuerySpec("wav_audio_stats", wav_audio_stats, WAV_AUDIO_STATS_SQL,
+              "REAL 16-bit PCM WAV decode (pure numpy RIFF chunk walk) "
+              "to amplitude stats vs closed-form ramp oracle"),
 ]

@@ -300,6 +300,145 @@ def bmp_pixel_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(features, BMP_FEATURES_SCHEMA)
 
 
+# --- real WAV codec, pure numpy ---------------------------------------------
+# The audio sibling of the BMP path: 16-bit mono PCM RIFF/WAVE is a
+# fixed header plus little-endian int16 samples, so numpy is a complete
+# decoder.  Compressed audio still needs real codec libs and keeps the
+# honest NotImplementedError.
+
+WAV_FEATURES_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("media_id", SPARK_T.LongType()),
+    SPARK_T.StructField("n_samples", SPARK_T.IntegerType()),
+    SPARK_T.StructField("sample_rate", SPARK_T.IntegerType()),
+    SPARK_T.StructField("mean_amp", SPARK_T.DoubleType()),
+    SPARK_T.StructField("rms_amp", SPARK_T.DoubleType()),
+    SPARK_T.StructField("peak_amp", SPARK_T.LongType()),
+])
+
+
+def wav_encode(samples, rate: int = 8000) -> bytes:
+    """Encode an int16 sample vector as a 16-bit mono PCM RIFF/WAVE
+    file (RIFF header + fmt chunk + data chunk, little-endian)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")   # byte rate
+        + (2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")         # bits per sample
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def wav_decode(payload: bytes):
+    """Decode a 16-bit mono PCM RIFF/WAVE payload to (int16 samples,
+    sample_rate) by walking the chunk list (fmt may be followed by
+    optional chunks before data — the walk is the spec, not an
+    assumption about layout).  Raises on compressed/multi-channel
+    forms."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, fmt_code = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit mono PCM WAV supported"
+                )
+            return np.frombuffer(body, dtype="<i2").copy(), rate
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("no data chunk")
+
+
+def media_wav_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format audio fixture: per document a 16-bit
+    mono PCM WAV whose samples are a closed-form integer ramp —
+
+        n = 64 + doc_id % 37,  rate = 8000 + 1000 * (doc_id % 3)
+        s[i] = a + b*i,  a = (doc_id % 64) - 32,  b = (doc_id % 7) - 3
+
+    so mean, RMS and peak have exact closed forms a SQL oracle computes
+    from doc_id alone (integer sum and sum-of-squares divided once),
+    and the negative amplitudes pin int16 signedness/endianness."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 37
+                a, b = (did % 64) - 32, (did % 7) - 3
+                s = a + b * np.arange(n, dtype=np.int64)
+                payloads.append(wav_encode(s, rate=8000 + 1000 * (did % 3)))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": "audio",
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        SPARK_T.StructType([
+            SPARK_T.StructField("media_id", SPARK_T.LongType()),
+            SPARK_T.StructField("media_type", SPARK_T.StringType()),
+            SPARK_T.StructField("payload", SPARK_T.BinaryType()),
+        ]),
+    )
+
+
+def wav_audio_features(df: DataFrame) -> DataFrame:
+    """bytes → samples → features over the REAL numpy WAV decoder
+    (Arrow-batched mapInPandas, map-only): duration/rate and amplitude
+    statistics computed from exact integer sums (the RMS divides the
+    exact int64 sum-of-squares once, so both engines round-trip the
+    identical double)."""
+    import math
+
+    import numpy as np
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = wav_decode(bytes(p))
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                rows.append((
+                    int(mid),
+                    n,
+                    int(rate),
+                    float(int(s64.sum()) / n),
+                    math.sqrt(int((s64 * s64).sum()) / n),
+                    int(np.abs(s64).max()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_rate",
+                    "mean_amp", "rms_amp", "peak_amp",
+                ],
+            ).astype({"n_samples": "int32", "sample_rate": "int32"})
+
+    return df.mapInPandas(features, WAV_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, frame_size: int = 64, max_frames: int = 8) -> DataFrame:
     """Frame sampling for "video" payloads: fixed-size byte windows,
     exploded with frame indices — pure column ops (no Python loop over

@@ -4102,13 +4102,21 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-once value gates).  Scale shape: a union of four
     individually-bounded heads (each's 64x/16x evidence in
     docs/SCALING.md); the union adds no shuffle — each head's plan runs
-    unchanged and the outputs concatenate.  Oracle: the same four
-    oracle queries reshaped and unioned verbatim."""
+    unchanged and the outputs concatenate — and the SAMPLED documents
+    relation is materialized ONCE (localCheckpoint, bounded by the
+    fixed-size sample contract) and shared by both calibrator heads,
+    so the composite scans the corpus for its sample once instead of
+    once per head.  Oracle: the same four oracle queries reshaped and
+    unioned verbatim."""
     from .events import ewma_hourly_baseline
     from .llm import (
-        dedup_modality_agreement_sampled,
-        minhash_estimate_calibration_sampled,
+        _dedup_modality_agreement,
+        _minhash_estimate_calibration,
     )
+
+    docs_s = sample_documents(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
 
     ewma = ewma_hourly_baseline(spark, sf_dir).selectExpr(
         "'ewma_burst' AS tag",
@@ -4122,14 +4130,14 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi AS value",
         "CAST(CASE WHEN psi > 0.2 THEN 1 ELSE 0 END AS INT) AS alert",
     )
-    cal = minhash_estimate_calibration_sampled(spark, sf_dir).selectExpr(
+    cal = _minhash_estimate_calibration(docs_s).selectExpr(
         "'minhash_calibration' AS tag",
         "concat('bin_', CAST(j_bin AS STRING)) AS metric",
         "mean_abs_err AS value",
         "CAST(CASE WHEN mean_abs_err > 0.0883 THEN 1 ELSE 0 END AS INT)"
         " AS alert",
     )
-    agr = dedup_modality_agreement_sampled(spark, sf_dir).selectExpr(
+    agr = _dedup_modality_agreement(docs_s).selectExpr(
         "'dedup_agreement' AS tag",
         "concat('e', CAST(in_exact AS STRING), 'm',"
         " CAST(in_minhash AS STRING), 's', CAST(in_simhash AS STRING))"

@@ -157,6 +157,23 @@ def duck_doc_sample_where(
 DUCK_DOC_SAMPLE_WHERE = duck_doc_sample_where()
 
 
+def nibble_for_target(corpus_docs: int, target_docs: int) -> str:
+    """The hex-prefix threshold that keeps an expected ``target_docs``
+    out of ``corpus_docs`` — the mechanical form of the fixed-size
+    sample knob (schedule: recompute from the corpus row count each
+    run; the returned prefix is deterministic, so two runs at the same
+    corpus size sample the same documents).
+
+    Uses a 4-hex-digit prefix (65,536 buckets): the threshold is the
+    largest prefix value P such that (P+1)/65536 <= target/corpus,
+    floored at one bucket.  Rates above 1 return the accept-everything
+    threshold."""
+    if corpus_docs <= 0 or target_docs >= corpus_docs:
+        return "ffff"
+    buckets = max(1, int(65536 * target_docs / corpus_docs))
+    return format(buckets - 1, "04x")
+
+
 def sample_documents(docs: DataFrame, nibble: str = DOC_SAMPLE_NIBBLE) -> DataFrame:
     """Deterministic hash-sample of a documents relation (see above).
 

@@ -241,3 +241,28 @@ def test_multi_nibble_prefix_matches_duckdb(spark):
             if nib.startswith(prev[0]) or nib <= prev[0]:
                 assert got <= prev[1] or prev[1] <= got
         prev = (nib, got)
+
+
+def test_nibble_for_target_rates():
+    from iceberg_hybrid_spark.sources.tables import nibble_for_target
+
+    assert nibble_for_target(1000, 2000) == "ffff"   # rate > 1
+    assert nibble_for_target(0, 10) == "ffff"
+    assert nibble_for_target(65536, 1) == "0000"     # one bucket floor
+    # a quarter of the corpus -> first 16384 of 65536 buckets
+    assert nibble_for_target(4000, 1000) == "3fff"
+    # expected count lands near target on the real corpus
+    assert nibble_for_target(10**9, 1200) == format(
+        int(65536 * 1200 / 10**9) - 1 if int(65536 * 1200 / 10**9) >= 1
+        else 0, "04x"
+    )
+
+
+def test_nibble_for_target_selects_near_target(spark):
+    from iceberg_hybrid_spark.sources.tables import nibble_for_target
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    nib = nibble_for_target(n, n // 4)
+    got = sample_documents(docs, nib).count()
+    assert 0.1 * n <= got <= 0.4 * n  # binomial band around n/4

@@ -111,6 +111,12 @@ QUERIES = [
     "minhash_estimate_calibration_sampled",
     "dedup_modality_agreement_sampled",
     "kmv_source_overlap_sampled",
+    # round 10 composites and codec paths
+    "verify_promote_orphans",
+    "pipeline_health",
+    "bmp_pixel_stats",
+    "wav_audio_stats",
+    "q4_priority_late_orders",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

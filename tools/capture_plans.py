@@ -116,7 +116,6 @@ QUERIES = [
     "pipeline_health",
     "bmp_pixel_stats",
     "wav_audio_stats",
-    "q4_priority_late_orders",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

@@ -266,3 +266,40 @@ def test_nibble_for_target_selects_near_target(spark):
     nib = nibble_for_target(n, n // 4)
     got = sample_documents(docs, nib).count()
     assert 0.1 * n <= got <= 0.4 * n  # binomial band around n/4
+
+
+def test_pipeline_health_equals_union_of_heads(spark):
+    """The dashboard composite must stay exactly the reshaped union of
+    its four head queries (the oracle pins this against DuckDB; this
+    pins it Spark-side so a head edit can't silently diverge from the
+    composite's inlined copy)."""
+    from iceberg_hybrid_spark.queries.events import ewma_hourly_baseline
+    from iceberg_hybrid_spark.queries.pipeline import (
+        pipeline_health,
+        source_psi_drift,
+    )
+
+    got = {
+        (r.tag, r.metric): (r.value, r.alert)
+        for r in pipeline_health(spark, SF_DIR).collect()
+    }
+    expected = {}
+    for r in ewma_hourly_baseline(spark, SF_DIR).collect():
+        expected[("ewma_burst", f"{r.event_type}@{r.hour_start}")] = (
+            r.burst_score, r.is_burst,
+        )
+    for r in source_psi_drift(spark, SF_DIR).collect():
+        expected[("psi_drift", r.source)] = (r.psi, int(r.psi > 0.2))
+    for r in minhash_estimate_calibration_sampled(spark, SF_DIR).collect():
+        expected[("minhash_calibration", f"bin_{r.j_bin}")] = (
+            r.mean_abs_err, int(r.mean_abs_err > 0.0883),
+        )
+    for r in dedup_modality_agreement_sampled(spark, SF_DIR).collect():
+        expected[(
+            "dedup_agreement",
+            f"e{r.in_exact}m{r.in_minhash}s{r.in_simhash}",
+        )] = (
+            float(r.pair_count),
+            int(r.in_exact + r.in_minhash + r.in_simhash == 1),
+        )
+    assert got == expected

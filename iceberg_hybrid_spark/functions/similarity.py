@@ -1180,11 +1180,20 @@ def index_staleness(codes_table, threshold: float = 0.2) -> dict:
     # the drift base.  A 'replace' is compaction: it rewrites layout,
     # preserving rows — the appended codes are still frozen-codebook
     # encodes of post-training data, so the staleness they represent
-    # must survive the rewrite.
-    base_seq = max(
+    # must survive the rewrite.  When snapshot expiry has already
+    # dropped the last rebuild snapshot from the retained log (more
+    # appends than retain_last), fall back to the OLDEST retained
+    # snapshot as the drift base: everything appended after it is
+    # still post-rebuild drift, so the reported staleness is a LOWER
+    # bound — conservative in the safe direction (never under-reports
+    # relative to the truncated log, never raises on a healthy table).
+    rebuild_seqs = [
         s.sequence_number
         for s in snaps
         if s.operation in ("create", "overwrite")
+    ]
+    base_seq = (
+        max(rebuild_seqs) if rebuild_seqs else snaps[0].sequence_number
     )
     base_rows = codes_table.read(seq=base_seq).count()
     total_rows = codes_table.read().count()

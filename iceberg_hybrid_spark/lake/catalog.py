@@ -158,6 +158,32 @@ class HyCatalog:
                         rep["compacted"] = True
                     else:
                         rep["compacted"] = False
+                    # ANN staleness reads the last rebuild snapshot off
+                    # the log as its drift base, so it MUST run before
+                    # snapshot expiry: with retain_last=3 and more
+                    # appends than that, expiry drops the rebuild
+                    # snapshot and the drift base with it.  Running
+                    # first also lets a triggered auto-rebuild commit
+                    # its overwrite BEFORE expiry, so the fresh drift
+                    # base is the newest snapshot and always retained.
+                    if ann_indexes and identifier in ann_indexes:
+                        from ..functions.similarity import index_staleness
+
+                        opts = ann_indexes[identifier]
+                        thr = opts.get("threshold", 0.2)
+                        st = index_staleness(t, threshold=thr)
+                        rep["index_staleness"] = round(st["staleness"], 4)
+                        rep["index_rebuild_recommended"] = st[
+                            "rebuild_recommended"
+                        ]
+                        rebuild = opts.get("rebuild")
+                        if st["rebuild_recommended"] and rebuild:
+                            rebuild(t)
+                            post = index_staleness(t, threshold=thr)
+                            rep["index_rebuilt"] = True
+                            rep["index_staleness_after_rebuild"] = round(
+                                post["staleness"], 4
+                            )
                     floor = lease_floor(identifier) if lease_floor else None
                     exp = t.expire_snapshots(
                         retain_last=retain_last, min_leased_seq=floor
@@ -190,24 +216,6 @@ class HyCatalog:
                     rep["orphans_deferred"] = sum(
                         1 for e in execs if e.result == "blocked_window"
                     )
-                    if ann_indexes and identifier in ann_indexes:
-                        from ..functions.similarity import index_staleness
-
-                        opts = ann_indexes[identifier]
-                        thr = opts.get("threshold", 0.2)
-                        st = index_staleness(t, threshold=thr)
-                        rep["index_staleness"] = round(st["staleness"], 4)
-                        rep["index_rebuild_recommended"] = st[
-                            "rebuild_recommended"
-                        ]
-                        rebuild = opts.get("rebuild")
-                        if st["rebuild_recommended"] and rebuild:
-                            rebuild(t)
-                            post = index_staleness(t, threshold=thr)
-                            rep["index_rebuilt"] = True
-                            rep["index_staleness_after_rebuild"] = round(
-                                post["staleness"], 4
-                            )
                     audit = audit_closure(t, checksums=audit_checksums)
                     rep["audit_ok"] = True
                     rep["files_checked"] = audit["files_checked"]

@@ -19,9 +19,10 @@ from ..functions import similarity as S
 from ..functions import text as T
 from ..functions.text import round_stable
 from ..sources.tables import (
-    DUCK_DOC_SAMPLE_WHERE,
+    DUCK_DOC_SAMPLE_WHERE_FIXED_SIZE,
     load_table,
     sample_documents,
+    sample_documents_fixed_size,
 )
 from ._ivf_oracle import EMBEDDING_IVF_SQL
 from ._recall_oracle import ANN_RECALL_SQL
@@ -1626,25 +1627,30 @@ def minhash_estimate_calibration_sampled(
     """The fixed-cost production form of ``minhash_estimate_calibration``:
     the identical calibration (same signature fold, same 1-row-band
     candidate net, same binning/error arithmetic) over a deterministic
-    ~25% hash-sample of the corpus (``sources.tables.sample_documents``
-    — md5(doc_id) nibble predicate, evaluated identically in BOTH
-    engines, pushed into the scan).  The estimator's per-pair error
-    distribution is a population property, so a uniform doc sample
-    estimates the same table at a quarter of the pair volume — and at
-    100 TB the owner tightens the nibble threshold so the sample (hence
-    the quadratic-ish candidate stage) stays FIXED-size while the full
-    form remains the run-once value gate.  Sample membership is a pure
-    function of doc_id, so the sampled pair relation provably equals the
-    full relation restricted to sampled endpoints
+    FIXED-SIZE hash-sample of the corpus
+    (``sources.tables.sample_documents_fixed_size`` — the hex-prefix
+    threshold is DERIVED from the live corpus count via
+    ``nibble_for_target`` each run, so the expected sample stays
+    ~PIPELINE_SAMPLE_TARGET_DOCS documents no matter how large the
+    corpus grows; the md5(doc_id)-prefix predicate evaluates
+    identically in BOTH engines and pushes into the scan).  The
+    estimator's per-pair error distribution is a population property,
+    so a uniform doc sample estimates the same table — and fixed SIZE
+    (not fixed fraction) is what makes the quadratic-ish candidate
+    stage genuinely fixed-cost at 100 TB (docs/SCALING.md: 2.9x at 64x
+    fixed-fraction vs 1.9x fixed-size) while the full form remains the
+    run-once value gate.  Sample membership is a pure function of
+    doc_id and the corpus count, so the sampled pair relation provably
+    equals the full relation restricted to sampled endpoints
     (tests/test_sampled_twins.py pins this at sf0.01).
 
-    Oracle: the same signature-literal recomputation, with the identical
-    sample predicate inside the DuckDB documents scan (the literals
-    cover the full corpus; inner joins against the filtered relation
-    restrict them) — sf0.01-only validity, regenerate via
+    Oracle: the same signature-literal recomputation, with the
+    threshold derived INSIDE DuckDB from the same corpus count (scalar
+    subquery — bit-for-bit the Python integer arithmetic) applied to
+    the documents scan; sf0.01-only literal validity, regenerate via
     tools/gen_minhash_calib_oracle.py if the check scale changes."""
     return _minhash_estimate_calibration(
-        sample_documents(load_table(spark, sf_dir, "documents"))
+        sample_documents_fixed_size(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -1752,22 +1758,27 @@ def dedup_modality_agreement_sampled(
 ) -> DataFrame:
     """The fixed-cost scheduled form of ``dedup_modality_agreement``:
     the identical three-modality agreement matrix over the deterministic
-    hash-sample (``sources.tables.sample_documents`` — same predicate,
-    both engines, pushed into every modality's scan).  All three pair
-    relations are per-pair predicates of the two endpoint documents
-    (md5 equality; per-doc minhash signature + banding + Jaccard verify;
-    per-doc simhash fingerprint + banding + hamming verify), so the
-    sampled matrix is EXACTLY the full matrix restricted to pairs with
-    both endpoints sampled (pinned by tests/test_sampled_twins.py) —
-    a uniform pair sample of each agreement cell.  At 100 TB the nibble
-    threshold tightens so the sampled corpus — hence every candidate
-    stage — stays fixed-size per scheduled run; the full form remains
-    the value gate.  Oracle: same composition as the full form with the
-    sample predicate applied to the documents scan and to the pinned
-    fingerprint literals (same doc_id predicate — membership is a pure
-    function of doc_id); sf0.01-only validity as the full form."""
+    FIXED-SIZE hash-sample (``sources.tables.sample_documents_fixed_size``
+    — the threshold is derived from the live corpus count each run via
+    ``nibble_for_target``, so the sampled corpus stays
+    ~PIPELINE_SAMPLE_TARGET_DOCS documents as the corpus grows; same
+    predicate in both engines, pushed into every modality's scan).  All
+    three pair relations are per-pair predicates of the two endpoint
+    documents (md5 equality; per-doc minhash signature + banding +
+    Jaccard verify; per-doc simhash fingerprint + banding + hamming
+    verify), so the sampled matrix is EXACTLY the full matrix restricted
+    to pairs with both endpoints sampled (pinned by
+    tests/test_sampled_twins.py) — a uniform pair sample of each
+    agreement cell.  Fixed SIZE means every candidate stage is genuinely
+    fixed-cost per scheduled run at any corpus scale; the full form
+    remains the value gate.  Oracle: same composition as the full form
+    with the in-SQL derived threshold (scalar subquery over the
+    documents count — bit-for-bit the Python arithmetic) applied to the
+    documents scan and the pinned fingerprint literals (membership is a
+    pure function of doc_id and the corpus count); sf0.01-only literal
+    validity as the full form."""
     return _dedup_modality_agreement(
-        sample_documents(load_table(spark, sf_dir, "documents"))
+        sample_documents_fixed_size(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -1996,7 +2007,9 @@ FROM flags GROUP BY 1, 2, 3 ORDER BY 1 DESC, 2 DESC, 3 DESC
 
 DEDUP_AGREEMENT_SQL = _dedup_agreement_sql("TRUE")
 
-DEDUP_AGREEMENT_SAMPLED_SQL = _dedup_agreement_sql(DUCK_DOC_SAMPLE_WHERE)
+DEDUP_AGREEMENT_SAMPLED_SQL = _dedup_agreement_sql(
+    DUCK_DOC_SAMPLE_WHERE_FIXED_SIZE
+)
 
 
 def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

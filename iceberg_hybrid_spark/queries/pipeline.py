@@ -22,9 +22,9 @@ from ..functions import text as T
 from ._bpe_apply_oracle import BPE_APPLY_SQL
 from ._bpe_oracle import BPE_ROUNDS_SQL
 from ..sources.tables import (
-    DUCK_DOC_SAMPLE_WHERE,
+    DUCK_DOC_SAMPLE_WHERE_FIXED_SIZE,
     load_table,
-    sample_documents,
+    sample_documents_fixed_size,
 )
 from .spec import QuerySpec
 
@@ -3748,21 +3748,24 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmv_source_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixed-cost scheduled form of the KMV overlap AUDIT: the
     identical audited query (exact distinct-pair relation + sketch
-    estimates side by side) over the deterministic ~25% hash-sample
-    (``sources.tables.sample_documents`` — same md5(doc_id) predicate in
-    both engines, pushed into the scan).  The r8/r9 64x decomposition
+    estimates side by side) over the deterministic FIXED-SIZE
+    hash-sample (``sources.tables.sample_documents_fixed_size`` — the
+    md5(doc_id)-prefix threshold is derived from the live corpus count
+    each run via ``nibble_for_target``, mirrored bit-for-bit by a
+    scalar subquery in the oracle, pushed into the scan).  The r8/r9 64x decomposition
     showed the audit's cost IS its exact side (distinct-relation build +
     pairwise self-join, linear-with-corpus by definition); a uniform doc
     sample bounds exactly that side while exercising the full estimator
     arithmetic against a real exact answer — and because sampled
     per-source shingle sets are subsets of the full sets, the sampled
     exact union/intersection are provably <= the full audit's
-    (tests/test_sampled_twins.py).  At 100 TB the owner tightens the
-    nibble threshold so the sampled relation stays fixed-size per
-    scheduled audit; ``kmv_source_overlap_sketch`` remains the per-sweep
+    (tests/test_sampled_twins.py).  The derived threshold holds the
+    sampled relation at ~PIPELINE_SAMPLE_TARGET_DOCS documents per
+    scheduled audit at ANY corpus scale — fixed size, not fixed
+    fraction; ``kmv_source_overlap_sketch`` remains the per-sweep
     production estimator and the full audit the run-once value gate."""
     return _kmv_source_overlap(
-        sample_documents(load_table(spark, sf_dir, "documents"))
+        sample_documents_fixed_size(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -3886,7 +3889,9 @@ ORDER BY p.src_a, p.src_b
 
 KMV_OVERLAP_SQL = _kmv_overlap_sql("TRUE")
 
-KMV_OVERLAP_SAMPLED_SQL = _kmv_overlap_sql(DUCK_DOC_SAMPLE_WHERE)
+KMV_OVERLAP_SAMPLED_SQL = _kmv_overlap_sql(
+    DUCK_DOC_SAMPLE_WHERE_FIXED_SIZE
+)
 
 KMV_OVERLAP_SKETCH_SQL = f"""
 WITH sh AS (
@@ -4075,6 +4080,13 @@ ORDER BY lang, q
 """
 
 
+# pipeline_health's materialized fixed-size sample from the PREVIOUS
+# invocation — unpersisted at the start of the next one so repeated
+# scheduled runs hold at most one sample's blocks in executor storage
+# (r11 advisor: the old localCheckpoint accumulated forever).
+_HEALTH_SAMPLE_CACHE = None
+
+
 def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monitoring tier folded into ONE dashboard-shaped relation —
     the operator a pipeline owner actually schedules: every health head
@@ -4099,24 +4111,42 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     The calibration and agreement heads use the SAMPLED production
     twins — this composite is the scheduled form, so every head must be
     fixed-cost at 100 TB (the full-corpus calibrators remain the
-    run-once value gates).  Scale shape: a union of four
+    run-once value gates).  The sample is FIXED-SIZE, not
+    fixed-fraction: the hex-prefix threshold is derived from the live
+    corpus count via ``nibble_for_target`` each run (expected
+    ~PIPELINE_SAMPLE_TARGET_DOCS documents at ANY corpus scale —
+    docs/SCALING.md measures fixed-fraction at 2.9x vs fixed-size 1.9x
+    at 64x), and the oracle derives the IDENTICAL threshold inside
+    DuckDB (scalar subquery over the same count, bit-for-bit the Python
+    integer arithmetic).  Scale shape: a union of four
     individually-bounded heads (each's 64x/16x evidence in
     docs/SCALING.md); the union adds no shuffle — each head's plan runs
     unchanged and the outputs concatenate — and the SAMPLED documents
-    relation is materialized ONCE (localCheckpoint, bounded by the
-    fixed-size sample contract) and shared by both calibrator heads,
-    so the composite scans the corpus for its sample once instead of
-    once per head.  Oracle: the same four oracle queries reshaped and
-    unioned verbatim."""
+    relation is materialized ONCE (persist + eager count, bounded by
+    the fixed-size sample contract) and shared by both calibrator
+    heads, so the composite scans the corpus for its sample once
+    instead of once per head.  Repeated scheduled runs in one session
+    do not accumulate storage: each invocation unpersists the previous
+    run's materialized sample before caching its own (at most one
+    sample resident).  Oracle: the same four oracle queries reshaped
+    and unioned verbatim."""
     from .events import ewma_hourly_baseline
     from .llm import (
         _dedup_modality_agreement,
         _minhash_estimate_calibration,
     )
 
-    docs_s = sample_documents(
+    global _HEALTH_SAMPLE_CACHE
+    if _HEALTH_SAMPLE_CACHE is not None:
+        try:
+            _HEALTH_SAMPLE_CACHE.unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped/replaced SparkContext: nothing to free
+    docs_s = sample_documents_fixed_size(
         load_table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=True)
+    ).persist()
+    docs_s.count()  # eager: both calibrator heads reuse one scan
+    _HEALTH_SAMPLE_CACHE = docs_s
 
     ewma = ewma_hourly_baseline(spark, sf_dir).selectExpr(
         "'ewma_burst' AS tag",

@@ -350,6 +350,14 @@ def wav_decode(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # a declared chunk length past the payload end is a
+            # truncated file: raising here beats silently decoding
+            # fewer samples and reporting wrong stats downstream
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt_code = int.from_bytes(body[0:2], "little")

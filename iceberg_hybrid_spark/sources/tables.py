@@ -157,6 +157,15 @@ def duck_doc_sample_where(
 DUCK_DOC_SAMPLE_WHERE = duck_doc_sample_where()
 
 
+# The fixed-SIZE sample contract for the SCHEDULED monitors: every
+# run derives the hex-prefix threshold from the live corpus count so
+# the expected sample stays ~this many documents as the corpus grows —
+# the knob that makes pipeline_health and the calibrator twins
+# fixed-cost at 100 TB (docs/SCALING.md: fixed-fraction 2.9x at 64x
+# vs fixed-size 1.9x).
+PIPELINE_SAMPLE_TARGET_DOCS = 1200
+
+
 def nibble_for_target(corpus_docs: int, target_docs: int) -> str:
     """The hex-prefix threshold that keeps an expected ``target_docs``
     out of ``corpus_docs`` — the mechanical form of the fixed-size
@@ -164,14 +173,45 @@ def nibble_for_target(corpus_docs: int, target_docs: int) -> str:
     run; the returned prefix is deterministic, so two runs at the same
     corpus size sample the same documents).
 
-    Uses a 4-hex-digit prefix (65,536 buckets): the threshold is the
-    largest prefix value P such that (P+1)/65536 <= target/corpus,
-    floored at one bucket.  Rates above 1 return the accept-everything
-    threshold."""
+    Uses an 8-hex-digit prefix (2^32 buckets): the threshold is the
+    largest prefix value P such that (P+1)/2^32 <= target/corpus,
+    floored at one bucket.  One bucket is worth corpus/2^32 documents,
+    so the expected sample stays within one document of the target
+    through ~10^12-doc corpora (a 4-digit prefix's 65,536 buckets
+    already overshoot a 1,200-doc target 12x at 10^9 docs — real
+    100 TB corpora need the finer knob).  Rates above 1 return the
+    accept-everything threshold.  Pure INTEGER arithmetic (``//``, not
+    ``int(/)``) so the in-SQL twin (``(4294967296 * target) // n`` in
+    DuckDB, ``duck_doc_sample_where_fixed_size``) derives the identical
+    threshold bit-for-bit from the same corpus count."""
     if corpus_docs <= 0 or target_docs >= corpus_docs:
-        return "ffff"
-    buckets = max(1, int(65536 * target_docs / corpus_docs))
-    return format(buckets - 1, "04x")
+        return "ffffffff"
+    buckets = max(1, (4294967296 * target_docs) // corpus_docs)
+    return format(buckets - 1, "08x")
+
+
+def duck_doc_sample_where_fixed_size(
+    col: str = "doc_id",
+    target: int = PIPELINE_SAMPLE_TARGET_DOCS,
+    table: str = "documents",
+) -> str:
+    """DuckDB text of the FIXED-SIZE sample predicate: the threshold is
+    derived INSIDE SQL from the live corpus count (scalar subquery), so
+    the oracle and the Spark side (``sample_documents_fixed_size``,
+    which derives the same threshold via ``nibble_for_target`` from
+    ``docs.count()``) agree bit-for-bit at every corpus size — integer
+    division, ``greatest(1, ·)`` floor, lowercase 4-hex padding all
+    mirror the Python arithmetic exactly."""
+    thr = (
+        f"(SELECT CASE WHEN n <= 0 OR {target} >= n THEN 'ffffffff' "
+        f"ELSE lower(lpad(to_hex(greatest(1, (4294967296 * {target}) // n)"
+        f" - 1), 8, '0')) END "
+        f"FROM (SELECT COUNT(*) AS n FROM {table}) AS _corpus_n)"
+    )
+    return f"substr(md5({col}::VARCHAR || ':cal'), 1, 8) <= {thr}"
+
+
+DUCK_DOC_SAMPLE_WHERE_FIXED_SIZE = duck_doc_sample_where_fixed_size()
 
 
 def sample_documents(docs: DataFrame, nibble: str = DOC_SAMPLE_NIBBLE) -> DataFrame:
@@ -190,6 +230,19 @@ def sample_documents(docs: DataFrame, nibble: str = DOC_SAMPLE_NIBBLE) -> DataFr
         )
         <= nibble
     )
+
+
+def sample_documents_fixed_size(
+    docs: DataFrame, target: int = PIPELINE_SAMPLE_TARGET_DOCS
+) -> DataFrame:
+    """Fixed-SIZE deterministic sample: count the corpus (a
+    parquet-metadata count — row-group stats, no data scan), derive the
+    hex-prefix threshold with ``nibble_for_target``, and filter with it.
+    The expected sample size stays ~``target`` documents no matter how
+    large the corpus grows — the scheduled-monitor form of the sample
+    knob.  ``duck_doc_sample_where_fixed_size`` is the byte-identical
+    SQL twin (same count, same integer derivation, same predicate)."""
+    return sample_documents(docs, nibble_for_target(docs.count(), target))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

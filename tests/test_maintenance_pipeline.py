@@ -233,3 +233,85 @@ def test_maintenance_acts_on_index_staleness(spark, tmp_path):
     }["ann.codes"]
     assert not rep["index_rebuild_recommended"]
     assert "index_rebuilt" not in rep
+
+
+def test_maintenance_staleness_survives_expiry(spark, tmp_path):
+    """Regression (r11 advisor): with more appends than retain_last the
+    sweep's own snapshot expiry used to drop the rebuild (create) snapshot
+    BEFORE index_staleness read it as the drift base — the resulting
+    error was swallowed into rep['error'] and staleness reporting,
+    auto-rebuild, and the closure audit were all silently skipped for
+    exactly the stale indexes the feature targets.  Staleness now runs
+    before expiry, so one sweep both reports drift and rebuilds even
+    when the drift base is about to leave the retention window."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions import similarity as S
+    from iceberg_hybrid_spark.lake.catalog import HyCatalog
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 == 0)
+    coded, codebooks, sub = S.pq_build(base, m=4, k=16, seed=42)
+    cat = HyCatalog(spark, str(tmp_path / "wh"))
+    codes_t = HyTable(spark, os.path.join(cat.warehouse, "ann", "codes"))
+    books_t = HyTable(spark, os.path.join(cat.warehouse, "ann", "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+    # four appends > retain_last=3: the create snapshot (the drift
+    # base) falls outside the retention window this very sweep
+    for digit in (1, 2, 3, 4):
+        S.pq_append_index(
+            emb.filter(F.col("vec_id") % 10 == digit), codes_t, books_t
+        )
+
+    def rebuild(t):
+        union_coded = S.pq_encode(
+            emb.filter(F.col("vec_id") % 10 <= 4), codebooks, sub
+        )
+        S.pq_write_index(union_coded, codebooks, t, books_t)
+
+    opts = {"ann.codes": {"threshold": 0.05, "rebuild": rebuild}}
+    rep = {
+        r["table"]: r
+        for r in cat.run_maintenance(retain_last=3, ann_indexes=opts)
+    }["ann.codes"]
+    assert "error" not in rep, rep
+    # staleness measured off the true (pre-expiry) drift base: 4 of 5
+    # cohorts appended
+    assert rep["index_staleness"] > 0.7
+    assert rep["index_rebuilt"]
+    assert rep["index_staleness_after_rebuild"] == 0.0
+    assert rep["audit_ok"]
+    # the rebuild overwrite committed before expiry, so it is the
+    # newest snapshot and the post-sweep log retains the fresh base
+    st = S.index_staleness(cat.load_table("ann.codes"))
+    assert st["staleness"] == 0.0
+
+
+def test_index_staleness_fallback_without_rebuild_snapshot(spark, tmp_path):
+    """When expiry (run by some other path) has already dropped every
+    create/overwrite snapshot from the log, index_staleness falls back
+    to the OLDEST retained snapshot as the drift base — a conservative
+    lower bound — instead of raising on an empty rebuild set."""
+    from pyspark.sql import functions as F
+
+    from iceberg_hybrid_spark.functions import similarity as S
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 == 0)
+    coded, codebooks, sub = S.pq_build(base, m=4, k=16, seed=42)
+    codes_t = HyTable(spark, str(tmp_path / "codes"))
+    books_t = HyTable(spark, str(tmp_path / "books"))
+    S.pq_write_index(coded, codebooks, codes_t, books_t)
+    for digit in (1, 2, 3, 4):
+        S.pq_append_index(
+            emb.filter(F.col("vec_id") % 10 == digit), codes_t, books_t
+        )
+    # externally-run expiry drops the create snapshot (5 snapshots,
+    # retain 2 -> only the last two appends survive)
+    codes_t.expire_snapshots(retain_last=2)
+    st = S.index_staleness(codes_t)
+    # base = oldest retained (after 3 appends), drift = the 4th append:
+    # a LOWER bound on the true 4/5 staleness, and strictly positive
+    assert 0.0 < st["staleness"] < 0.8

@@ -200,3 +200,23 @@ def test_wav_roundtrip_and_negative_amplitudes():
         got, rate = wav_decode(wav_encode(s, rate=44100))
         assert rate == 44100
         assert (got == s).all()
+
+
+def test_wav_decode_rejects_truncated_data_chunk():
+    """Regression (r11 advisor): a data chunk whose declared size runs
+    past the payload end is a truncated file and must raise — the old
+    slice silently decoded fewer samples and produced wrong stats."""
+    import numpy as np
+    import pytest
+
+    from iceberg_hybrid_spark.sources.multimodal import wav_decode, wav_encode
+
+    payload = wav_encode(np.arange(-8, 8), rate=8000)
+    # drop the last 4 bytes (2 samples) — an even count, so the old
+    # code decoded a clean-but-short array instead of erroring
+    truncated = payload[:-4]
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(truncated)
+    # intact payload still round-trips
+    s, rate = wav_decode(payload)
+    assert list(s) == list(range(-8, 8)) and rate == 8000

@@ -44,6 +44,22 @@ def _sampled_ids(spark):
     }
 
 
+def _fixed_size_ids(spark):
+    """doc_ids the production twins actually sample: the FIXED-SIZE
+    derived-threshold sample (at sf0.01, 500 docs < the 1200 target, so
+    this is the whole corpus — the restriction proofs below therefore
+    ALSO run at a derived sub-corpus target to stay non-trivial)."""
+    from iceberg_hybrid_spark.sources.tables import (
+        sample_documents_fixed_size,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    return {
+        r.doc_id
+        for r in sample_documents_fixed_size(docs).select("doc_id").collect()
+    }
+
+
 def test_sample_rate_and_determinism(spark):
     """The nibble-'3' sample keeps ~4/16 of documents, deterministically
     (two evaluations agree row-for-row)."""
@@ -98,9 +114,11 @@ def test_simhash_pairs_sampled_equals_full_restricted(spark):
 def test_agreement_matrix_sampled_is_restriction_of_full(spark):
     """Recompute the FULL agreement matrix restricted to sampled pairs
     driver-side from the full flag relations and assert the sampled
-    query reports exactly that matrix."""
+    query reports exactly that matrix (the twins sample at the derived
+    fixed-size threshold, so the restriction set is the fixed-size
+    sample's ids)."""
     docs = load_table(spark, SF_DIR, "documents")
-    ids = _sampled_ids(spark)
+    ids = _fixed_size_ids(spark)
 
     def pairs(df, ca, cb):
         return {(r[ca], r[cb]) for r in df.select(ca, cb).collect()}
@@ -246,16 +264,17 @@ def test_multi_nibble_prefix_matches_duckdb(spark):
 def test_nibble_for_target_rates():
     from iceberg_hybrid_spark.sources.tables import nibble_for_target
 
-    assert nibble_for_target(1000, 2000) == "ffff"   # rate > 1
-    assert nibble_for_target(0, 10) == "ffff"
-    assert nibble_for_target(65536, 1) == "0000"     # one bucket floor
-    # a quarter of the corpus -> first 16384 of 65536 buckets
-    assert nibble_for_target(4000, 1000) == "3fff"
-    # expected count lands near target on the real corpus
-    assert nibble_for_target(10**9, 1200) == format(
-        int(65536 * 1200 / 10**9) - 1 if int(65536 * 1200 / 10**9) >= 1
-        else 0, "04x"
-    )
+    assert nibble_for_target(1000, 2000) == "ffffffff"   # rate > 1
+    assert nibble_for_target(0, 10) == "ffffffff"
+    assert nibble_for_target(2**32, 1) == "00000000"  # one bucket floor
+    # a quarter of the corpus -> the first 2^30 of 2^32 buckets
+    assert nibble_for_target(4000, 1000) == "3fffffff"
+    # a 10^9-doc corpus at target 1200: 2^32*1200 // 10^9 = 5153
+    # buckets -> threshold 5152 = 0x1420 (independent concrete
+    # expectation, not a recompute of the implementation's formula)
+    assert nibble_for_target(10**9, 1200) == "00001420"
+    # half the corpus -> the first 2^31 buckets
+    assert nibble_for_target(1000, 500) == "7fffffff"
 
 
 def test_nibble_for_target_selects_near_target(spark):
@@ -302,4 +321,115 @@ def test_pipeline_health_equals_union_of_heads(spark):
             float(r.pair_count),
             int(r.in_exact + r.in_minhash + r.in_simhash == 1),
         )
+    assert got == expected
+
+
+def test_fixed_size_predicate_matches_duckdb_across_scales(spark):
+    """The FIXED-SIZE sample predicate — threshold derived from the
+    corpus count in Python (nibble_for_target over docs.count()) and in
+    SQL (scalar subquery over COUNT(*)) — selects IDENTICAL doc_id sets
+    in Spark and DuckDB at both check scales, including sf0.1 where the
+    derived threshold ('3d6f') is non-trivial."""
+    import duckdb
+
+    from iceberg_hybrid_spark.sources.tables import (
+        duck_doc_sample_where_fixed_size,
+        sample_documents_fixed_size,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        docs = load_table(spark, sf_dir, "documents")
+        got = {
+            r.doc_id
+            for r in sample_documents_fixed_size(docs)
+            .select("doc_id")
+            .collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = {
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM documents WHERE "
+                + duck_doc_sample_where_fixed_size()
+            ).fetchall()
+        }
+        assert got == want, sf_dir
+        n = docs.count()
+        if n <= 1200:
+            assert len(got) == n  # below target: the whole corpus
+        else:
+            # binomial band around the 1200-doc target
+            assert 900 <= len(got) <= 1500, len(got)
+
+
+def test_fixed_size_sample_stays_fixed_as_corpus_grows():
+    """The derived threshold holds the EXPECTED sample size in a tight
+    band around the target across 5 orders of magnitude of corpus
+    growth — the property that makes the scheduled monitors fixed-cost
+    at 100 TB (a fixed fraction would grow 200,000x over this range)."""
+    from iceberg_hybrid_spark.sources.tables import nibble_for_target
+
+    target = 1200
+    for n in (5_000, 320_000, 5_000_000, 100_000_000, 1_000_000_000):
+        nib = nibble_for_target(n, target)
+        buckets = int(nib, 16) + 1
+        expected = n * buckets / 4294967296.0
+        # floor quantization can only LOWER the expectation; one bucket
+        # is worth n/2^32 docs, so the expectation sits within a single
+        # document of the target across the whole range
+        assert expected <= target, (n, nib, expected)
+        assert expected >= target - n / 4294967296.0 - 1, (n, nib, expected)
+        assert expected >= target - 2, (n, nib, expected)
+
+
+def test_agreement_matrix_restriction_nontrivial_derived_threshold(spark):
+    """The restriction property at a derived threshold that actually
+    samples (target = corpus/4 at sf0.01): the agreement matrix over
+    the derived-threshold sample equals the full matrix restricted to
+    sampled endpoints — the same set-equality proof the production
+    twins rely on, exercised where the sample is a strict subset."""
+    from iceberg_hybrid_spark.queries.llm import _dedup_modality_agreement
+    from iceberg_hybrid_spark.sources.tables import nibble_for_target
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    nib = nibble_for_target(n, n // 4)
+    sampled_docs = sample_documents(docs, nib)
+    ids = {r.doc_id for r in sampled_docs.select("doc_id").collect()}
+    assert 0 < len(ids) < n  # strict subset: the proof is non-trivial
+
+    def pairs(df, ca, cb):
+        return {(r[ca], r[cb]) for r in df.select(ca, cb).collect()}
+
+    fp = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("f"))
+    ex = {
+        (r.id_a, r.id_b)
+        for r in fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .collect()
+    }
+    mh = pairs(_minhash_near_dup(docs), "id_a", "id_b")
+    sh = pairs(_simhash_near_dup(docs), "doc_a", "doc_b")
+    keep = lambda s: {(a, b) for a, b in s if a in ids and b in ids}  # noqa: E731
+    ex, mh, sh = keep(ex), keep(mh), keep(sh)
+    expected = {}
+    for p in ex | mh | sh:
+        key = (int(p in ex), int(p in mh), int(p in sh))
+        expected[key] = expected.get(key, 0) + 1
+
+    got = {
+        (r.in_exact, r.in_minhash, r.in_simhash): r.pair_count
+        for r in _dedup_modality_agreement(sampled_docs).collect()
+    }
     assert got == expected

@@ -248,6 +248,101 @@ FROM s ORDER BY media_id
 """
 
 
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MEDIA exact dedup: find documents whose attached media
+    payloads are byte-identical under different doc_ids — the media
+    modality a training pipeline dedups on, extending the text-only
+    modality ladder (``dedup_modality_agreement``) with a true media
+    member.  Both real-format fixtures (24-bit BMP, 16-bit PCM WAV) are
+    encoded per document, run through the REAL ``decode_media`` path
+    (which validates the payload structure and emits the md5
+    fingerprint over the raw bytes), and duplicate pairs come from a
+    fingerprint equi-join within media_type — the standard exact-dedup
+    shape: shuffle on the 16-byte digest, equal-key groups only, never
+    all-pairs.  Each media-dup pair is then joined to the TEXT exact-dup
+    verdict (md5(text) equality of the two endpoint documents) so the
+    output reports cross-modal agreement: media-identical pairs whose
+    text also collides vs media-only duplicates.
+
+    Value gate: the fixtures are pure functions of doc_id, so payload
+    equality has a closed congruence form the oracle derives
+    independently — BMP params repeat iff doc_id ≡ (mod lcm(9,32)=288),
+    WAV params iff doc_id ≡ (mod lcm(37,3,64,7)=49728).  A fingerprint
+    path that hashed anything but the exact encoded bytes (or an
+    encoder that dropped any doc-dependent parameter) produces a
+    different pair set and fails the hash compare.
+
+    Scale shape: encode + decode are two chained map-only Arrow stages
+    run ONCE (the dedup is a group-by on the fingerprint, not a
+    self-join — a self-join would re-run the decode pipeline per side);
+    one shuffle on (media_type, fingerprint) with map-side partial
+    aggregation, pairs generated inside each duplicate group, so the
+    output is linear in the true duplicate mass at any corpus size.
+    Reference parity: the dedup ladder SURVEY.md §2 LLM family; decode
+    plumbing sources/multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_bmp_from_documents(docs).unionByName(
+        media_wav_from_documents(docs)
+    )
+    fps = decode_media(media).select("media_id", "media_type", "fingerprint")
+    groups = (
+        fps.groupBy("media_type", "fingerprint")
+        .agg(F.sort_array(F.collect_list("media_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = groups.select(
+        "media_type",
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p"),
+    ).select("media_type", "p.id_a", "p.id_b")
+    tf = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("tf")
+    )
+    return (
+        pairs.join(tf.selectExpr("doc_id AS id_a", "tf AS tf_a"), "id_a")
+        .join(tf.selectExpr("doc_id AS id_b", "tf AS tf_b"), "id_b")
+        .select(
+            "media_type",
+            "id_a",
+            "id_b",
+            F.when(F.col("tf_a") == F.col("tf_b"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_text_dup"),
+        )
+        .orderBy("media_type", "id_a", "id_b")
+    )
+
+
+# Payload equality has a closed congruence form because the fixtures
+# are pure functions of doc_id: the BMP depends on doc_id only through
+# (doc_id % 9) [dims] and (doc_id % 32) [channel bases] -> equal iff
+# doc_id ≡ (mod 288); the WAV through (%37, %3, %64, %7) -> (mod 49728).
+MEDIA_EXACT_DEDUP_SQL = """
+WITH pairs AS (
+  SELECT 'image' AS media_type, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.doc_id % 288 = b.doc_id % 288 AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT 'audio', a.doc_id, b.doc_id
+  FROM documents a JOIN documents b
+    ON a.doc_id % 49728 = b.doc_id % 49728 AND a.doc_id < b.doc_id
+)
+SELECT p.media_type, p.id_a, p.id_b,
+       CAST(CASE WHEN md5(da.text) = md5(db.text) THEN 1 ELSE 0 END
+            AS INT) AS is_text_dup
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+ORDER BY media_type, id_a, id_b
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_SQL,
               "binary payload + typed metadata projection"),
@@ -265,4 +360,8 @@ SPECS = [
     QuerySpec("wav_audio_stats", wav_audio_stats, WAV_AUDIO_STATS_SQL,
               "REAL 16-bit PCM WAV decode (pure numpy RIFF chunk walk) "
               "to amplitude stats vs closed-form ramp oracle"),
+    QuerySpec("media_exact_dedup", media_exact_dedup, MEDIA_EXACT_DEDUP_SQL,
+              "cross-media exact dedup: real-decode md5 fingerprints "
+              "equi-joined within media_type, pairs joined to the text "
+              "dedup verdict, vs the fixtures' closed congruence oracle"),
 ]

@@ -155,7 +155,8 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 
     ``fake=False`` decodes REAL payloads where a pure-numpy decoder
     exists (24-bit BMP — width/height read from the decoded pixel
-    array) and raises NotImplementedError for formats that genuinely
+    array; 16-bit mono PCM WAV — chunk walk, width/height NULL for
+    audio) and raises NotImplementedError for formats that genuinely
     need codec libraries absent from this environment; ``fake=True``
     uses the deterministic byte-math test decoder for arbitrary
     payloads.
@@ -167,14 +168,18 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 dims = []
                 for p in pdf["payload"]:
                     b = bytes(p)
-                    if b[:2] != b"BM":
+                    if b[:2] == b"BM":
+                        a = bmp_decode(b)
+                        dims.append((a.shape[1], a.shape[0]))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        wav_decode(b)  # validates structure end-to-end
+                        dims.append((None, None))  # no spatial dims
+                    else:
                         raise NotImplementedError(
-                            "real decoding beyond BMP requires image/audio "
-                            "codecs not present in this environment; pass "
+                            "real decoding beyond BMP/WAV requires codecs "
+                            "not present in this environment; pass "
                             "fake=True for the deterministic test decoder"
                         )
-                    a = bmp_decode(b)
-                    dims.append((a.shape[1], a.shape[0]))
                 payloads = pdf["payload"]
                 yield pd.DataFrame({
                     "media_id": pdf["media_id"],
@@ -183,8 +188,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     "fingerprint": payloads.map(
                         lambda p: hashlib.md5(bytes(p)).hexdigest()
                     ),
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    # nullable Int32: audio rows have no spatial dims
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
                     "byte_entropy": payloads.map(lambda p: _entropy(bytes(p))),
                 })
                 continue

@@ -220,3 +220,77 @@ def test_wav_decode_rejects_truncated_data_chunk():
     # intact payload still round-trips
     s, rate = wav_decode(payload)
     assert list(s) == list(range(-8, 8)) and rate == 8000
+
+
+def test_decode_media_real_path_handles_wav_and_rejects_unknown(spark):
+    """The real decode path now walks RIFF/WAVE payloads too (validating
+    chunk structure end-to-end, spatial dims NULL for audio) and still
+    raises the honest NotImplementedError for formats that genuinely
+    need absent codec libraries."""
+    import pytest
+
+    from iceberg_hybrid_spark.sources.multimodal import (
+        decode_media,
+        media_bmp_from_documents,
+        media_wav_from_documents,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(6)
+    media = media_bmp_from_documents(docs).unionByName(
+        media_wav_from_documents(docs)
+    )
+    rows = decode_media(media).collect()
+    assert len(rows) == 12
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.media_type, []).append(r)
+    assert {t for t in by_type} == {"image", "audio"}
+    for r in by_type["image"]:
+        assert r.width is not None and r.height is not None
+        assert len(r.fingerprint) == 32
+    for r in by_type["audio"]:
+        assert r.width is None and r.height is None
+        assert len(r.fingerprint) == 32
+    # non-BMP/WAV payloads still refuse real decode
+    from pyspark.sql import functions as F
+    bogus = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real decoding"):
+        decode_media(bogus).collect()
+
+
+def test_media_exact_dedup_pairs_match_congruence(spark):
+    """The media dedup's pair set equals the fixtures' closed congruence
+    form (BMP repeats mod 288), and every reported pair's payloads are
+    REALLY byte-identical (re-encoded and compared directly)."""
+    from iceberg_hybrid_spark.queries.multimodal import media_exact_dedup
+    from iceberg_hybrid_spark.sources.multimodal import (
+        media_bmp_from_documents,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = media_exact_dedup(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    want_img = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if a % 288 == b % 288
+    }
+    got_img = {(r.id_a, r.id_b) for r in rows if r.media_type == "image"}
+    assert got_img == want_img and want_img
+    # audio: the WAV parameter cycle (49728) exceeds any test corpus
+    assert not [r for r in rows if r.media_type == "audio"]
+    # spot-verify true byte identity on three reported pairs
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in media_bmp_from_documents(docs).collect()
+    }
+    for a, b in sorted(want_img)[:3]:
+        assert payloads[a] == payloads[b]

@@ -132,3 +132,60 @@ def all_pairs_joins(df: DataFrame) -> list[str]:
         if m:
             out.append(m.group(1))
     return out
+
+
+def _walk_executed(jplan):
+    """Depth-first walk of an EXECUTED physical plan via py4j, following
+    AQE's final plan and descending into materialized query stages."""
+    cls = jplan.getClass().getSimpleName()
+    yield jplan, cls
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_executed(jplan.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_executed(jplan.plan())
+    ch = jplan.children()
+    for i in range(ch.size()):
+        yield from _walk_executed(ch.apply(i))
+
+
+def materialized_broadcast_bytes(df: DataFrame) -> list[tuple[int, int]]:
+    """(dataSize bytes, numOutputRows) of every BroadcastExchange in the
+    EXECUTED plan — the post-AQE runtime metric, i.e. the memory the
+    hashed relation actually occupied, not the pre-AQE file-size
+    estimate that decides the strategy.  Call AFTER an action; metrics
+    are zero on an unexecuted plan.
+
+    This is the guard for the mid-scale window docs/SCALING.md measures:
+    Spark's planning estimate for a pruned parquet projection is
+    compressed-file-bytes x column fraction, which understates the
+    materialized hashed relation ~4-8x, so a join can sit under the
+    session's autoBroadcastJoinThreshold while its broadcast occupies
+    hundreds of MiB of executor/driver memory.  The static hint guard
+    above can't see that (nothing is hinted); only the executed metric
+    can."""
+    out = []
+    for p, cls in _walk_executed(df._jdf.queryExecution().executedPlan()):
+        if cls == "BroadcastExchangeExec":
+            m = p.metrics()
+            out.append((
+                int(m.apply("dataSize").value()),
+                int(m.apply("numOutputRows").value()),
+            ))
+    return out
+
+
+def oversized_broadcasts(
+    df: DataFrame, budget_bytes: int = 64 * 1024 * 1024
+) -> list[str]:
+    """Violation strings for every materialized broadcast whose runtime
+    dataSize exceeds ``budget_bytes`` (empty list = clean).  Execute the
+    DataFrame first.  The remedy is the committed mid-scale profile
+    (``session.apply_mid_scale_profile``), which lowers the broadcast
+    threshold so the understated estimates stop qualifying."""
+    return [
+        f"materialized broadcast {sz / 1048576:.1f} MiB "
+        f"(rows={rows}) exceeds budget {budget_bytes / 1048576:.0f} MiB"
+        for sz, rows in materialized_broadcast_bytes(df)
+        if sz > budget_bytes
+    ]

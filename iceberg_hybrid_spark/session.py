@@ -71,3 +71,43 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# The committed MID-SCALE profile (docs/SCALING.md "Follow-up: the
+# 2-3x band re-measured at 32x"): between roughly sf1 and sf30,
+# Spark's pre-AQE size estimate for a pruned parquet projection
+# (compressed file bytes x column fraction) understates the
+# materialized hashed relation ~4-8x, so corpus-proportional joins
+# keep qualifying for broadcast while their build sides occupy
+# 100-300 MiB of executor/driver memory.  Lowering the threshold to
+# 8 MiB pushes those joins onto the sort-merge path (wall-clock
+# comparable, memory bounded) while still broadcasting the genuinely
+# small dimensions (region/nation/supplier projections materialize
+# well under 8 MiB at any mid-scale factor).  The 64 MiB default
+# above is tuned for the sf0.1 bench where dimension broadcasts are
+# the win; deployments holding in the mid-scale window should apply
+# this profile.  plans/guard.oversized_broadcasts is the runtime
+# check that catches the window when the profile is NOT applied.
+MID_SCALE_BROADCAST_THRESHOLD = 8 * 1024 * 1024
+
+
+def apply_mid_scale_profile(
+    spark: SparkSession, threshold: int = MID_SCALE_BROADCAST_THRESHOLD
+) -> None:
+    """Apply the mid-scale memory profile to a live session (runtime
+    conf — no restart needed): see MID_SCALE_BROADCAST_THRESHOLD.
+    ``threshold`` scales with the deployment's data volume: the flip
+    happens when the FILE-SIZE estimate (which understates the
+    materialized relation 4-8x) exceeds it, so pick ~1/4 of the
+    smallest materialized broadcast you want to ban — 8 MiB bans the
+    100-300 MiB broadcasts of the ~sf3-sf30 window."""
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(threshold)
+    )
+
+
+def reset_broadcast_threshold(spark: SparkSession) -> None:
+    """Restore the default (sf0.1-bench-tuned) broadcast threshold."""
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )

@@ -244,3 +244,58 @@ def test_ngram_jaccard_is_branch_free(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "CASE WHEN" not in plan, plan
     assert out.collect()[0].j == 0.3333
+
+
+def test_materialized_broadcast_guard_and_mid_scale_profile(spark):
+    """The mid-scale broadcast-memory window (docs/SCALING.md 32x
+    follow-up) has a runtime guard and a committed remedy:
+
+    - oversized_broadcasts reads the POST-AQE dataSize metric off the
+      executed plan — the memory the hashed relation actually occupied,
+      which the pre-AQE file-size estimate understates 4-8x;
+    - apply_mid_scale_profile lowers the broadcast threshold so the
+      understated estimates stop qualifying, flipping the join to the
+      memory-bounded sort-merge path with identical results.
+
+    Demonstrated here at sf0.1 where q12's orders-side broadcast
+    materializes ~9.1 MiB off a ~2 MiB estimate (the same 4-8x
+    understatement as the 292.6 MiB one at 32x): an 8 MiB budget flags
+    it, and the profile at the proportional threshold (1 MiB at this
+    scale, as 8 MiB is to the 32x window) removes it."""
+    from iceberg_hybrid_spark.plans import guard as PG
+    from iceberg_hybrid_spark.queries.relational import SPECS as RSPECS
+    from iceberg_hybrid_spark.session import (
+        MID_SCALE_BROADCAST_THRESHOLD,
+        apply_mid_scale_profile,
+        reset_broadcast_threshold,
+    )
+
+    q12 = {s.name: s for s in RSPECS}["q12_late_shipment_priority"].fn
+    sf_dir = "/root/testdata/sf0.1"
+
+    df_default = q12(spark, sf_dir)
+    rows_default = df_default.collect()
+    flagged = PG.oversized_broadcasts(
+        df_default, budget_bytes=MID_SCALE_BROADCAST_THRESHOLD
+    )
+    assert flagged, "expected q12's materialized broadcast over 8 MiB"
+    sizes = PG.materialized_broadcast_bytes(df_default)
+    assert any(sz > MID_SCALE_BROADCAST_THRESHOLD for sz, _ in sizes)
+
+    try:
+        # sf0.1 is ~1/32 of the mid-scale window the committed 8 MiB
+        # value targets; the proportional threshold exercises the same
+        # estimate-vs-materialized mechanism at this scale
+        apply_mid_scale_profile(spark, threshold=1024 * 1024)
+        df_prof = q12(spark, sf_dir)
+        rows_prof = df_prof.collect()
+        # identical results on the sort-merge path
+        assert rows_prof == rows_default
+        assert not PG.oversized_broadcasts(
+            df_prof, budget_bytes=MID_SCALE_BROADCAST_THRESHOLD
+        )
+        # the corpus-proportional join left the broadcast path entirely
+        final = df_prof._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in final
+    finally:
+        reset_broadcast_threshold(spark)

@@ -39,65 +39,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round — no driver row exists yet
+    "token_route_policies",
+    "png_pixel_stats",
+    "media_exact_dedup",
+    # implementation changed this round — prior rows validated old code
+    # (the sampled twins and pipeline_health moved from the fixed-25%-
+    # fraction sample to the FIXED-SIZE derived threshold, mirrored in
+    # their oracles; wav_decode gained truncated-chunk validation;
+    # decode_media's real path was restructured for BMP/WAV/PNG)
     "minhash_estimate_calibration_sampled",
     "dedup_modality_agreement_sampled",
     "kmv_source_overlap_sampled",
-    "verify_promote_orphans",
     "pipeline_health",
-    "bmp_pixel_stats",
     "wav_audio_stats",
-    # implementation changed this round — prior rows validated old code
-    # (query bodies extracted to take the documents relation for the
-    # sampled twins; decode_media's real-BMP branch restructured the
-    # mapInPandas fold; q4 decorrelated off its corpus-broadcast
-    # semi-join after the sf1 bench caught it at 5.5x)
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "minhash_estimate_calibration",
-    "dedup_modality_agreement",
-    "kmv_source_overlap",
     "multimodal_decode_features",
-    "q4_priority_late_orders",
-    # last driver row: round 5 — the final r5 cohort, retired this
-    # round (registry declaration order)
-    "dsir_importance_weights",
-    "temperature_mix_weights",
-    "curriculum_stages",
-    "cross_split_contamination",
-    "zorder_clustered_read",
-    "epoch_shuffle",
-    "clustered_pruned_read",
-    "token_budget_selection",
-    "hidden_partition_read",
-    "source_token_divergence",
-    "snapshot_diff_rows",
-    "time_travel_read",
-    "benchmark_contamination",
-    "token_window_chunking",
-    "domain_mix_sample",
-    "boilerplate_ngrams",
-    "sequence_packing",
-    # last driver row: round 6 — the 19 stalest (registry declaration
+    # last driver row: round 6 — the full remaining r6 cohort, retired
+    # this round (registry declaration order)
+    "bigram_pmi_collocations",
+    "bigram_lm_quality",
+    "streaming_hll_ingest",
+    "inverted_index_stats",
+    "doc_token_stats",
+    "shingle_novelty_scores",
+    "maximal_shared_spans",
+    "streaming_interval_join",
+    "q18_large_orders",
+    "bpe_merge_candidates",
+    "streaming_stateful_tracker",
+    "order_value_percentiles",
+    "bm25_doc_ranking",
+    "incremental_view_maintenance",
+    "data_constrained_epochs",
+    "csv_ingest_stats",
+    "quality_calibration_bins",
+    "orc_roundtrip_stats",
+    "jsonl_ingest_stats",
+    "cdc_chunk_overlap",
+    "hard_negative_mining",
+    "customers_without_orders",
+    "all_activity_keys_union",
+    # last driver row: round 7 — the 18 stalest (registry declaration
     # order)
-    "event_type_drift",
-    "quantile_sketch_audit",
-    "rfm_customer_segments",
-    "events_hourly_gapfilled",
-    "key_skew_profile",
-    "mor_delete_upsert_read",
-    "date_function_showcase",
-    "daily_trend_slopes",
-    "hll_distinct_audit",
-    "doc_tfidf",
-    "view_to_purchase_latency",
-    "cms_token_counts",
-    "weighted_corpus_sample",
-    "events_by_type",
-    "bpe_merge_rounds",
-    "bpe_tokenize_fertility",
-    "streaming_session_windows",
-    "textrank_keywords",
-    "embedding_ann_recall_curve",
+    "q8_national_market_share",
+    "cluster_quality_canonicals",
+    "multimodal_metadata",
+    "window_function_showcase",
+    "q11_important_parts",
+    "multimodal_type_stats",
+    "snapshot_lifecycle",
+    "string_function_showcase",
+    "q12_late_shipment_priority",
+    "hourly_anomaly_flags",
+    "video_frame_counts",
+    "array_map_function_showcase",
+    "q16_supplier_diversity",
+    "asof_last_click_before_purchase",
+    "incremental_dedup_new_docs",
+    "orders_within_30_days",
+    "events_hourly_window",
+    "streaming_neardup_ingest",
 )
 
 

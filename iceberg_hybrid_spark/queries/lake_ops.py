@@ -2211,7 +2211,124 @@ ORDER BY new_doc_id
 """
 
 
+def token_route_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consistency-token router driven through the VALUE gate — the
+    last reference composite with real decision arithmetic previously
+    pinned only by pytest (control/router.py ``route_with_token`` ≙
+    legacy ReadRouter.java:18-30: CLOUD iff requested.commitTs ≤
+    token.highWatermarkTs, with PREFER_* biasing the tie).
+
+    Fixture lifecycle, all REAL objects: the six earliest order months
+    become six appends to a scratch HyTable (each commit's token
+    timestamp = the month's last order day, days-since-epoch — a pure
+    function of the orders table both engines compute identically); the
+    mirror's high watermark is pinned at commit 4 of 6, so commits 5-6
+    find the mirror lagging.  Every (commit, policy) pair is routed
+    through the real ``route_with_token``; ``served_rows`` is a REAL
+    time-travel read of the table at the requested commit (the rows the
+    serving side returns), and ``stale_cloud_rows`` is the
+    lagging-mirror fallback — the time-travel read at the WATERMARK
+    snapshot, i.e. what a stale-tolerant cloud read would serve while
+    the mirror catches up (equal to served_rows exactly when caught
+    up).  The oracle replays the decision table and both time-travel
+    row counts in SQL from cumulative month counts.
+
+    Bounded by construction: 6 commits x 3 policies = 18 rows; the
+    per-month appends and time-travel counts are metadata-scale."""
+    from ..control.router import RoutingPolicy, ReadRouter
+
+    orders = load_table(spark, sf_dir, "orders")
+    months = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            ).alias("commit_day"),
+        )
+        .orderBy("mon")
+        .limit(6)
+        .collect()
+    )
+    t = HyTable(spark, _scratch("tokenroute"))
+    for i, m in enumerate(months):
+        batch = orders.filter(
+            F.date_trunc("month", "o_orderdate") == m.mon
+        ).select("o_orderkey")
+        if i == 0:
+            t.create(batch)
+        else:
+            t.append(batch)
+    watermark_seq = 4
+    watermark_day = months[watermark_seq - 1].commit_day
+    stale_rows = t.read(seq=watermark_seq).count()
+    out = []
+    for i, m in enumerate(months, start=1):
+        served = t.read(seq=i).count()
+        for policy in (
+            RoutingPolicy.MEET_WATERMARK,
+            RoutingPolicy.PREFER_CLOUD,
+            RoutingPolicy.PREFER_ONPREM,
+        ):
+            route = ReadRouter.route_with_token(
+                m.commit_day, watermark_day, policy
+            )
+            out.append(
+                (
+                    i,
+                    int(m.commit_day),
+                    policy.value,
+                    route,
+                    int(m.commit_day <= watermark_day),
+                    served,
+                    stale_rows if m.commit_day > watermark_day else served,
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "commit_seq int, commit_day int, policy string, route string, "
+        "caught_up int, served_rows bigint, stale_cloud_rows bigint",
+    ).orderBy("commit_seq", "policy")
+
+
+TOKEN_ROUTE_POLICIES_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         COUNT(*) AS n,
+         MAX(o_orderdate - DATE '1970-01-01') AS commit_day
+  FROM orders GROUP BY 1 ORDER BY mon LIMIT 6
+), seq AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY mon) AS INT) AS commit_seq,
+         CAST(commit_day AS INT) AS commit_day,
+         CAST(SUM(n) OVER (ORDER BY mon) AS BIGINT) AS served_rows
+  FROM m
+), wm AS (
+  SELECT commit_day AS watermark_day,
+         served_rows AS watermark_rows
+  FROM seq WHERE commit_seq = 4
+), pol(policy) AS (
+  VALUES ('MEET_WATERMARK'), ('PREFER_CLOUD'), ('PREFER_ONPREM')
+)
+SELECT s.commit_seq, s.commit_day, p.policy,
+       CASE WHEN p.policy = 'PREFER_ONPREM' THEN 'ONPREM'
+            WHEN s.commit_day <= w.watermark_day THEN 'CLOUD'
+            ELSE 'ONPREM' END AS route,
+       CAST(CASE WHEN s.commit_day <= w.watermark_day THEN 1 ELSE 0 END
+            AS INT) AS caught_up,
+       s.served_rows,
+       CASE WHEN s.commit_day > w.watermark_day THEN w.watermark_rows
+            ELSE s.served_rows END AS stale_cloud_rows
+FROM seq s CROSS JOIN wm w CROSS JOIN pol p
+ORDER BY s.commit_seq, p.policy
+"""
+
+
 SPECS = [
+    QuerySpec("token_route_policies", token_route_policies,
+              TOKEN_ROUTE_POLICIES_SQL,
+              "consistency-token routing (CLOUD iff commitTs <= "
+              "watermark, 3 policies) replayed over a real commit "
+              "lifecycle with lagging-mirror time-travel fallback"),
     QuerySpec("snapshot_lifecycle", snapshot_lifecycle, SNAPSHOT_LIFECYCLE_SQL,
               "commit log: create/append/delete history"),
     QuerySpec("mor_delete_upsert_read", mor_delete_upsert_read, MOR_DELETE_UPSERT_SQL,

@@ -18,7 +18,9 @@ from ..sources.multimodal import (
     decode_media,
     media_bmp_from_documents,
     media_from_documents,
+    media_png_from_documents,
     media_wav_from_documents,
+    png_pixel_features,
     sample_frames,
     wav_audio_features,
 )
@@ -248,6 +250,59 @@ FROM s ORDER BY media_id
 """
 
 
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end — the compressed-image sibling of
+    ``bmp_pixel_stats``: per document an 8-bit truecolor PNG is encoded
+    (closed-form linear gradients, ``media_png_from_documents``, with a
+    per-row filter schedule sweeping ALL five PNG scanline filters in
+    every image), then independently DECODED by the stdlib-zlib +
+    numpy parser (CRC'd chunk walk → inflate → per-row un-filtering)
+    and reduced to per-channel pixel statistics.  The oracle recomputes
+    every statistic from the closed pixel formulas in SQL — so the
+    chunk framing, the deflate stream, all five filter reconstructions
+    (None/Sub/Up/Average/Paeth), and the top-down scanline order
+    (pinned by the orientation-sensitive top-row mean) are value-gated.
+    Spec anchoring against a hand-assembled golden PNG is in
+    tests/test_multimodal.py.
+
+    Scale shape: two chained map-only Arrow stages — zero shuffle,
+    linear at any corpus size; a real deployment replaces the fixture
+    stage with a binary-file scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = png_pixel_features(media_png_from_documents(docs))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        round_stable(F.col("mean_r"), 4).alias("mean_r"),
+        round_stable(F.col("mean_g"), 4).alias("mean_g"),
+        round_stable(F.col("mean_b"), 4).alias("mean_b"),
+        round_stable(F.col("top_row_mean_r"), 4).alias("top_row_mean_r"),
+    ).orderBy("media_id")
+
+
+# mean over x,y of (base + c1*x + c2*y) = base + c1*(w-1)/2 + c2*(h-1)/2
+# — exact in binary doubles (halves).
+PNG_PIXEL_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + (5 * doc_id) % 9 AS INTEGER) AS w,
+         CAST(8 + (7 * doc_id) % 9 AS INTEGER) AS h
+  FROM documents
+)
+SELECT media_id, w AS width, h AS height,
+       ROUND(CAST(media_id % 29 + 0.5 * (w - 1) + 1.5 * (h - 1) AS DOUBLE)
+             - 0.000000001, 4) + 0.0 AS mean_r,
+       ROUND(CAST((3 * media_id) % 29 + (w - 1) + 0.5 * (h - 1) AS DOUBLE)
+             - 0.000000001, 4) + 0.0 AS mean_g,
+       ROUND(CAST((7 * media_id) % 29 + (w - 1) + (h - 1) AS DOUBLE)
+             - 0.000000001, 4) + 0.0 AS mean_b,
+       ROUND(CAST(media_id % 29 + 0.5 * (w - 1) AS DOUBLE) - 0.000000001, 4)
+             + 0.0 AS top_row_mean_r
+FROM dims ORDER BY media_id
+"""
+
+
 def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-MEDIA exact dedup: find documents whose attached media
     payloads are byte-identical under different doc_ids — the media
@@ -360,6 +415,10 @@ SPECS = [
     QuerySpec("wav_audio_stats", wav_audio_stats, WAV_AUDIO_STATS_SQL,
               "REAL 16-bit PCM WAV decode (pure numpy RIFF chunk walk) "
               "to amplitude stats vs closed-form ramp oracle"),
+    QuerySpec("png_pixel_stats", png_pixel_stats, PNG_PIXEL_STATS_SQL,
+              "REAL PNG decode (stdlib zlib + numpy: CRC'd chunks, "
+              "inflate, all five scanline filters) to pixel stats vs "
+              "closed-form gradient oracle"),
     QuerySpec("media_exact_dedup", media_exact_dedup, MEDIA_EXACT_DEDUP_SQL,
               "cross-media exact dedup: real-decode md5 fingerprints "
               "equi-joined within media_type, pairs joined to the text "

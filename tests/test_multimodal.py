@@ -294,3 +294,96 @@ def test_media_exact_dedup_pairs_match_congruence(spark):
     }
     for a, b in sorted(want_img)[:3]:
         assert payloads[a] == payloads[b]
+
+
+def test_png_golden_bytes_hand_assembled():
+    """Spec anchoring independent of our encoder: a 2x2 RGB PNG built
+    by hand — chunk lengths, CRCs, zlib stream, and one Sub-filtered
+    scanline all hand-assembled — must decode to the exact pixels."""
+    import zlib
+
+    import numpy as np
+
+    from iceberg_hybrid_spark.sources.multimodal import png_decode
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    # pixels: row0 = (10,20,30),(40,50,60); row1 = (5,5,5),(255,0,128)
+    # row0 as filter 0 (None): raw bytes verbatim
+    # row1 as filter 1 (Sub): first pixel verbatim, second minus first
+    row0 = bytes([0, 10, 20, 30, 40, 50, 60])
+    row1 = bytes([1, 5, 5, 5, (255 - 5) % 256, (0 - 5) % 256, (128 - 5) % 256])
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0]
+    )
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    got = png_decode(payload)
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[5, 5, 5], [255, 0, 128]]],
+        dtype=np.uint8,
+    )
+    assert (got == want).all()
+
+
+def test_png_roundtrip_all_filters_and_damage():
+    """Round-trip across every scanline filter (and the default sweep),
+    plus the error paths: truncation, CRC damage, missing IEND, and the
+    unsupported-profile refusal all raise instead of decoding short."""
+    import numpy as np
+    import pytest
+
+    from iceberg_hybrid_spark.sources.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(11)
+    for (h, w) in [(1, 1), (2, 3), (8, 8), (16, 9), (11, 16)]:
+        a = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (png_decode(png_encode(a)) == a).all()
+        for ft in range(5):
+            assert (png_decode(png_encode(a, filters=[ft] * h)) == a).all()
+
+    p = png_encode(rng.randint(0, 256, size=(6, 6, 3)).astype(np.uint8))
+    with pytest.raises(ValueError, match="IEND"):
+        png_decode(p[:-6])
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(p[:-30])
+    bad = bytearray(p)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        png_decode(bytes(bad))
+    # 16-bit depth refused, not mis-decoded
+    depth16 = bytearray(p)
+    depth16[24] = 16  # IHDR bit-depth byte
+    import zlib as _z
+    # re-CRC the IHDR so the profile check (not the CRC check) fires
+    ihdr = bytes(depth16[12:16]) + bytes(depth16[16:29])
+    depth16[29:33] = _z.crc32(ihdr).to_bytes(4, "big")
+    with pytest.raises(NotImplementedError):
+        png_decode(bytes(depth16))
+
+
+def test_decode_media_real_path_handles_png(spark):
+    """The real decode path recognizes PNG payloads alongside BMP/WAV:
+    dims come from the actually-decoded pixel array."""
+    from iceberg_hybrid_spark.sources.multimodal import (
+        decode_media,
+        media_png_from_documents,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    rows = decode_media(media_png_from_documents(docs)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        did = r.media_id
+        assert r.width == 8 + (5 * did) % 9
+        assert r.height == 8 + (7 * did) % 9
+        assert len(r.fingerprint) == 32

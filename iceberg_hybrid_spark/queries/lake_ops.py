@@ -2295,7 +2295,7 @@ TOKEN_ROUTE_POLICIES_SQL = """
 WITH m AS (
   SELECT date_trunc('month', o_orderdate) AS mon,
          COUNT(*) AS n,
-         MAX(o_orderdate - DATE '1970-01-01') AS commit_day
+         MAX(datediff('day', DATE '1970-01-01', o_orderdate)) AS commit_day
   FROM orders GROUP BY 1 ORDER BY mon LIMIT 6
 ), seq AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY mon) AS INT) AS commit_seq,

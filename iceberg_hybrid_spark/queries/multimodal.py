@@ -322,7 +322,9 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value gate: the fixtures are pure functions of doc_id, so payload
     equality has a closed congruence form the oracle derives
     independently — BMP params repeat iff doc_id ≡ (mod lcm(9,32)=288),
-    WAV params iff doc_id ≡ (mod lcm(37,3,64,7)=49728).  A fingerprint
+    PNG params iff doc_id ≡ (mod lcm(9,29)=261), WAV params iff
+    doc_id ≡ (mod lcm(37,3,64,7)=49728); the two image formats never
+    collide across formats (distinct leading bytes).  A fingerprint
     path that hashed anything but the exact encoded bytes (or an
     encoder that dropped any doc-dependent parameter) produces a
     different pair set and fails the hash compare.
@@ -336,8 +338,14 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the dedup ladder SURVEY.md §2 LLM family; decode
     plumbing sources/multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
-    media = media_bmp_from_documents(docs).unionByName(
-        media_wav_from_documents(docs)
+    media = (
+        media_bmp_from_documents(docs)
+        .unionByName(media_wav_from_documents(docs))
+        .unionByName(
+            media_png_from_documents(docs).withColumn(
+                "media_type", F.lit("image_png")
+            )
+        )
     )
     fps = decode_media(media).select("media_id", "media_type", "fingerprint")
     groups = (
@@ -384,6 +392,10 @@ WITH pairs AS (
   FROM documents a JOIN documents b
     ON a.doc_id % 288 = b.doc_id % 288 AND a.doc_id < b.doc_id
   UNION ALL
+  SELECT 'image_png', a.doc_id, b.doc_id
+  FROM documents a JOIN documents b
+    ON a.doc_id % 261 = b.doc_id % 261 AND a.doc_id < b.doc_id
+  UNION ALL
   SELECT 'audio', a.doc_id, b.doc_id
   FROM documents a JOIN documents b
     ON a.doc_id % 49728 = b.doc_id % 49728 AND a.doc_id < b.doc_id
@@ -420,7 +432,8 @@ SPECS = [
               "inflate, all five scanline filters) to pixel stats vs "
               "closed-form gradient oracle"),
     QuerySpec("media_exact_dedup", media_exact_dedup, MEDIA_EXACT_DEDUP_SQL,
-              "cross-media exact dedup: real-decode md5 fingerprints "
-              "equi-joined within media_type, pairs joined to the text "
-              "dedup verdict, vs the fixtures' closed congruence oracle"),
+              "cross-media exact dedup over three real codecs "
+              "(BMP/PNG/WAV): real-decode md5 fingerprints equi-joined "
+              "within media_type, pairs joined to the text dedup "
+              "verdict, vs the fixtures' closed congruence oracle"),
 ]

@@ -277,14 +277,20 @@ def test_media_exact_dedup_pairs_match_congruence(spark):
     rows = media_exact_dedup(spark, sf).collect()
     docs = load_table(spark, sf, "documents")
     ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
-    want_img = {
-        (a, b)
-        for i, a in enumerate(ids)
-        for b in ids[i + 1:]
-        if a % 288 == b % 288
-    }
+    def cong(mod):
+        return {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if a % mod == b % mod
+        }
+
     got_img = {(r.id_a, r.id_b) for r in rows if r.media_type == "image"}
-    assert got_img == want_img and want_img
+    assert got_img == cong(288) and got_img  # BMP params repeat mod 288
+    got_png = {
+        (r.id_a, r.id_b) for r in rows if r.media_type == "image_png"
+    }
+    assert got_png == cong(261) and got_png  # PNG params repeat mod 261
     # audio: the WAV parameter cycle (49728) exceeds any test corpus
     assert not [r for r in rows if r.media_type == "audio"]
     # spot-verify true byte identity on three reported pairs
@@ -292,7 +298,7 @@ def test_media_exact_dedup_pairs_match_congruence(spark):
         r.media_id: bytes(r.payload)
         for r in media_bmp_from_documents(docs).collect()
     }
-    for a, b in sorted(want_img)[:3]:
+    for a, b in sorted(got_img)[:3]:
         assert payloads[a] == payloads[b]
 
 

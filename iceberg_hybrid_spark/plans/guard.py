@@ -156,6 +156,12 @@ def materialized_broadcast_bytes(df: DataFrame) -> list[tuple[int, int]]:
     estimate that decides the strategy.  Call AFTER an action; metrics
     are zero on an unexecuted plan.
 
+    Caveat on small relations: dataSize includes the broadcast hash
+    map's ALLOCATED pages, which floor at ~32 MiB on this build — a
+    5-row dimension reports 32.0 MiB.  Budgets must therefore sit well
+    above that floor (the 64 MiB default does); readings at exactly
+    ~32 MiB with tiny numOutputRows are allocation, not data.
+
     This is the guard for the mid-scale window docs/SCALING.md measures:
     Spark's planning estimate for a pruned parquet projection is
     compressed-file-bytes x column fraction, which understates the

@@ -995,10 +995,12 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail split CCNet derives from exactly this score).
 
     Scale shape: token explode → partial-agg count shuffle for the model;
-    scoring joins tokens to the model on (lang, token) — a plain hash
-    join, because the vocabulary is corpus-derived and must never be
-    broadcast; per-doc agg shuffles on (lang, doc_id); the final
-    histogram is a tiny agg.  No window over a low-cardinality key."""
+    scoring joins tokens to the model on (lang, token) with an explicit
+    shuffle_hash hint — the vocabulary is corpus-derived and must never
+    be broadcast, but AQE's runtime conversion was broadcasting the
+    40 MiB materialized model at sf0.1 (r11 tools/broadcast_sweep.py);
+    per-doc agg shuffles on (lang, doc_id); the final histogram is a
+    tiny agg.  No window over a low-cardinality key."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("lang", "doc_id", F.explode(T.tokens("text")).alias("w"))
     counts = tok.groupBy("lang", "w").agg(
@@ -1009,7 +1011,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "w", F.log2(F.col("c") / F.col("n")).alias("logp")
     )
     doc_bits = (
-        tok.join(probs, ["lang", "w"])
+        tok.join(probs.hint("shuffle_hash"), ["lang", "w"])
         .groupBy("lang", "doc_id")
         .agg(T.round_stable(-F.avg("logp"), 4).alias("bits"))
     )
@@ -2321,7 +2323,7 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "w", F.log2(F.col("c") / F.col("n")).alias("logp")
     )
     doc_bits = (
-        tok.join(probs, ["lang", "w"])
+        tok.join(probs.hint("shuffle_hash"), ["lang", "w"])
         .groupBy("lang", "doc_id")
         .agg(T.round_stable(-F.avg("logp"), 4).alias("bits"))
     )
@@ -2776,8 +2778,13 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices (same kernel as ``bpe_merge_candidates``); the bigram model
     is ONE counting shuffle on (lang, prev, w) and the context totals
     re-aggregate that counts relation (no second pass over the corpus).
-    Scoring hash-joins the pair stream to both models — corpus-derived
-    vocabularies are never broadcast; per-doc agg shuffles on
+    Scoring hash-joins the pair stream to both models with explicit
+    shuffle_hash hints — AQE's runtime conversion (compressed shuffle
+    bytes vs the threshold) otherwise BROADCAST the bigram model, which
+    materialized 72 MiB at sf0.1 (caught by the r11
+    tools/broadcast_sweep.py) and grows with the corpus; the hinted
+    shuffled joins measured equal-to-faster (1.71 s vs 1.90 s) and stay
+    memory-bounded at any scale.  Per-doc agg shuffles on
     (lang, doc_id); the histogram is a tiny final agg."""
     docs = load_table(spark, sf_dir, "documents")
     w = T.tokens("text")
@@ -2810,9 +2817,9 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = big.groupBy("lang", "prev").agg(F.sum("c2").alias("cp"))
 
     scored = (
-        pairs.join(big, ["lang", "prev", "w"])
-        .join(ctx, ["lang", "prev"])
-        .join(uni, ["lang", "w"])
+        pairs.join(big.hint("shuffle_hash"), ["lang", "prev", "w"])
+        .join(ctx.hint("shuffle_hash"), ["lang", "prev"])
+        .join(uni.hint("shuffle_hash"), ["lang", "w"])
         .join(F.broadcast(totals), "lang")
         .select(
             "lang",

@@ -50,18 +50,24 @@ def main() -> None:
         try:
             df = specs[name].fn(spark, sf_dir)
             df.collect()
-            sizes = sorted(
-                (sz for sz, _ in materialized_broadcast_bytes(df)),
-                reverse=True,
+            pairs = sorted(
+                materialized_broadcast_bytes(df), reverse=True
             )
         except Exception as exc:  # report, keep sweeping
             print(json.dumps({"query": name, "error": str(exc)[:120]}),
                   flush=True)
             errors += 1
             continue
-        mib = [round(s / 1048576, 1) for s in sizes]
+        # dataSize includes the hash map's ~32 MiB allocation floor, so
+        # report rows alongside: 32.0 MiB at a handful of rows is
+        # allocation, not data (see guard.materialized_broadcast_bytes)
+        mib = [round(s / 1048576, 1) for s, _ in pairs]
         if mib and mib[0] >= args.min_report_mib:
-            rec = {"query": name, "broadcast_mib": mib}
+            rec = {
+                "query": name,
+                "broadcast_mib": mib,
+                "broadcast_rows": [r for _, r in pairs],
+            }
             if mib[0] >= args.budget_mib:
                 rec["over_budget"] = True
                 over_budget.append(name)

@@ -46,13 +46,16 @@ _PRIORITY: tuple[str, ...] = (
     # (the sampled twins and pipeline_health moved from the fixed-25%-
     # fraction sample to the FIXED-SIZE derived threshold, mirrored in
     # their oracles; wav_decode gained truncated-chunk validation;
-    # decode_media's real path was restructured for BMP/WAV/PNG)
+    # decode_media's real path was restructured for BMP/WAV/PNG; the
+    # LM scorers pinned shuffle_hash on their corpus-model joins —
+    # bigram_lm_quality is already below in the r6 cohort)
     "minhash_estimate_calibration_sampled",
     "dedup_modality_agreement_sampled",
     "kmv_source_overlap_sampled",
     "pipeline_health",
     "wav_audio_stats",
     "multimodal_decode_features",
+    "unigram_logprob_quality",
     # last driver row: round 6 — the full remaining r6 cohort, retired
     # this round (registry declaration order)
     "bigram_pmi_collocations",
@@ -78,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "customers_without_orders",
     "all_activity_keys_union",
-    # last driver row: round 7 — the 18 stalest (registry declaration
+    # last driver row: round 7 — the 17 stalest (registry declaration
     # order)
     "q8_national_market_share",
     "cluster_quality_canonicals",
@@ -97,7 +100,6 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_dedup_new_docs",
     "orders_within_30_days",
     "events_hourly_window",
-    "streaming_neardup_ingest",
 )
 
 

@@ -42,6 +42,7 @@ _PRIORITY: tuple[str, ...] = (
     "token_route_policies",
     "png_pixel_stats",
     "media_exact_dedup",
+    "avi_video_stats",
     # implementation changed this round — prior rows validated old code
     # (the sampled twins and pipeline_health moved from the fixed-25%-
     # fraction sample to the FIXED-SIZE derived threshold, mirrored in
@@ -81,7 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "customers_without_orders",
     "all_activity_keys_union",
-    # last driver row: round 7 — the 17 stalest (registry declaration
+    # last driver row: round 7 — the 16 stalest (registry declaration
     # order)
     "q8_national_market_share",
     "cluster_quality_canonicals",
@@ -99,7 +100,6 @@ _PRIORITY: tuple[str, ...] = (
     "asof_last_click_before_purchase",
     "incremental_dedup_new_docs",
     "orders_within_30_days",
-    "events_hourly_window",
 )
 
 

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import round_stable
 from ..sources.multimodal import (
+    avi_video_features,
     bmp_pixel_features,
     decode_media,
+    media_avi_from_documents,
     media_bmp_from_documents,
     media_from_documents,
     media_png_from_documents,
@@ -303,6 +305,65 @@ FROM dims ORDER BY media_id
 """
 
 
+def avi_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end — the missing rung of the media
+    ladder, reachable without codec libraries because uncompressed-RGB
+    AVI is a RIFF container (the WAV path's chunk discipline) of DIB
+    frames (the BMP path's padded bottom-up BGR rows): per document an
+    AVI is encoded (closed-form gradients in x, y AND frame index,
+    ``media_avi_from_documents``), independently DECODED by the
+    pure-numpy RIFF-list walker (headers validated, every '00db' frame
+    sliced), and reduced to container metadata + channel statistics.
+    The temporal gradient pins frame ORDER: a decoder that drops,
+    duplicates, or reorders frames fails the first/last-frame means.
+    The oracle recomputes everything from the closed forms.  MJPG/H.264
+    keep the honest NotImplementedError — those need real codecs.
+
+    Scale shape: two chained map-only Arrow stages — zero shuffle,
+    linear at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = avi_video_features(media_avi_from_documents(docs))
+    return feats.select(
+        "media_id",
+        "n_frames",
+        "fps",
+        "width",
+        "height",
+        round_stable(F.col("mean_r"), 4).alias("mean_r"),
+        round_stable(F.col("first_frame_mean_g"), 4).alias(
+            "first_frame_mean_g"
+        ),
+        round_stable(F.col("last_frame_mean_b"), 4).alias(
+            "last_frame_mean_b"
+        ),
+    ).orderBy("media_id")
+
+
+# mean over f,x,y of (base + c1*x + c2*y + c3*f)
+#   = base + c1*(w-1)/2 + c2*(h-1)/2 + c3*(n-1)/2 — exact (halves).
+AVI_VIDEO_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + doc_id % 4 AS INTEGER) AS n,
+         CAST(10 + doc_id % 5 AS INTEGER) AS fps,
+         CAST(8 + doc_id % 9 AS INTEGER) AS w,
+         CAST(8 + (3 * doc_id) % 9 AS INTEGER) AS h
+  FROM documents
+)
+SELECT media_id, n AS n_frames, fps, w AS width, h AS height,
+       ROUND(CAST(media_id % 24 + (w - 1) + 0.5 * (h - 1)
+                  + 1.5 * (n - 1) AS DOUBLE) - 0.000000001, 4) + 0.0
+         AS mean_r,
+       ROUND(CAST((5 * media_id) % 24 + 0.5 * (w - 1) + (h - 1)
+                  AS DOUBLE) - 0.000000001, 4) + 0.0
+         AS first_frame_mean_g,
+       ROUND(CAST((9 * media_id) % 24 + 0.5 * (w - 1) + 0.5 * (h - 1)
+                  + 2.0 * (n - 1) AS DOUBLE) - 0.000000001, 4) + 0.0
+         AS last_frame_mean_b
+FROM dims ORDER BY media_id
+"""
+
+
 def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-MEDIA exact dedup: find documents whose attached media
     payloads are byte-identical under different doc_ids — the media
@@ -322,9 +383,10 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value gate: the fixtures are pure functions of doc_id, so payload
     equality has a closed congruence form the oracle derives
     independently — BMP params repeat iff doc_id ≡ (mod lcm(9,32)=288),
-    PNG params iff doc_id ≡ (mod lcm(9,29)=261), WAV params iff
-    doc_id ≡ (mod lcm(37,3,64,7)=49728); the two image formats never
-    collide across formats (distinct leading bytes).  A fingerprint
+    PNG params iff doc_id ≡ (mod lcm(9,29)=261), AVI params iff
+    doc_id ≡ (mod lcm(4,5,9,24)=360), WAV params iff
+    doc_id ≡ (mod lcm(37,3,64,7)=49728); the formats never collide
+    across modality keys (distinct leading bytes).  A fingerprint
     path that hashed anything but the exact encoded bytes (or an
     encoder that dropped any doc-dependent parameter) produces a
     different pair set and fails the hash compare.
@@ -346,6 +408,7 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_type", F.lit("image_png")
             )
         )
+        .unionByName(media_avi_from_documents(docs))
     )
     fps = decode_media(media).select("media_id", "media_type", "fingerprint")
     groups = (
@@ -396,6 +459,10 @@ WITH pairs AS (
   FROM documents a JOIN documents b
     ON a.doc_id % 261 = b.doc_id % 261 AND a.doc_id < b.doc_id
   UNION ALL
+  SELECT 'video', a.doc_id, b.doc_id
+  FROM documents a JOIN documents b
+    ON a.doc_id % 360 = b.doc_id % 360 AND a.doc_id < b.doc_id
+  UNION ALL
   SELECT 'audio', a.doc_id, b.doc_id
   FROM documents a JOIN documents b
     ON a.doc_id % 49728 = b.doc_id % 49728 AND a.doc_id < b.doc_id
@@ -432,8 +499,13 @@ SPECS = [
               "inflate, all five scanline filters) to pixel stats vs "
               "closed-form gradient oracle"),
     QuerySpec("media_exact_dedup", media_exact_dedup, MEDIA_EXACT_DEDUP_SQL,
-              "cross-media exact dedup over three real codecs "
-              "(BMP/PNG/WAV): real-decode md5 fingerprints equi-joined "
-              "within media_type, pairs joined to the text dedup "
-              "verdict, vs the fixtures' closed congruence oracle"),
+              "cross-media exact dedup over four real codecs "
+              "(BMP/PNG/WAV/AVI): real-decode md5 fingerprints "
+              "equi-joined within media_type, pairs joined to the text "
+              "dedup verdict, vs the fixtures' closed congruence "
+              "oracle"),
+    QuerySpec("avi_video_stats", avi_video_stats, AVI_VIDEO_STATS_SQL,
+              "REAL uncompressed-RGB AVI video decode (pure numpy RIFF "
+              "list walk + per-frame DIB slicing, frame-order-sensitive "
+              "stats) vs closed-form gradient oracle"),
 ]

@@ -6,12 +6,14 @@ per-item processing (decode, feature-extract, resize, frame-sample) runs
 as Arrow-batched pandas over ``mapInPandas`` — map-only, zero shuffle,
 linear at 100 TB.
 
-Three REAL decode paths exist with no external codec library: 24-bit
+Four REAL decode paths exist with no external codec library: 24-bit
 uncompressed BMP (numpy header walk + padded BGR row slicing), 16-bit
-mono PCM WAV (RIFF chunk walk), and 8-bit truecolor non-interlaced PNG
-(stdlib zlib inflate + the five spec scanline filters).  Formats that
-genuinely need codec libraries absent from this container (JPEG,
-compressed audio, video) raise the honest ``NotImplementedError``;
+mono PCM WAV (RIFF chunk walk), 8-bit truecolor non-interlaced PNG
+(stdlib zlib inflate + the five spec scanline filters), and
+uncompressed-RGB AVI video (RIFF list walk + per-frame DIB slicing).
+Formats that genuinely need codec libraries absent from this container
+(JPEG, compressed audio, MJPG/H.264 video) raise the honest
+``NotImplementedError``;
 ``decode_media(fake=True)`` is the deterministic byte-math test decoder
 for arbitrary payloads.  The Spark-side plumbing — schemas, UDF
 signatures, Arrow batch shapes, partitioning — is identical either way.
@@ -160,7 +162,8 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     ``fake=False`` decodes REAL payloads where a pure-python decoder
     exists (24-bit BMP and 8-bit truecolor PNG — width/height read from
     the decoded pixel array; 16-bit mono PCM WAV — chunk walk,
-    width/height NULL for audio) and raises NotImplementedError for
+    width/height NULL for audio; uncompressed-RGB AVI — full frame-stack
+    decode, width/height from the frames) and raises NotImplementedError for
     formats that genuinely need codec libraries absent from this
     environment; ``fake=True`` uses the deterministic byte-math test
     decoder for arbitrary payloads.
@@ -181,11 +184,15 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     elif b[:8] == _PNG_SIG:
                         a = png_decode(b)
                         dims.append((a.shape[1], a.shape[0]))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        a, _fps = avi_decode(b)
+                        dims.append((a.shape[2], a.shape[1]))
                     else:
                         raise NotImplementedError(
-                            "real decoding beyond BMP/WAV/PNG requires "
-                            "codecs not present in this environment; pass "
-                            "fake=True for the deterministic test decoder"
+                            "real decoding beyond BMP/WAV/PNG/"
+                            "uncompressed-AVI requires codecs not present "
+                            "in this environment; pass fake=True for the "
+                            "deterministic test decoder"
                         )
                 payloads = pdf["payload"]
                 yield pd.DataFrame({
@@ -715,6 +722,258 @@ def wav_audio_features(df: DataFrame) -> DataFrame:
             ).astype({"n_samples": "int32", "sample_rate": "int32"})
 
     return df.mapInPandas(features, WAV_FEATURES_SCHEMA)
+
+
+# --- real AVI (uncompressed RGB) codec, pure numpy ---------------------------
+# Video joins the real-decode ladder through the one profile reachable
+# without codec libraries: RIFF 'AVI ' containers carrying uncompressed
+# 24-bit DIB frames ('00db' chunks — the frame payload IS the BMP pixel
+# block: padded bottom-up BGR rows).  The container walk reuses the RIFF
+# discipline of the WAV path and the row slicing of the BMP path.
+# Compressed video (MJPG/H.264/...) still raises the honest
+# NotImplementedError — those genuinely need codec libraries.
+
+def _avi_bih(w: int, h: int, size_image: int) -> bytes:
+    """BITMAPINFOHEADER for 24-bit BI_RGB bottom-up frames."""
+    return (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + size_image.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+
+
+def avi_encode(frames, fps: int = 10) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB frame stack as an uncompressed
+    AVI: RIFF('AVI ') → LIST hdrl (avih main header + LIST strl with the
+    'vids'/'DIB ' stream header and a BITMAPINFOHEADER) → LIST movi with
+    one '00db' DIB chunk per frame (padded bottom-up BGR rows, the BMP
+    pixel layout)."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = a.shape
+    stride = (w * 3 + 3) // 4 * 4
+    frame_bytes = []
+    for f in range(n):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = a[f, ::-1, :, ::-1].reshape(h, w * 3)
+        frame_bytes.append(rows.tobytes())
+    size_image = h * stride
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + len(data).to_bytes(4, "little") + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")   # usec per frame
+        + (size_image * fps).to_bytes(4, "little")  # max bytes/sec
+        + (0).to_bytes(4, "little")
+        + (0x10).to_bytes(4, "little")              # AVIF_HASINDEX off: 0x10=HASINDEX; keep simple flags
+        + n.to_bytes(4, "little")                   # total frames
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")                 # one stream
+        + size_image.to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")   # priority+language
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")   # scale
+        + fps.to_bytes(4, "little")   # rate -> fps = rate/scale
+        + (0).to_bytes(4, "little")
+        + n.to_bytes(4, "little")     # length in frames
+        + size_image.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality: default
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") * 4       # rcFrame
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", _avi_bih(w, h, size_image))),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_decode(payload: bytes):
+    """Decode an uncompressed-RGB AVI to ((n, h, w, 3) uint8 RGB, fps):
+    walk the RIFF list tree (truncation-checked like the WAV path),
+    read the main and stream headers, validate the 24-bit BI_RGB frame
+    format, and slice every '00db' DIB chunk's padded bottom-up BGR
+    rows.  Raises on compressed streams and on any chunk whose declared
+    size runs past the payload."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    n_frames = None
+    fps = None
+    frames = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal w, h, n_frames, fps
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            size = int.from_bytes(buf[pos + 4:pos + 8], "little")
+            if pos + 8 + size > end:
+                raise ValueError(
+                    f"truncated {cid!r} chunk: declares {size} bytes, "
+                    f"{end - pos - 8} remain"
+                )
+            body_start, body_end = pos + 8, pos + 8 + size
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_end)  # skip list type
+            elif cid == b"avih":
+                a = buf[body_start:body_end]
+                fps = round(1_000_000 / int.from_bytes(a[0:4], "little"))
+                n_frames = int.from_bytes(a[16:20], "little")
+                w = int.from_bytes(a[32:36], "little")
+                h = int.from_bytes(a[36:40], "little")
+            elif cid == b"strf":
+                a = buf[body_start:body_end]
+                bpp = int.from_bytes(a[14:16], "little")
+                comp = int.from_bytes(a[16:20], "little")
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError(
+                        "only 24-bit uncompressed (BI_RGB) AVI supported"
+                    )
+            elif cid == b"00db":
+                frames.append(buf[body_start:body_end])
+            pos = body_end + (size & 1)  # RIFF chunks 2-byte aligned
+
+    walk(payload, 12, len(payload))
+    if w is None or not frames:
+        raise ValueError("no AVI headers or frames")
+    if n_frames != len(frames):
+        raise ValueError(
+            f"header declares {n_frames} frames, movi carries {len(frames)}"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) != stride * h:
+            raise ValueError("frame size mismatch")
+        rows = np.frombuffer(fb, dtype=np.uint8).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    return out, fps
+
+
+AVI_FEATURES_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("media_id", SPARK_T.LongType()),
+    SPARK_T.StructField("n_frames", SPARK_T.IntegerType()),
+    SPARK_T.StructField("fps", SPARK_T.IntegerType()),
+    SPARK_T.StructField("width", SPARK_T.IntegerType()),
+    SPARK_T.StructField("height", SPARK_T.IntegerType()),
+    SPARK_T.StructField("mean_r", SPARK_T.DoubleType()),
+    SPARK_T.StructField("first_frame_mean_g", SPARK_T.DoubleType()),
+    SPARK_T.StructField("last_frame_mean_b", SPARK_T.DoubleType()),
+])
+
+
+def media_avi_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format video fixture: per document an
+    uncompressed-RGB AVI whose pixels are closed-form linear gradients
+    in x, y AND the frame index f —
+
+        n = 2 + doc_id % 4,  fps = 10 + doc_id % 5
+        w = 8 + doc_id % 9,  h = 8 + (3 * doc_id) % 9
+        r(f, x, y) = (doc_id % 24)       + 2x +  y + 3f
+        g(f, x, y) = ((5 * doc_id) % 24) +  x + 2y +  f
+        b(f, x, y) = ((9 * doc_id) % 24) +  x +  y + 2f
+
+    — bounded below 256, so every per-video statistic has an exact
+    closed form; the f-gradient makes the statistics sensitive to frame
+    ORDER (a decoder that drops, duplicates, or reorders '00db' chunks
+    produces provably different first/last-frame stats)."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, w, h = 2 + did % 4, 8 + did % 9, 8 + (3 * did) % 9
+                x = np.arange(w)[None, None, :]
+                y = np.arange(h)[None, :, None]
+                f = np.arange(n)[:, None, None]
+                zero = np.zeros((n, h, w), dtype=np.int64)
+                arr = np.stack(
+                    [
+                        zero + did % 24 + 2 * x + y + 3 * f,
+                        zero + (5 * did) % 24 + x + 2 * y + f,
+                        zero + (9 * did) % 24 + x + y + 2 * f,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(avi_encode(arr, fps=10 + did % 5))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": "video",
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        SPARK_T.StructType([
+            SPARK_T.StructField("media_id", SPARK_T.LongType()),
+            SPARK_T.StructField("media_type", SPARK_T.StringType()),
+            SPARK_T.StructField("payload", SPARK_T.BinaryType()),
+        ]),
+    )
+
+
+def avi_video_features(df: DataFrame) -> DataFrame:
+    """bytes → frame stack → features over the REAL numpy AVI decoder
+    (Arrow-batched mapInPandas, map-only): container metadata
+    (frames/fps/dims) plus whole-video and first/last-frame channel
+    means — the temporal gradient makes first/last sensitive to frame
+    order, not just content."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a, fps = avi_decode(bytes(p))
+                af = a.astype("float64")
+                rows.append((
+                    int(mid),
+                    a.shape[0],
+                    int(fps),
+                    a.shape[2],
+                    a.shape[1],
+                    float(af[:, :, :, 0].mean()),
+                    float(af[0, :, :, 1].mean()),
+                    float(af[-1, :, :, 2].mean()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "fps", "width", "height",
+                    "mean_r", "first_frame_mean_g", "last_frame_mean_b",
+                ],
+            ).astype({
+                "n_frames": "int32", "fps": "int32",
+                "width": "int32", "height": "int32",
+            })
+
+    return df.mapInPandas(features, AVI_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, frame_size: int = 64, max_frames: int = 8) -> DataFrame:

@@ -291,6 +291,8 @@ def test_media_exact_dedup_pairs_match_congruence(spark):
         (r.id_a, r.id_b) for r in rows if r.media_type == "image_png"
     }
     assert got_png == cong(261) and got_png  # PNG params repeat mod 261
+    got_avi = {(r.id_a, r.id_b) for r in rows if r.media_type == "video"}
+    assert got_avi == cong(360) and got_avi  # AVI params repeat mod 360
     # audio: the WAV parameter cycle (49728) exceeds any test corpus
     assert not [r for r in rows if r.media_type == "audio"]
     # spot-verify true byte identity on three reported pairs
@@ -393,3 +395,117 @@ def test_decode_media_real_path_handles_png(spark):
         assert r.width == 8 + (5 * did) % 9
         assert r.height == 8 + (7 * did) % 9
         assert len(r.fingerprint) == 32
+
+
+def test_avi_golden_bytes_hand_assembled():
+    """Spec anchoring independent of our encoder: a 1-frame 2x2 AVI
+    hand-assembled chunk by chunk (RIFF sizes, header field offsets,
+    bottom-up BGR DIB rows with 4-byte stride padding) must decode to
+    the exact pixels and fps."""
+    import numpy as np
+
+    from iceberg_hybrid_spark.sources.multimodal import avi_decode
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + len(data).to_bytes(4, "little") + data + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    w = h = 2
+    stride = 8  # (2*3+3)//4*4
+    # pixels: row0 = (1,2,3),(4,5,6); row1 = (7,8,9),(250,0,128)
+    # stored bottom-up BGR with 2 pad bytes per row
+    row_bottom = bytes([9, 8, 7, 128, 0, 250, 0, 0])   # image row1 first
+    row_top = bytes([3, 2, 1, 6, 5, 4, 0, 0])
+    frame = row_bottom + row_top
+    avih = (
+        (100000).to_bytes(4, "little")      # 10 fps
+        + (0).to_bytes(4, "little") * 3
+        + (1).to_bytes(4, "little")          # total frames
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")
+        + (len(frame)).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    strh = (
+        b"vids" + b"DIB " + (0).to_bytes(4, "little") * 3
+        + (1).to_bytes(4, "little") + (10).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + (1).to_bytes(4, "little")
+        + (len(frame)).to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") * 4
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (len(frame)).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", chunk(b"00db", frame))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    frames, fps = avi_decode(payload)
+    want = np.array(
+        [[[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [250, 0, 128]]]],
+        dtype=np.uint8,
+    )
+    assert fps == 10 and (frames == want).all()
+
+
+def test_avi_roundtrip_and_frame_order():
+    """Round-trip across frame counts/dims, and the frame-ORDER pins:
+    header/movi frame-count mismatch and truncation raise; reversing
+    the movi chunks provably changes the decoded first frame."""
+    import numpy as np
+    import pytest
+
+    from iceberg_hybrid_spark.sources.multimodal import avi_decode, avi_encode
+
+    rng = np.random.RandomState(3)
+    for (n, h, w) in [(1, 1, 1), (2, 3, 5), (5, 8, 9), (3, 16, 11)]:
+        a = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        got, fps = avi_decode(avi_encode(a, fps=14))
+        assert fps == 14 and (got == a).all()
+
+    a = rng.randint(0, 256, size=(3, 4, 4, 3)).astype(np.uint8)
+    p = avi_encode(a)
+    with pytest.raises(ValueError, match="truncated"):
+        avi_decode(p[:-10])
+    # header/movi frame-count mismatch: patch dwTotalFrames in avih
+    # (chunk layout: RIFF(12) LIST(8)+'hdrl'(4) 'avih'(8) -> data at 32;
+    # dwTotalFrames is the 5th DWORD of the header data)
+    bad = bytearray(p)
+    assert bad[24:28] == b"avih"
+    bad[32 + 16:32 + 20] = (9).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="frames"):
+        avi_decode(bytes(bad))
+    # frame order matters: decoding equals input order, index by index
+    got, _ = avi_decode(avi_encode(a[::-1].copy()))
+    assert (got == a[::-1]).all() and not (got == a).all()
+
+
+def test_decode_media_real_path_handles_avi(spark):
+    from iceberg_hybrid_spark.sources.multimodal import (
+        decode_media,
+        media_avi_from_documents,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(4)
+    rows = decode_media(media_avi_from_documents(docs)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        did = r.media_id
+        assert r.width == 8 + did % 9
+        assert r.height == 8 + (3 * did) % 9
+        assert r.media_type == "video"

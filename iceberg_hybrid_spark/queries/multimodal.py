@@ -372,13 +372,18 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     member.  Both real-format fixtures (24-bit BMP, 16-bit PCM WAV) are
     encoded per document, run through the REAL ``decode_media`` path
     (which validates the payload structure and emits the md5
-    fingerprint over the raw bytes), and duplicate pairs come from a
-    fingerprint equi-join within media_type — the standard exact-dedup
-    shape: shuffle on the 16-byte digest, equal-key groups only, never
-    all-pairs.  Each media-dup pair is then joined to the TEXT exact-dup
-    verdict (md5(text) equality of the two endpoint documents) so the
-    output reports cross-modal agreement: media-identical pairs whose
-    text also collides vs media-only duplicates.
+    fingerprint over the raw bytes), and duplicates come from a
+    fingerprint group-by within media_type.  The output is the
+    CANONICAL-STAR form a dedup pass actually consumes: one row per
+    NON-canonical duplicate, paired with its group's keeper (the
+    minimum media_id) — all-pairs within a duplicate group is quadratic
+    in the group's multiplicity (a 64x salted corpus makes every doc a
+    ~1,100-way media-dup and all-pairs blows past driver limits at
+    ~177M rows; the star form stays linear in the corpus).  Each
+    (keeper, duplicate) row is then joined to the TEXT exact-dup
+    verdict (md5(text) equality of the two documents) so the output
+    reports cross-modal agreement: media-identical rows whose text also
+    collides vs media-only duplicates.
 
     Value gate: the fixtures are pure functions of doc_id, so payload
     equality has a closed congruence form the oracle derives
@@ -394,11 +399,11 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encode + decode are two chained map-only Arrow stages
     run ONCE (the dedup is a group-by on the fingerprint, not a
     self-join — a self-join would re-run the decode pipeline per side);
-    one shuffle on (media_type, fingerprint) with map-side partial
-    aggregation, pairs generated inside each duplicate group, so the
-    output is linear in the true duplicate mass at any corpus size.
-    Reference parity: the dedup ladder SURVEY.md §2 LLM family; decode
-    plumbing sources/multimodal.py."""
+    one shuffle on (media_type, fingerprint); a min-aggregate picks the
+    keeper and the star rows are one per group member — output LINEAR
+    in the corpus regardless of duplicate multiplicity (the property
+    all-pairs lacks).  Reference parity: the dedup ladder SURVEY.md §2
+    LLM family; decode plumbing sources/multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
     media = (
         media_bmp_from_documents(docs)
@@ -411,37 +416,39 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(media_avi_from_documents(docs))
     )
     fps = decode_media(media).select("media_id", "media_type", "fingerprint")
-    groups = (
-        fps.groupBy("media_type", "fingerprint")
-        .agg(F.sort_array(F.collect_list("media_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    keepers = fps.groupBy("media_type", "fingerprint").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
     )
-    pairs = groups.select(
-        "media_type",
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), "
-                "y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p"),
-    ).select("media_type", "p.id_a", "p.id_b")
+    stars = (
+        fps.join(keepers.hint("shuffle_hash"), ["media_type", "fingerprint"])
+        .filter(
+            (F.col("group_size") > 1)
+            & (F.col("media_id") != F.col("keep_id"))
+        )
+        .select(
+            "media_type",
+            "keep_id",
+            F.col("media_id").alias("dup_id"),
+        )
+    )
     tf = docs.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("tf")
     )
     return (
-        pairs.join(tf.selectExpr("doc_id AS id_a", "tf AS tf_a"), "id_a")
-        .join(tf.selectExpr("doc_id AS id_b", "tf AS tf_b"), "id_b")
+        stars
+        .join(tf.selectExpr("doc_id AS keep_id", "tf AS tf_a"), "keep_id")
+        .join(tf.selectExpr("doc_id AS dup_id", "tf AS tf_b"), "dup_id")
         .select(
             "media_type",
-            "id_a",
-            "id_b",
+            "keep_id",
+            "dup_id",
             F.when(F.col("tf_a") == F.col("tf_b"), F.lit(1))
             .otherwise(F.lit(0))
             .cast("int")
             .alias("is_text_dup"),
         )
-        .orderBy("media_type", "id_a", "id_b")
+        .orderBy("media_type", "keep_id", "dup_id")
     )
 
 
@@ -450,30 +457,31 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (doc_id % 9) [dims] and (doc_id % 32) [channel bases] -> equal iff
 # doc_id ≡ (mod 288); the WAV through (%37, %3, %64, %7) -> (mod 49728).
 MEDIA_EXACT_DEDUP_SQL = """
-WITH pairs AS (
-  SELECT 'image' AS media_type, a.doc_id AS id_a, b.doc_id AS id_b
-  FROM documents a JOIN documents b
-    ON a.doc_id % 288 = b.doc_id % 288 AND a.doc_id < b.doc_id
+WITH classes AS (
+  SELECT 'image' AS media_type, doc_id, doc_id % 288 AS cls
+  FROM documents
   UNION ALL
-  SELECT 'image_png', a.doc_id, b.doc_id
-  FROM documents a JOIN documents b
-    ON a.doc_id % 261 = b.doc_id % 261 AND a.doc_id < b.doc_id
+  SELECT 'image_png', doc_id, doc_id % 261 FROM documents
   UNION ALL
-  SELECT 'video', a.doc_id, b.doc_id
-  FROM documents a JOIN documents b
-    ON a.doc_id % 360 = b.doc_id % 360 AND a.doc_id < b.doc_id
+  SELECT 'video', doc_id, doc_id % 360 FROM documents
   UNION ALL
-  SELECT 'audio', a.doc_id, b.doc_id
-  FROM documents a JOIN documents b
-    ON a.doc_id % 49728 = b.doc_id % 49728 AND a.doc_id < b.doc_id
+  SELECT 'audio', doc_id, doc_id % 49728 FROM documents
+), grouped AS (
+  SELECT media_type, doc_id,
+         MIN(doc_id) OVER (PARTITION BY media_type, cls) AS keep_id,
+         COUNT(*) OVER (PARTITION BY media_type, cls) AS group_size
+  FROM classes
+), stars AS (
+  SELECT media_type, keep_id, doc_id AS dup_id
+  FROM grouped WHERE group_size > 1 AND doc_id <> keep_id
 )
-SELECT p.media_type, p.id_a, p.id_b,
+SELECT s.media_type, s.keep_id, s.dup_id,
        CAST(CASE WHEN md5(da.text) = md5(db.text) THEN 1 ELSE 0 END
             AS INT) AS is_text_dup
-FROM pairs p
-JOIN documents da ON p.id_a = da.doc_id
-JOIN documents db ON p.id_b = db.doc_id
-ORDER BY media_type, id_a, id_b
+FROM stars s
+JOIN documents da ON s.keep_id = da.doc_id
+JOIN documents db ON s.dup_id = db.doc_id
+ORDER BY media_type, keep_id, dup_id
 """
 
 

@@ -263,10 +263,11 @@ def test_decode_media_real_path_handles_wav_and_rejects_unknown(spark):
         decode_media(bogus).collect()
 
 
-def test_media_exact_dedup_pairs_match_congruence(spark):
-    """The media dedup's pair set equals the fixtures' closed congruence
-    form (BMP repeats mod 288), and every reported pair's payloads are
-    REALLY byte-identical (re-encoded and compared directly)."""
+def test_media_exact_dedup_stars_match_congruence(spark):
+    """The media dedup's canonical-star relation equals the fixtures'
+    closed congruence form — per residue class with >1 member, one row
+    per non-minimum doc_id pointing at the class minimum — and reported
+    duplicates are REALLY byte-identical (re-encoded and compared)."""
     from iceberg_hybrid_spark.queries.multimodal import media_exact_dedup
     from iceberg_hybrid_spark.sources.multimodal import (
         media_bmp_from_documents,
@@ -277,25 +278,29 @@ def test_media_exact_dedup_pairs_match_congruence(spark):
     rows = media_exact_dedup(spark, sf).collect()
     docs = load_table(spark, sf, "documents")
     ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
-    def cong(mod):
+
+    def stars(mod):
+        cls = {}
+        for d in ids:
+            cls.setdefault(d % mod, []).append(d)
         return {
-            (a, b)
-            for i, a in enumerate(ids)
-            for b in ids[i + 1:]
-            if a % mod == b % mod
+            (members[0], d)
+            for members in cls.values()
+            if len(members) > 1
+            for d in members[1:]
         }
 
-    got_img = {(r.id_a, r.id_b) for r in rows if r.media_type == "image"}
-    assert got_img == cong(288) and got_img  # BMP params repeat mod 288
+    got_img = {(r.keep_id, r.dup_id) for r in rows if r.media_type == "image"}
+    assert got_img == stars(288) and got_img  # BMP params repeat mod 288
     got_png = {
-        (r.id_a, r.id_b) for r in rows if r.media_type == "image_png"
+        (r.keep_id, r.dup_id) for r in rows if r.media_type == "image_png"
     }
-    assert got_png == cong(261) and got_png  # PNG params repeat mod 261
-    got_avi = {(r.id_a, r.id_b) for r in rows if r.media_type == "video"}
-    assert got_avi == cong(360) and got_avi  # AVI params repeat mod 360
+    assert got_png == stars(261) and got_png  # PNG params repeat mod 261
+    got_avi = {(r.keep_id, r.dup_id) for r in rows if r.media_type == "video"}
+    assert got_avi == stars(360) and got_avi  # AVI params repeat mod 360
     # audio: the WAV parameter cycle (49728) exceeds any test corpus
     assert not [r for r in rows if r.media_type == "audio"]
-    # spot-verify true byte identity on three reported pairs
+    # spot-verify true byte identity on three reported duplicates
     payloads = {
         r.media_id: bytes(r.payload)
         for r in media_bmp_from_documents(docs).collect()

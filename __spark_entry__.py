@@ -43,6 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     "png_pixel_stats",
     "media_exact_dedup",
     "avi_video_stats",
+    "video_frame_dedup",
     # implementation changed this round — prior rows validated old code
     # (the sampled twins and pipeline_health moved from the fixed-25%-
     # fraction sample to the FIXED-SIZE derived threshold, mirrored in
@@ -82,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "customers_without_orders",
     "all_activity_keys_union",
-    # last driver row: round 7 — the 16 stalest (registry declaration
+    # last driver row: round 7 — the 15 stalest (registry declaration
     # order)
     "q8_national_market_share",
     "cluster_quality_canonicals",
@@ -99,7 +100,6 @@ _PRIORITY: tuple[str, ...] = (
     "q16_supplier_diversity",
     "asof_last_click_before_purchase",
     "incremental_dedup_new_docs",
-    "orders_within_30_days",
 )
 
 

@@ -344,7 +344,7 @@ def avi_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 AVI_VIDEO_STATS_SQL = """
 WITH dims AS (
   SELECT doc_id AS media_id,
-         CAST(2 + doc_id % 4 AS INTEGER) AS n,
+         CAST(2 + doc_id % 5 AS INTEGER) AS n,
          CAST(10 + doc_id % 5 AS INTEGER) AS fps,
          CAST(8 + doc_id % 9 AS INTEGER) AS w,
          CAST(8 + (3 * doc_id) % 9 AS INTEGER) AS h
@@ -361,6 +361,101 @@ SELECT media_id, n AS n_frames, fps, w AS width, h AS height,
                   + 2.0 * (n - 1) AS DOUBLE) - 0.000000001, 4) + 0.0
          AS last_frame_mean_b
 FROM dims ORDER BY media_id
+"""
+
+
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-level video dedup — clip-reuse detection across videos
+    that are NOT whole-payload duplicates: every AVI is really decoded,
+    every frame fingerprinted (md5 over the decoded pixel array), and
+    each video reports how many of its frames already exist in an
+    earlier video (the canonical keeper of that frame's fingerprint
+    group).  This is the video analogue of span-level text dedup: a
+    training pipeline drops or downweights videos that are mostly
+    recycled footage even when no two files are byte-identical.
+
+    Value gate: fixture frame content is a pure function of
+    (doc_id % 72, frame_index) while the frame COUNT cycles with
+    doc_id % 5 (coprime), so same-class videos share exactly their
+    common frame prefix with different lengths — the oracle replays
+    the per-frame keeper assignment (window MIN over the congruence
+    class at each frame index) and the per-video aggregation in SQL.
+
+    Scale shape: decode is a map-only Arrow stage emitting one row per
+    FRAME (linear in total footage); the fingerprint group-by is one
+    shuffle on the digest; the star assignment (frame -> its group's
+    min video) and the per-video re-aggregation are linear in frames at
+    any duplicate multiplicity — the same no-all-pairs discipline as
+    ``media_exact_dedup``."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as SPARK_T
+
+    from ..sources.multimodal import avi_decode
+
+    docs = load_table(spark, sf_dir, "documents")
+    avis = media_avi_from_documents(docs)
+
+    def frame_fps(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames, _fps = avi_decode(bytes(p))
+                for f in range(frames.shape[0]):
+                    rows.append((
+                        int(mid),
+                        f,
+                        frames.shape[0],
+                        hashlib.md5(frames[f].tobytes()).hexdigest(),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "n_frames", "fp"]
+            ).astype({"frame_idx": "int32", "n_frames": "int32"})
+
+    frames = avis.mapInPandas(
+        frame_fps,
+        SPARK_T.StructType([
+            SPARK_T.StructField("video_id", SPARK_T.LongType()),
+            SPARK_T.StructField("frame_idx", SPARK_T.IntegerType()),
+            SPARK_T.StructField("n_frames", SPARK_T.IntegerType()),
+            SPARK_T.StructField("fp", SPARK_T.StringType()),
+        ]),
+    )
+    keepers = frames.groupBy("fp").agg(
+        F.min("video_id").alias("keep_video"),
+        F.count(F.lit(1)).alias("grp"),
+    )
+    stars = (
+        frames.join(keepers.hint("shuffle_hash"), "fp")
+        .filter(F.col("video_id") != F.col("keep_video"))
+    )
+    return (
+        stars.groupBy("video_id", "n_frames")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_frames"),
+            F.min("keep_video").alias("min_keeper"),
+        )
+        .orderBy("video_id")
+    )
+
+
+VIDEO_FRAME_DEDUP_SQL = """
+WITH v AS (
+  SELECT doc_id, CAST(2 + doc_id % 5 AS INTEGER) AS n FROM documents
+), frames AS (
+  SELECT doc_id, n, CAST(f AS INTEGER) AS f
+  FROM v, LATERAL unnest(generate_series(0, n - 1)) AS t(f)
+), k AS (
+  SELECT doc_id, n, f,
+         MIN(doc_id) OVER (PARTITION BY doc_id % 72, f) AS keep
+  FROM frames
+), stars AS (
+  SELECT * FROM k WHERE doc_id <> keep
+)
+SELECT doc_id AS video_id, n AS n_frames,
+       COUNT(*) AS dup_frames, MIN(keep) AS min_keeper
+FROM stars GROUP BY doc_id, n ORDER BY video_id
 """
 
 
@@ -389,7 +484,7 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality has a closed congruence form the oracle derives
     independently — BMP params repeat iff doc_id ≡ (mod lcm(9,32)=288),
     PNG params iff doc_id ≡ (mod lcm(9,29)=261), AVI params iff
-    doc_id ≡ (mod lcm(4,5,9,24)=360), WAV params iff
+    doc_id ≡ (mod lcm(5,9,24)=360), WAV params iff
     doc_id ≡ (mod lcm(37,3,64,7)=49728); the formats never collide
     across modality keys (distinct leading bytes).  A fingerprint
     path that hashed anything but the exact encoded bytes (or an
@@ -512,6 +607,11 @@ SPECS = [
               "equi-joined within media_type, pairs joined to the text "
               "dedup verdict, vs the fixtures' closed congruence "
               "oracle"),
+    QuerySpec("video_frame_dedup", video_frame_dedup,
+              VIDEO_FRAME_DEDUP_SQL,
+              "frame-level video dedup: real per-frame decode + "
+              "fingerprint star assignment finds clip reuse across "
+              "videos that are not whole-file duplicates"),
     QuerySpec("avi_video_stats", avi_video_stats, AVI_VIDEO_STATS_SQL,
               "REAL uncompressed-RGB AVI video decode (pure numpy RIFF "
               "list walk + per-frame DIB slicing, frame-order-sensitive "

@@ -892,7 +892,7 @@ def media_avi_from_documents(docs: DataFrame) -> DataFrame:
     uncompressed-RGB AVI whose pixels are closed-form linear gradients
     in x, y AND the frame index f —
 
-        n = 2 + doc_id % 4,  fps = 10 + doc_id % 5
+        n = 2 + doc_id % 5,  fps = 10 + doc_id % 5
         w = 8 + doc_id % 9,  h = 8 + (3 * doc_id) % 9
         r(f, x, y) = (doc_id % 24)       + 2x +  y + 3f
         g(f, x, y) = ((5 * doc_id) % 24) +  x + 2y +  f
@@ -901,7 +901,12 @@ def media_avi_from_documents(docs: DataFrame) -> DataFrame:
     — bounded below 256, so every per-video statistic has an exact
     closed form; the f-gradient makes the statistics sensitive to frame
     ORDER (a decoder that drops, duplicates, or reorders '00db' chunks
-    produces provably different first/last-frame stats)."""
+    produces provably different first/last-frame stats).  Frame CONTENT
+    depends on doc_id only through doc_id % 72 (dims via %9, channel
+    bases via %24) and f, while the frame COUNT cycles with %5 —
+    coprime — so videos in the same mod-72 class share their common
+    frame prefix without being whole-payload duplicates: the partial
+    clip-reuse structure ``video_frame_dedup`` detects."""
     import numpy as np
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -909,7 +914,7 @@ def media_avi_from_documents(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                n, w, h = 2 + did % 4, 8 + did % 9, 8 + (3 * did) % 9
+                n, w, h = 2 + did % 5, 8 + did % 9, 8 + (3 * did) % 9
                 x = np.arange(w)[None, None, :]
                 y = np.arange(h)[None, :, None]
                 f = np.arange(n)[:, None, None]

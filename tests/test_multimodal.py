@@ -514,3 +514,44 @@ def test_decode_media_real_path_handles_avi(spark):
         assert r.width == 8 + did % 9
         assert r.height == 8 + (3 * did) % 9
         assert r.media_type == "video"
+
+
+def test_video_frame_dedup_matches_prefix_sharing(spark):
+    """Frame-level dedup finds the fixture's partial clip reuse: videos
+    in the same mod-72 content class share their common frame prefix
+    with DIFFERENT lengths (frame count cycles with doc_id % 5,
+    coprime), so dup_frames equals each video's own frame count capped
+    by nothing (every frame index it has also exists in the class
+    minimum's longer-or-equal... no — in SOME earlier class member),
+    recomputed here directly from the congruence model."""
+    from iceberg_hybrid_spark.queries.multimodal import video_frame_dedup
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.video_id: r for r in video_frame_dedup(spark, sf).collect()}
+    ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf, "documents").select("doc_id").collect()
+    )
+    n = {d: 2 + d % 5 for d in ids}
+    # model: frame (d, f) duplicates iff an earlier same-class video
+    # has at least f+1 frames
+    expected = {}
+    for d in ids:
+        dup, keepers = 0, []
+        for f in range(n[d]):
+            earlier = [
+                e for e in ids if e < d and e % 72 == d % 72 and n[e] > f
+            ]
+            if earlier:
+                dup += 1
+                keepers.append(min(earlier))
+        if dup:
+            expected[d] = (n[d], dup, min(keepers))
+    got = {
+        d: (r.n_frames, r.dup_frames, r.min_keeper) for d, r in rows.items()
+    }
+    assert got == expected and expected
+    # sanity: at least one PARTIAL reuse exists (dup_frames < n_frames
+    # for some video) — the structure whole-file dedup cannot see
+    assert any(dup < nf for nf, dup, _ in expected.values())

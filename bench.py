@@ -152,6 +152,8 @@ HEADLINE = [
     "png_pixel_stats",
     "media_exact_dedup",
     "token_route_policies",
+    "avi_video_stats",
+    "video_frame_dedup",
 ]
 
 

@@ -173,7 +173,8 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             if not fake:
                 dims = []
-                for p in pdf["payload"]:
+                png_idx, png_payloads = [], []
+                for j, p in enumerate(pdf["payload"]):
                     b = bytes(p)
                     if b[:2] == b"BM":
                         a = bmp_decode(b)
@@ -182,8 +183,10 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                         wav_decode(b)  # validates structure end-to-end
                         dims.append((None, None))  # no spatial dims
                     elif b[:8] == _PNG_SIG:
-                        a = png_decode(b)
-                        dims.append((a.shape[1], a.shape[0]))
+                        # decoded in one lockstep batch below
+                        png_idx.append(j)
+                        png_payloads.append(b)
+                        dims.append((None, None))
                     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         a, _fps = avi_decode(b)
                         dims.append((a.shape[2], a.shape[1]))
@@ -194,6 +197,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                             "in this environment; pass fake=True for the "
                             "deterministic test decoder"
                         )
+                if png_idx:
+                    for j, a in zip(png_idx, png_decode_batch(png_payloads)):
+                        dims[j] = (a.shape[1], a.shape[0])
                 payloads = pdf["payload"]
                 yield pd.DataFrame({
                     "media_id": pdf["media_id"],
@@ -352,72 +358,124 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def png_encode_batch(arrs, filters_list=None) -> list:
+    """Encode MANY (h, w, 3) uint8 RGB arrays as 8-bit truecolor
+    non-interlaced PNGs in one vectorized pass.  Encode-side filtering
+    has NO sequential dependency (every predictor reads ORIGINAL pixel
+    values, PNG spec 9.2), so all five filters for all rows of all
+    images are computed as a handful of whole-batch numpy ops — left /
+    up / up-left are axis shifts, the Paeth predictor a vector select,
+    and the per-row filter choice one masked select.  Only the zlib
+    deflate and chunk assembly remain per-image (both C-speed).
+    ``filters_list`` optionally gives a per-image sequence of per-row
+    filter types (default: row y uses y % 5, sweeping ALL five spec
+    filters in any image taller than 4 rows)."""
+    import zlib
+
+    import numpy as np
+
+    if not len(arrs):
+        return []
+    arrs = [np.asarray(a, dtype=np.uint8) for a in arrs]
+    n = len(arrs)
+    hs = [a.shape[0] for a in arrs]
+    ws = [a.shape[1] for a in arrs]
+    max_s = max(ws) * 3
+    # Pack every scanline of every image into ONE (total_rows, max_s)
+    # plane (row-major per image) so the filter math gathers rows by
+    # filter TYPE — each byte is touched once for its own filter
+    # instead of computing all five predictors everywhere.
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(hs, out=offs[1:])
+    total = int(offs[-1])
+    rows = np.zeros((total, max_s), dtype=np.int16)
+    fts_flat = np.zeros(total, dtype=np.int16)
+    for k, a in enumerate(arrs):
+        h, w = hs[k], ws[k]
+        lo = offs[k]
+        rows[lo:lo + h, : w * 3] = a.reshape(h, w * 3)
+        f = (
+            np.arange(h) % 5
+            if filters_list is None
+            else np.asarray(filters_list[k], dtype=np.int64)
+        )
+        if (f < 0).any() or (f > 4).any():
+            bad = f[(f < 0) | (f > 4)][0]
+            raise ValueError(f"unknown PNG filter type {int(bad)}")
+        fts_flat[lo:lo + h] = f
+    # up-neighbor plane: previous row within the same image, zero for
+    # each image's first scanline
+    up_all = np.zeros_like(rows)
+    up_all[1:] = rows[:-1]
+    up_all[offs[:-1]] = 0
+    filt = np.empty((total, max_s), dtype=np.uint8)
+    for t in range(5):
+        m = fts_flat == t
+        if not m.any():
+            continue
+        r = rows[m]
+        if t == 0:
+            filt[m] = r
+            continue
+        if t in (1, 3, 4):
+            left = np.zeros_like(r)
+            left[:, 3:] = r[:, :-3]
+        if t in (2, 3, 4):
+            u = up_all[m]
+        if t == 1:
+            filt[m] = (r - left) % 256
+        elif t == 2:
+            filt[m] = (r - u) % 256
+        elif t == 3:
+            filt[m] = (r - ((left + u) >> 1)) % 256
+        else:
+            # Paeth predictor (spec 9.4): encode-side, all inputs are
+            # ORIGINAL pixels — a pure vector select on the gathered rows
+            upleft = np.zeros_like(u)
+            upleft[:, 3:] = u[:, :-3]
+            p = left + u - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - u), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, u, upleft)
+            )
+            filt[m] = (r - pred) % 256
+    out = []
+    for k in range(n):
+        h, w = hs[k], ws[k]
+        lo = offs[k]
+        scan = np.empty((h, 1 + w * 3), dtype=np.uint8)
+        scan[:, 0] = fts_flat[lo:lo + h]
+        scan[:, 1:] = filt[lo:lo + h, : w * 3]
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, progressive off
+        )
+        out.append(
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 1))
+            + _png_chunk(b"IEND", b"")
+        )
+    return out
+
+
 def png_encode(arr, filters=None) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor
     non-interlaced PNG.  ``filters`` optionally gives the filter type
     per scanline (default: row y uses y % 5, sweeping ALL five spec
     filters across any image taller than 4 rows — so a decoder that
-    mishandles any one filter produces provably different pixels)."""
-    import zlib
-
-    import numpy as np
-
-    a = np.asarray(arr, dtype=np.uint8)
-    h, w, _ = a.shape
-    bpp = 3
-    if filters is None:
-        filters = [y % 5 for y in range(h)]
-    raw = a.reshape(h, w * bpp).astype(np.int64)
-    out = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int64)
-    for y in range(h):
-        row = raw[y]
-        ft = filters[y]
-        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
-        if ft == 0:
-            filt = row
-        elif ft == 1:
-            filt = row - left
-        elif ft == 2:
-            filt = row - prev
-        elif ft == 3:
-            filt = row - (left + prev) // 2
-        elif ft == 4:
-            pred = np.fromiter(
-                (
-                    _paeth(int(left[i]), int(prev[i]), int(upleft[i]))
-                    for i in range(w * bpp)
-                ),
-                dtype=np.int64,
-                count=w * bpp,
-            )
-            filt = row - pred
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out.append(ft)
-        out.extend((filt % 256).astype(np.uint8).tobytes())
-        prev = row
-    ihdr = (
-        w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, progressive off
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
-        + _png_chunk(b"IEND", b"")
-    )
+    mishandles any one filter produces provably different pixels).
+    Runs through the batched vectorized filter pass (batch of one)."""
+    return png_encode_batch([arr], None if filters is None else [filters])[0]
 
 
-def png_decode(payload: bytes):
-    """Decode an 8-bit truecolor non-interlaced PNG to an (h, w, 3)
-    uint8 RGB array: walk the CRC'd chunk list, inflate the IDAT chain
-    with stdlib zlib, and un-filter each scanline per its leading
-    filter byte (all five spec filters).  Raises on any other profile
-    (palette/alpha/16-bit/interlaced) and on CRC or length damage —
-    truncated or corrupt files must error, not decode short."""
+def _png_parse(payload: bytes):
+    """Chunk-walk + inflate one PNG payload to ``(w, h, raw)`` where
+    ``raw`` is the inflated scanline stream (``h * (3w + 1)`` bytes,
+    one filter byte per row).  All structural validation lives here —
+    signature, CRC, truncation, profile, scanline length, and filter
+    bytes — so the batched un-filter below can assume clean input."""
     import zlib
 
     import numpy as np
@@ -457,42 +515,139 @@ def png_decode(payload: bytes):
     if not saw_iend:
         raise ValueError("truncated PNG: no IEND terminator")
     raw = zlib.decompress(bytes(idat))
-    bpp, stride = 3, w * 3
+    stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("scanline data length mismatch")
-    out = np.zeros((h, stride), dtype=np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        filt = np.frombuffer(
-            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
-        ).astype(np.int64)
-        if ft == 0:
-            row = filt
-        elif ft == 2:
-            row = (filt + prev) % 256
-        elif ft == 1:
-            # recon[i] = filt[i] + recon[i-bpp]: a prefix sum mod 256
+    fts = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)[:, 0]
+    if (fts > 4).any():
+        raise ValueError(
+            f"unknown PNG filter type {int(fts[fts > 4][0])}"
+        )
+    return w, h, raw
+
+
+def _png_unfilter_batch(parsed):
+    """Reconstruct MANY parsed PNGs in lockstep — the interpreter loop
+    runs over (row index, pixel column), NOT over bytes or images, so
+    each numpy op touches every image in the batch at once.  Filters
+    0/1/2 are whole-row vector ops (filter 1 via the residue-class
+    cumsum); Average/Paeth, whose left-neighbor dependency is
+    inherently sequential along x, iterate pixel COLUMNS with the
+    predictor evaluated as one (n_images, 3)-shaped vector step per
+    column.  Cost per batch is O(max_h * max_w) numpy calls regardless
+    of image count — this replaced a per-byte Python loop that made
+    png_pixel_stats the registry's one perf-weak operator (r11
+    verdict: 64x ratio 4.5 vs the ~2 codec band)."""
+    import numpy as np
+
+    if not parsed:
+        return []
+    n = len(parsed)
+    ws = np.array([p[0] for p in parsed], dtype=np.int64)
+    hs = np.array([p[1] for p in parsed], dtype=np.int64)
+    max_w, max_h = int(ws.max()), int(hs.max())
+    max_s = max_w * 3
+    # Padded filter-type and filtered-byte planes (zero beyond each
+    # image's own extent; padding columns reconstruct garbage that the
+    # final per-image slice discards).
+    fts = np.zeros((n, max_h), dtype=np.int16)
+    filt = np.zeros((n, max_h, max_s), dtype=np.int16)
+    for k, (w, h, raw) in enumerate(parsed):
+        s = w * 3
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, s + 1)
+        fts[k, :h] = arr[:, 0]
+        filt[k, :h, :s] = arr[:, 1:]
+    out = np.zeros((n, max_h, max_s), dtype=np.int16)
+    prev = np.zeros((n, max_s), dtype=np.int16)
+    for y in range(max_h):
+        active = hs > y
+        fy = fts[:, y]
+        row = np.zeros((n, max_s), dtype=np.int16)
+        m0 = active & (fy == 0)
+        if m0.any():
+            row[m0] = filt[m0, y]
+        m2 = active & (fy == 2)
+        if m2.any():
+            row[m2] = (filt[m2, y] + prev[m2]) % 256
+        m1 = active & (fy == 1)
+        if m1.any():
+            # recon[i] = filt[i] + recon[i-3]: a prefix sum mod 256
             # within each byte-offset residue class — vectorized
-            row = filt.reshape(-1, bpp).cumsum(axis=0).reshape(-1) % 256
-        elif ft in (3, 4):
-            # Average/Paeth need the reconstructed LEFT byte: inherently
-            # sequential per pixel within the row
-            row = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = int(row[i - bpp]) if i >= bpp else 0
-                up = int(prev[i])
-                upleft = int(prev[i - bpp]) if i >= bpp else 0
-                pred = (
-                    (left + up) // 2 if ft == 3
-                    else _paeth(left, up, upleft)
+            # cumsum in int64: a wide row's running sum overflows int16
+            row[m1] = (
+                filt[m1, y].astype(np.int64).reshape(-1, max_w, 3)
+                .cumsum(axis=1).reshape(-1, max_s) % 256
+            ).astype(np.int16)
+        m34 = active & ((fy == 3) | (fy == 4))
+        if m34.any():
+            f34 = filt[m34, y].reshape(-1, max_w, 3)
+            p34 = prev[m34].reshape(-1, max_w, 3)
+            is4 = (fy[m34] == 4)[:, None]
+            r34 = np.empty_like(f34)
+            left = np.zeros((f34.shape[0], 3), dtype=np.int16)
+            upleft = np.zeros_like(left)
+            for x in range(max_w):
+                up = p34[:, x, :]
+                # Paeth predictor (PNG spec 9.4) as vector selects
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                paeth = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, up, upleft),
                 )
-                row[i] = (int(filt[i]) + pred) % 256
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[y] = row
-        prev = row
-    return out.astype(np.uint8).reshape(h, w, 3)
+                pred = np.where(is4, paeth, (left + up) // 2)
+                cur = (f34[:, x, :] + pred) % 256
+                r34[:, x, :] = cur
+                left = cur
+                upleft = up
+            row[m34] = r34.reshape(-1, max_s)
+        out[:, y] = row
+        prev = np.where(active[:, None], row, prev)
+    return [
+        out[k, :h, : w * 3].astype(np.uint8).reshape(h, w, 3)
+        for k, (w, h, _) in enumerate(parsed)
+    ]
+
+
+# Soft per-chunk budget for batched reconstruction: bounds the padded
+# (n, max_h, max_w*3) int64 working set near ~256 MB even when one
+# large image lands in a batch of small ones.
+_PNG_BATCH_BUDGET = 32_000_000
+
+
+def png_decode_batch(payloads):
+    """Decode a sequence of PNG payloads via the lockstep batched
+    un-filter, chunked so the padded working set stays bounded.
+    Returns a list of (h, w, 3) uint8 arrays in input order; raises on
+    the first structurally invalid payload exactly as png_decode
+    does."""
+    parsed = [_png_parse(bytes(p)) for p in payloads]
+    results = []
+    chunk, cells = [], 0
+    for item in parsed:
+        cost = item[0] * 3 * item[1]
+        if chunk and cells + cost > _PNG_BATCH_BUDGET:
+            results.extend(_png_unfilter_batch(chunk))
+            chunk, cells = [], 0
+        chunk.append(item)
+        cells += cost
+    results.extend(_png_unfilter_batch(chunk))
+    return results
+
+
+def png_decode(payload: bytes):
+    """Decode an 8-bit truecolor non-interlaced PNG to an (h, w, 3)
+    uint8 RGB array: walk the CRC'd chunk list, inflate the IDAT chain
+    with stdlib zlib, and un-filter each scanline per its leading
+    filter byte (all five spec filters).  Raises on any other profile
+    (palette/alpha/16-bit/interlaced) and on CRC or length damage —
+    truncated or corrupt files must error, not decode short.  The
+    reconstruction itself runs through the batched vectorized
+    un-filter (batch of one)."""
+    return _png_unfilter_batch([_png_parse(payload)])[0]
 
 
 def media_png_from_documents(docs: DataFrame) -> DataFrame:
@@ -514,22 +669,22 @@ def media_png_from_documents(docs: DataFrame) -> DataFrame:
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            arrs = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 8 + (5 * did) % 9, 8 + (7 * did) % 9
                 x = np.arange(w)[None, :]
                 y = np.arange(h)[:, None]
                 zero = np.zeros((h, w), dtype=np.int64)
-                arr = np.stack(
+                arrs.append(np.stack(
                     [
                         zero + did % 29 + x + 3 * y,
                         zero + (3 * did) % 29 + 2 * x + y,
                         zero + (7 * did) % 29 + 2 * x + 2 * y,
                     ],
                     axis=-1,
-                ).astype(np.uint8)
-                payloads.append(png_encode(arr))
+                ).astype(np.uint8))
+            payloads = png_encode_batch(arrs)
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].astype("int64"),
                 "media_type": "image",
@@ -555,8 +710,9 @@ def png_pixel_features(df: DataFrame) -> DataFrame:
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                a = png_decode(bytes(p)).astype("float64")
+            decoded = png_decode_batch(pdf["payload"])
+            for mid, a in zip(pdf["media_id"], decoded):
+                a = a.astype("float64")
                 rows.append((
                     int(mid),
                     a.shape[1],

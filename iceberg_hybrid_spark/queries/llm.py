@@ -849,12 +849,26 @@ def cdc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and an 8-byte long shuffles ~4x narrower than an md5 hex string.
     # The oracle joins on its own content md5 over the same pinned
     # bounds; equality-iff-content-equal makes the counts agree.
-    fps = F.zip_with(
-        F.slice(bounds, 1, F.size(bounds) - 1),
-        F.slice(bounds, 2, F.size(bounds) - 1),
-        lambda s, e: F.xxhash64(F.concat_ws(" ", F.slice(w, s, e - s))),
+    # r12 allocation-lean form (docs/SCALING.md): tokens are hashed ONCE
+    # into a long array and each chunk fingerprint is a fold of
+    # xxhash64(acc, token_hash) over its slice — no chunk-length string
+    # is ever materialized (the previous form concat_ws'd every chunk's
+    # tokens back into a string before hashing it).
+    hashed = docs.select(
+        "doc_id",
+        F.transform(w, lambda t: F.xxhash64(t)).alias("th"),
+        bounds.alias("bounds"),
     )
-    chunks = docs.select("doc_id", F.explode(fps).alias("chunk_fp"))
+    fps = F.zip_with(
+        F.slice("bounds", F.lit(1), F.size("bounds") - 1),
+        F.slice("bounds", F.lit(2), F.size("bounds") - 1),
+        lambda s, e: F.aggregate(
+            F.slice(F.col("th"), s, e - s),
+            F.lit(42).cast("bigint"),
+            lambda a, x: F.xxhash64(a, x),
+        ),
+    )
+    chunks = hashed.select("doc_id", F.explode(fps).alias("chunk_fp"))
     # Materialize the chunking fold ONCE behind a shuffle on the join key
     # and reuse the exchange on both self-join sides (same shape as the
     # minhash/simhash band joins) — otherwise the rolling boundary hash,

@@ -780,6 +780,17 @@ def strip_boilerplate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents (deterministic tiebreak)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # Window identity WITHOUT per-window string materialization (r12
+    # allocation-lean rework, docs/SCALING.md): xxhash64 is VARIADIC —
+    # an 8-argument call folds every token's bytes into one accumulator
+    # with zero intermediate allocation, vs the previous
+    # xxhash64(concat_ws(' ', slice(w, i, 8))) which built a ~50-char
+    # string per (doc, pos).  (A 7-pass zip_with chain over pre-hashed
+    # tokens was measured SLOWER than either — higher-order lambdas are
+    # interpreted per element; see docs/SCALING.md r12.)  Same equality
+    # semantics — window identity is engine-internal, only reconstructed
+    # text crosses to the oracle — and same 1-based positions.
+    win8 = ", ".join(f"w[i + {j} - 1]" for j in range(8))
     wins = toks.select(
         "doc_id",
         F.explode(
@@ -787,8 +798,7 @@ def strip_boilerplate_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform("
                 "CASE WHEN size(w) >= 8 THEN sequence(1, size(w) - 7)"
                 " ELSE array() END,"
-                " i -> struct(i AS pos,"
-                " xxhash64(concat_ws(' ', slice(w, i, 8))) AS wh))"
+                f" i -> struct(i AS pos, xxhash64({win8}) AS wh))"
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh"))

@@ -3687,7 +3687,12 @@ def kmv_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "v")
         .distinct()
     )
-    kmv0 = _kmv_bottom_k(pruned, k_min).localCheckpoint(eager=True)
+    # bounded per run (<= K x sources rows), and bounded ACROSS runs:
+    # the previous invocation's blocks are freed first (the r11 advisor
+    # leak class, fixed for pipeline_health in r11 and here in r12)
+    kmv0 = _checkpoint_bounded(
+        _kmv_bottom_k(pruned, k_min), "kmv_sketch_bottom_k"
+    )
     filled = {
         r.source: r.m
         for r in kmv0.groupBy("source")
@@ -4097,11 +4102,41 @@ ORDER BY lang, q
 """
 
 
-# pipeline_health's materialized fixed-size sample from the PREVIOUS
-# invocation — unpersisted at the start of the next one so repeated
-# scheduled runs hold at most one sample's blocks in executor storage
-# (r11 advisor: the old localCheckpoint accumulated forever).
-_HEALTH_SAMPLE_CACHE = None
+# Bounded-residency localCheckpoint registry (r12, generalizing the
+# r11 pipeline_health fix to every checkpointing operator): the
+# PREVIOUS invocation's checkpointed blocks, keyed by (operator tag,
+# owning SparkContext) so a new context never receives a stale
+# unpersist and two sessions on one context share one slot per
+# operator — at most ONE checkpoint per (operator, context) is ever
+# resident across repeated scheduled runs.
+#
+# RETURN CONTRACT for callers of the checkpointing operators
+# (pipeline_health, kmv_source_overlap_sketch): localCheckpoint
+# truncates lineage, so a DataFrame returned by invocation N must be
+# fully consumed before invocation N+1 of the same operator runs in
+# the same context — N+1 frees N's blocks, and executing N's result
+# afterwards fails with missing-block errors.  Scheduled monitors
+# consume-then-discard, which is exactly this contract.
+_CHECKPOINT_RESIDENCY: dict = {}
+
+
+def _checkpoint_bounded(df: DataFrame, tag: str) -> DataFrame:
+    """localCheckpoint(eager) with bounded residency: unpersist the
+    previous checkpoint registered under ``tag`` for this SparkContext
+    (reached through its LogicalRDD plan node — private JVM internals,
+    guarded; tests/test_checkpoint_residency.py pins that the block
+    count does NOT grow across repeated invocations, so a silent
+    degradation back to the leak fails the suite)."""
+    ctx_key = (tag, df.sparkSession.sparkContext.applicationId)
+    prev = _CHECKPOINT_RESIDENCY.get(ctx_key)
+    if prev is not None:
+        try:
+            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # a stopped/replaced SparkContext: nothing to free
+    out = df.localCheckpoint(eager=True)
+    _CHECKPOINT_RESIDENCY[ctx_key] = out
+    return out
 
 
 def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4155,19 +4190,10 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_estimate_calibration,
     )
 
-    global _HEALTH_SAMPLE_CACHE
-    if _HEALTH_SAMPLE_CACHE is not None:
-        try:
-            # free the previous run's localCheckpoint blocks: the
-            # checkpointed RDD sits behind the LogicalRDD plan node
-            _HEALTH_SAMPLE_CACHE._jdf.queryExecution().analyzed().rdd() \
-                .unpersist(False)
-        except Exception:
-            pass  # a stopped/replaced SparkContext: nothing to free
-    docs_s = sample_documents_fixed_size(
-        load_table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=True)
-    _HEALTH_SAMPLE_CACHE = docs_s
+    docs_s = _checkpoint_bounded(
+        sample_documents_fixed_size(load_table(spark, sf_dir, "documents")),
+        "pipeline_health_sample",
+    )
 
     ewma = ewma_hourly_baseline(spark, sf_dir).selectExpr(
         "'ewma_burst' AS tag",

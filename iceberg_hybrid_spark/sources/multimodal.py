@@ -934,7 +934,7 @@ def avi_encode(frames, fps: int = 10) -> bytes:
         (1_000_000 // fps).to_bytes(4, "little")   # usec per frame
         + (size_image * fps).to_bytes(4, "little")  # max bytes/sec
         + (0).to_bytes(4, "little")
-        + (0x10).to_bytes(4, "little")              # AVIF_HASINDEX off: 0x10=HASINDEX; keep simple flags
+        + (0).to_bytes(4, "little")                 # dwFlags 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10) must stay unset
         + n.to_bytes(4, "little")                   # total frames
         + (0).to_bytes(4, "little")
         + (1).to_bytes(4, "little")                 # one stream
@@ -998,7 +998,16 @@ def avi_decode(payload: bytes):
                 walk(buf, body_start + 4, body_end)  # skip list type
             elif cid == b"avih":
                 a = buf[body_start:body_end]
-                fps = round(1_000_000 / int.from_bytes(a[0:4], "little"))
+                uspf = int.from_bytes(a[0:4], "little")
+                if uspf == 0:
+                    # files in the wild do set this to 0 (strh
+                    # rate/scale is authoritative there); this decoder
+                    # reads fps from avih only, so a zero is malformed
+                    # input for it — raise, don't divide
+                    raise ValueError(
+                        "avih dwMicroSecPerFrame is 0: fps undefined"
+                    )
+                fps = round(1_000_000 / uspf)
                 n_frames = int.from_bytes(a[16:20], "little")
                 w = int.from_bytes(a[32:36], "little")
                 h = int.from_bytes(a[36:40], "little")

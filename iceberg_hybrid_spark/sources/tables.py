@@ -200,7 +200,7 @@ def duck_doc_sample_where_fixed_size(
     the oracle and the Spark side (``sample_documents_fixed_size``,
     which derives the same threshold via ``nibble_for_target`` from
     ``docs.count()``) agree bit-for-bit at every corpus size — integer
-    division, ``greatest(1, ·)`` floor, lowercase 4-hex padding all
+    division, ``greatest(1, ·)`` floor, lowercase 8-hex padding all
     mirror the Python arithmetic exactly."""
     thr = (
         f"(SELECT CASE WHEN n <= 0 OR {target} >= n THEN 'ffffffff' "

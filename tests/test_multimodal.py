@@ -497,6 +497,17 @@ def test_avi_roundtrip_and_frame_order():
     # frame order matters: decoding equals input order, index by index
     got, _ = avi_decode(avi_encode(a[::-1].copy()))
     assert (got == a[::-1]).all() and not (got == a).all()
+    # avih dwMicroSecPerFrame = 0 (seen in the wild where strh
+    # rate/scale is authoritative): this decoder reads fps from avih,
+    # so a zero must raise like other malformed input, not
+    # ZeroDivisionError (r11 advisor)
+    bad = bytearray(p)
+    bad[32:36] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="dwMicroSecPerFrame"):
+        avi_decode(bytes(bad))
+    # dwFlags must be 0: no idx1 chunk is written, so AVIF_HASINDEX
+    # (0x10) unset keeps the file honest for strict external players
+    assert p[32 + 12:32 + 16] == (0).to_bytes(4, "little")
 
 
 def test_decode_media_real_path_handles_avi(spark):

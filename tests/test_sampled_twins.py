@@ -329,7 +329,7 @@ def test_fixed_size_predicate_matches_duckdb_across_scales(spark):
     corpus count in Python (nibble_for_target over docs.count()) and in
     SQL (scalar subquery over COUNT(*)) — selects IDENTICAL doc_id sets
     in Spark and DuckDB at both check scales, including sf0.1 where the
-    derived threshold ('3d6f') is non-trivial."""
+    derived 8-hex threshold ('3d70a3d6') is non-trivial."""
     import duckdb
 
     from iceberg_hybrid_spark.sources.tables import (

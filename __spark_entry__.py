@@ -38,68 +38,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
-    # new this round — no driver row exists yet
-    "token_route_policies",
+    # new this round (r12) — no driver row exists yet: the baseline-JPEG
+    # and Motion-JPEG real-decode value gates
+    "jpeg_pixel_stats",
+    "mjpg_video_stats",
+    # implementation changed this round — prior rows validated old code:
+    # png encode/decode vectorized into batched numpy (level-1 deflate);
+    # span/cdc window identities moved from concat-string hashing to
+    # variadic/fold xxhash64 over token hashes (allocation-lean rework);
+    # pipeline_health + kmv sketch moved to the bounded-residency
+    # checkpoint registry; decode_media gained the batched-PNG and
+    # JPEG/MJPG routes; avi_encode's dwFlags fix changed AVI payload
+    # bytes (fingerprint inputs for the dedup pair)
     "png_pixel_stats",
-    "media_exact_dedup",
+    "span_duplication_report",
+    "cdc_chunk_overlap",
+    "pipeline_health",
+    "kmv_source_overlap_sketch",
     "avi_video_stats",
     "video_frame_dedup",
-    # implementation changed this round — prior rows validated old code
-    # (the sampled twins and pipeline_health moved from the fixed-25%-
-    # fraction sample to the FIXED-SIZE derived threshold, mirrored in
-    # their oracles; wav_decode gained truncated-chunk validation;
-    # decode_media's real path was restructured for BMP/WAV/PNG; the
-    # LM scorers pinned shuffle_hash on their corpus-model joins —
-    # bigram_lm_quality is already below in the r6 cohort)
-    "minhash_estimate_calibration_sampled",
-    "dedup_modality_agreement_sampled",
-    "kmv_source_overlap_sampled",
-    "pipeline_health",
-    "wav_audio_stats",
+    "media_exact_dedup",
     "multimodal_decode_features",
-    "unigram_logprob_quality",
-    # last driver row: round 6 — the full remaining r6 cohort, retired
+    # last driver row: round 7 — the full remaining r7 cohort, retired
     # this round (registry declaration order)
-    "bigram_pmi_collocations",
-    "bigram_lm_quality",
-    "streaming_hll_ingest",
-    "inverted_index_stats",
-    "doc_token_stats",
-    "shingle_novelty_scores",
-    "maximal_shared_spans",
-    "streaming_interval_join",
-    "q18_large_orders",
-    "bpe_merge_candidates",
-    "streaming_stateful_tracker",
-    "order_value_percentiles",
-    "bm25_doc_ranking",
-    "incremental_view_maintenance",
-    "data_constrained_epochs",
-    "csv_ingest_stats",
-    "quality_calibration_bins",
-    "orc_roundtrip_stats",
-    "jsonl_ingest_stats",
-    "cdc_chunk_overlap",
-    "hard_negative_mining",
-    "customers_without_orders",
-    "all_activity_keys_union",
-    # last driver row: round 7 — the 15 stalest (registry declaration
-    # order)
-    "q8_national_market_share",
-    "cluster_quality_canonicals",
-    "multimodal_metadata",
-    "window_function_showcase",
-    "q11_important_parts",
-    "multimodal_type_stats",
-    "snapshot_lifecycle",
-    "string_function_showcase",
-    "q12_late_shipment_priority",
-    "hourly_anomaly_flags",
-    "video_frame_counts",
-    "array_map_function_showcase",
-    "q16_supplier_diversity",
-    "asof_last_click_before_purchase",
-    "incremental_dedup_new_docs",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "monthly_order_stats",
+    "top_customers_by_spend",
+    "revenue_by_nation",
+    "parts_never_ordered",
+    "latest_order_per_customer",
+    "running_revenue_by_month",
+    "orders_page",
+    "nations_per_segment",
+    "priority_counts_with_returns",
+    "orders_within_30_days",
+    "supplier_part_volume",
+    "top_nation_per_region",
+    "nation_pair_volume",
+    "open_and_finished_custkeys",
+    "open_minus_finished_custkeys",
+    "order_status_pivot",
+    "top_return_customers",
+    "nation_health_score",
+    "region_segment_cube",
+    "segment_nation_rollup",
+    "events_hourly_window",
+    "near_dup_clusters",
+    "streaming_neardup_ingest",
+    "embedding_dim_truncation_recall",
+    "gopher_quality_gate",
+    "pii_digit_masking",
+    # last driver row: round 8 — the 9 stalest (registry declaration
+    # order), starting the r8 cohort's retirement
+    "near_dup_threshold_sweep",
+    "part_affinity_rules",
+    "bucketed_colocated_join",
+    "refs_listing",
+    "fk_integrity_audit",
+    "spec_evolution_read",
+    "weekly_cohort_retention",
+    "sorted_write_pruned_read",
+    "conversion_funnel",
 )
 
 

@@ -154,6 +154,9 @@ HEADLINE = [
     "token_route_policies",
     "avi_video_stats",
     "video_frame_dedup",
+    # new in r12: the entropy-coded codec tier
+    "jpeg_pixel_stats",
+    "mjpg_video_stats",
 ]
 
 

@@ -6,13 +6,16 @@ per-item processing (decode, feature-extract, resize, frame-sample) runs
 as Arrow-batched pandas over ``mapInPandas`` — map-only, zero shuffle,
 linear at 100 TB.
 
-Four REAL decode paths exist with no external codec library: 24-bit
+Six REAL decode paths exist with no external codec library: 24-bit
 uncompressed BMP (numpy header walk + padded BGR row slicing), 16-bit
 mono PCM WAV (RIFF chunk walk), 8-bit truecolor non-interlaced PNG
-(stdlib zlib inflate + the five spec scanline filters), and
-uncompressed-RGB AVI video (RIFF list walk + per-frame DIB slicing).
-Formats that genuinely need codec libraries absent from this container
-(JPEG, compressed audio, MJPG/H.264 video) raise the honest
+(stdlib zlib inflate + the five spec scanline filters), baseline
+sequential JPEG (marker walk + canonical Huffman entropy decode +
+dequant + vectorized IDCT — sources/jpeg.py), uncompressed-RGB AVI
+video (RIFF list walk + per-frame DIB slicing), and Motion-JPEG AVI
+(the same RIFF walk with per-frame JPEG decode).  Formats that
+genuinely need codec libraries absent from this container (progressive
+JPEG, compressed audio, H.264 video) raise the honest
 ``NotImplementedError``;
 ``decode_media(fake=True)`` is the deterministic byte-math test decoder
 for arbitrary payloads.  The Spark-side plumbing — schemas, UDF
@@ -190,12 +193,17 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                         a, _fps = avi_decode(b)
                         dims.append((a.shape[2], a.shape[1]))
+                    elif b[:2] == b"\xff\xd8":
+                        from .jpeg import jpeg_decode
+
+                        a = jpeg_decode(b)
+                        dims.append((a.shape[1], a.shape[0]))
                     else:
                         raise NotImplementedError(
-                            "real decoding beyond BMP/WAV/PNG/"
-                            "uncompressed-AVI requires codecs not present "
-                            "in this environment; pass fake=True for the "
-                            "deterministic test decoder"
+                            "real decoding beyond BMP/WAV/PNG/JPEG/"
+                            "AVI (uncompressed or MJPG) requires codecs "
+                            "not present in this environment; pass "
+                            "fake=True for the deterministic test decoder"
                         )
                 if png_idx:
                     for j, a in zip(png_idx, png_decode_batch(png_payloads)):
@@ -889,38 +897,63 @@ def wav_audio_features(df: DataFrame) -> DataFrame:
 # Compressed video (MJPG/H.264/...) still raises the honest
 # NotImplementedError — those genuinely need codec libraries.
 
-def _avi_bih(w: int, h: int, size_image: int) -> bytes:
-    """BITMAPINFOHEADER for 24-bit BI_RGB bottom-up frames."""
+def _avi_bih(w: int, h: int, size_image: int, compression: int = 0) -> bytes:
+    """BITMAPINFOHEADER for 24-bit bottom-up frames (biCompression 0 =
+    BI_RGB uncompressed, or a codec fourcc like 'MJPG')."""
     return (
         (40).to_bytes(4, "little")
         + w.to_bytes(4, "little", signed=True)
         + h.to_bytes(4, "little", signed=True)
         + (1).to_bytes(2, "little")
         + (24).to_bytes(2, "little")
-        + (0).to_bytes(4, "little")  # BI_RGB
+        + compression.to_bytes(4, "little")  # BI_RGB or fourcc
         + size_image.to_bytes(4, "little")
         + (2835).to_bytes(4, "little") * 2
         + (0).to_bytes(4, "little") * 2
     )
 
 
-def avi_encode(frames, fps: int = 10) -> bytes:
-    """Encode an (n, h, w, 3) uint8 RGB frame stack as an uncompressed
-    AVI: RIFF('AVI ') → LIST hdrl (avih main header + LIST strl with the
-    'vids'/'DIB ' stream header and a BITMAPINFOHEADER) → LIST movi with
-    one '00db' DIB chunk per frame (padded bottom-up BGR rows, the BMP
-    pixel layout)."""
+def avi_encode(frames, fps: int = 10, codec: str = "DIB ") -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB frame stack as an AVI:
+    RIFF('AVI ') → LIST hdrl (avih main header + LIST strl with the
+    'vids' stream header and a BITMAPINFOHEADER) → LIST movi with one
+    chunk per frame.  ``codec="DIB "`` (default) writes uncompressed
+    '00db' DIB chunks (padded bottom-up BGR rows, the BMP pixel
+    layout); ``codec="MJPG"`` writes one baseline JPEG per frame in
+    '00dc' chunks (Motion-JPEG — frame dims must be multiples of 8,
+    the in-repo jpeg_encode contract)."""
     import numpy as np
 
     a = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = a.shape
     stride = (w * 3 + 3) // 4 * 4
     frame_bytes = []
-    for f in range(n):
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = a[f, ::-1, :, ::-1].reshape(h, w * 3)
-        frame_bytes.append(rows.tobytes())
-    size_image = h * stride
+    if codec == "MJPG":
+        from .jpeg import jpeg_encode_frames
+
+        frame_bytes = jpeg_encode_frames(a)
+    elif codec == "DIB ":
+        for f in range(n):
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = a[f, ::-1, :, ::-1].reshape(h, w * 3)
+            frame_bytes.append(rows.tobytes())
+    else:
+        raise NotImplementedError(f"codec {codec!r} not supported")
+    return avi_container(frame_bytes, h, w, fps, codec)
+
+
+def avi_container(frame_bytes, h: int, w: int, fps: int,
+                  codec: str = "DIB ") -> bytes:
+    """Assemble an AVI container around already-encoded frame chunks —
+    the byte-assembly half of avi_encode, exposed so batch encoders
+    (``media_mjpg_from_documents`` groups frames across VIDEOS by shape
+    before one jpeg_encode_frames call) can wrap their own payloads."""
+    n = len(frame_bytes)
+    stride = (w * 3 + 3) // 4 * 4
+    size_image = (
+        h * stride if codec == "DIB "
+        else max(len(fb) for fb in frame_bytes)
+    )
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         return cid + len(data).to_bytes(4, "little") + data + (
@@ -944,7 +977,7 @@ def avi_encode(frames, fps: int = 10) -> bytes:
         + (0).to_bytes(4, "little") * 4
     )
     strh = (
-        b"vids" + b"DIB "
+        b"vids" + codec.encode("ascii")
         + (0).to_bytes(4, "little")
         + (0).to_bytes(4, "little")   # priority+language
         + (0).to_bytes(4, "little")
@@ -960,31 +993,33 @@ def avi_encode(frames, fps: int = 10) -> bytes:
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)
-        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", _avi_bih(w, h, size_image))),
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", _avi_bih(
+            w, h, size_image,
+            compression=0 if codec == "DIB " else int.from_bytes(b"MJPG", "little"),
+        ))),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    frame_cid = b"00db" if codec == "DIB " else b"00dc"
+    movi = lst(b"movi", b"".join(chunk(frame_cid, fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def avi_decode(payload: bytes):
-    """Decode an uncompressed-RGB AVI to ((n, h, w, 3) uint8 RGB, fps):
-    walk the RIFF list tree (truncation-checked like the WAV path),
-    read the main and stream headers, validate the 24-bit BI_RGB frame
-    format, and slice every '00db' DIB chunk's padded bottom-up BGR
-    rows.  Raises on compressed streams and on any chunk whose declared
-    size runs past the payload."""
-    import numpy as np
-
+def _avi_parse(payload: bytes):
+    """RIFF walk of one AVI: returns (w, h, fps, mjpg, frame_chunks)
+    with all structural validation done (truncation, header/movi frame
+    count agreement, codec support) — the container half of avi_decode,
+    exposed so batch decoders can group frame reconstruction across
+    videos."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
     n_frames = None
     fps = None
+    mjpg = False
     frames = []
 
     def walk(buf: bytes, pos: int, end: int):
-        nonlocal w, h, n_frames, fps
+        nonlocal w, h, n_frames, fps, mjpg
         while pos + 8 <= end:
             cid = buf[pos:pos + 4]
             size = int.from_bytes(buf[pos + 4:pos + 8], "little")
@@ -1015,11 +1050,14 @@ def avi_decode(payload: bytes):
                 a = buf[body_start:body_end]
                 bpp = int.from_bytes(a[14:16], "little")
                 comp = int.from_bytes(a[16:20], "little")
-                if bpp != 24 or comp != 0:
+                if comp == int.from_bytes(b"MJPG", "little"):
+                    mjpg = True  # frames are per-frame baseline JPEGs
+                elif bpp != 24 or comp != 0:
                     raise NotImplementedError(
-                        "only 24-bit uncompressed (BI_RGB) AVI supported"
+                        "only 24-bit uncompressed (BI_RGB) or MJPG AVI"
+                        " supported"
                     )
-            elif cid == b"00db":
+            elif cid in (b"00db", b"00dc"):
                 frames.append(buf[body_start:body_end])
             pos = body_end + (size & 1)  # RIFF chunks 2-byte aligned
 
@@ -1030,6 +1068,31 @@ def avi_decode(payload: bytes):
         raise ValueError(
             f"header declares {n_frames} frames, movi carries {len(frames)}"
         )
+    return w, h, fps, mjpg, frames
+
+
+def avi_decode(payload: bytes):
+    """Decode an AVI to ((n, h, w, 3) uint8 RGB, fps): walk the RIFF
+    list tree (truncation-checked like the WAV path), read the main and
+    stream headers, and reconstruct every frame — '00db' DIB chunks by
+    slicing padded bottom-up BGR rows, MJPG '00dc' chunks through the
+    baseline-JPEG decoder.  Raises on other codecs and on any chunk
+    whose declared size runs past the payload."""
+    import numpy as np
+
+    w, h, fps, mjpg, frames = _avi_parse(payload)
+    if mjpg:
+        from .jpeg import jpeg_decode_frames
+
+        dec = jpeg_decode_frames([bytes(fb) for fb in frames])
+        if dec.shape[1:3] != (h, w):
+            raise ValueError(
+                f"MJPG frames are {dec.shape[2]}x{dec.shape[1]}, "
+                f"header says {w}x{h}"
+            )
+        if dec.ndim == 3:  # grayscale frames -> replicate channels
+            dec = np.repeat(dec[:, :, :, None], 3, axis=3)
+        return np.ascontiguousarray(dec), fps
     stride = (w * 3 + 3) // 4 * 4
     out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
     for i, fb in enumerate(frames):
@@ -1144,6 +1207,211 @@ def avi_video_features(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(features, AVI_FEATURES_SCHEMA)
+
+
+# --- real JPEG / Motion-JPEG Spark plumbing ---------------------------------
+# The entropy-coded tier of the codec ladder (sources/jpeg.py): baseline
+# sequential JPEG stills and MJPG-in-AVI video.  The oracle fixtures
+# live in the codec's EXACT fixed-point set — constant 8x8 tiles with
+# even values quantize losslessly under the written tables (see
+# sources/jpeg.py module docstring for the arithmetic), so a lossy
+# codec still gets a closed-form SQL value gate; arbitrary content gets
+# the usual lossy tolerance in tests.
+
+JPEG_FEATURES_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("media_id", SPARK_T.LongType()),
+    SPARK_T.StructField("width", SPARK_T.IntegerType()),
+    SPARK_T.StructField("height", SPARK_T.IntegerType()),
+    SPARK_T.StructField("mean_lum", SPARK_T.DoubleType()),
+    SPARK_T.StructField("top_left_tile_mean", SPARK_T.DoubleType()),
+    SPARK_T.StructField("bottom_right_tile_mean", SPARK_T.DoubleType()),
+])
+
+
+def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format JPEG fixture: per document a grayscale
+    baseline JPEG of constant 8x8 tiles —
+
+        tiles_x = 2 + doc_id % 3,  tiles_y = 2 + doc_id % 4
+        v(tx, ty) = 60 + 2*((doc_id % 37) + 3*tx + 5*ty)   (all EVEN)
+
+    Even constant tiles are EXACT under the written quantizer (DC =
+    8*(v-128) divisible by q_dc=16; every AC coefficient zero), so the
+    decoded statistics equal the closed pixel formulas bit-for-bit and
+    a SQL oracle can value-gate the lossy codec: marker framing,
+    Huffman tables, bit stuffing, DC differential chain, zigzag,
+    dequantization, IDCT, and MCU raster order (pinned by the corner
+    tile means) all sit on the gate."""
+    import numpy as np
+
+    from .jpeg import jpeg_encode
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tx, ty = 2 + did % 3, 2 + did % 4
+                gx = np.arange(tx)[None, :]
+                gy = np.arange(ty)[:, None]
+                tiles = 60 + 2 * ((did % 37) + 3 * gx + 5 * gy)
+                img = np.kron(
+                    tiles, np.ones((8, 8), dtype=np.int64)
+                ).astype(np.uint8)
+                payloads.append(jpeg_encode(img))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": "image",
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        SPARK_T.StructType([
+            SPARK_T.StructField("media_id", SPARK_T.LongType()),
+            SPARK_T.StructField("media_type", SPARK_T.StringType()),
+            SPARK_T.StructField("payload", SPARK_T.BinaryType()),
+        ]),
+    )
+
+
+def jpeg_pixel_features(df: DataFrame) -> DataFrame:
+    """bytes → pixels → features over the REAL numpy baseline-JPEG
+    decoder (Arrow-batched mapInPandas, map-only): decoded dimensions,
+    whole-image luminance mean, and the two corner-tile means that pin
+    MCU raster order (top-left = first decoded block, bottom-right =
+    last)."""
+    from .jpeg import jpeg_decode
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a = jpeg_decode(bytes(p)).astype("float64")
+                rows.append((
+                    int(mid),
+                    a.shape[1],
+                    a.shape[0],
+                    float(a.mean()),
+                    float(a[:8, :8].mean()),
+                    float(a[-8:, -8:].mean()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "mean_lum", "top_left_tile_mean",
+                    "bottom_right_tile_mean",
+                ],
+            ).astype({"width": "int32", "height": "int32"})
+
+    return df.mapInPandas(features, JPEG_FEATURES_SCHEMA)
+
+
+MJPG_FEATURES_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("media_id", SPARK_T.LongType()),
+    SPARK_T.StructField("n_frames", SPARK_T.IntegerType()),
+    SPARK_T.StructField("fps", SPARK_T.IntegerType()),
+    SPARK_T.StructField("width", SPARK_T.IntegerType()),
+    SPARK_T.StructField("height", SPARK_T.IntegerType()),
+    SPARK_T.StructField("mean_lum", SPARK_T.DoubleType()),
+    SPARK_T.StructField("first_frame_mean", SPARK_T.DoubleType()),
+    SPARK_T.StructField("last_frame_mean", SPARK_T.DoubleType()),
+])
+
+
+def media_mjpg_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format Motion-JPEG fixture: per document an
+    AVI whose '00dc' chunks each carry a baseline JPEG of gray-valued
+    (R=G=B) constant 8x8 tiles —
+
+        n = 2 + doc_id % 2,  fps = 8 + doc_id % 4
+        tiles_x = 2 + doc_id % 2,  tiles_y = 2 + doc_id % 3
+        v(f, tx, ty) = 60 + 2*((doc_id % 31) + 3*tx + 5*ty + 7*f)
+
+    Gray-valued even tiles are exact through BOTH the color transform
+    (coefficient rows summing to 1 / 0 keep Y = v, Cb = Cr = 128) and
+    the quantizer, so per-video statistics have closed forms; the 7*f
+    term makes first/last-frame means pin frame ORDER through the
+    container walk AND the per-frame entropy decode."""
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # Per-VIDEO encode: each video's frames batch through one
+            # jpeg_encode_frames call (cache-resident on this box — a
+            # cross-video shape-grouped variant was measured 4x SLOWER
+            # at the 64x corpus: large working sets fall off this VM's
+            # memory-bandwidth cliff; see docs/SCALING.md r12).
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 2
+                tx, ty = 2 + did % 2, 2 + did % 3
+                gx = np.arange(tx)[None, None, :]
+                gy = np.arange(ty)[None, :, None]
+                gf = np.arange(n)[:, None, None]
+                tiles = 60 + 2 * ((did % 31) + 3 * gx + 5 * gy + 7 * gf)
+                frames = np.repeat(
+                    np.kron(tiles, np.ones((1, 8, 8), dtype=np.int64))
+                    [:, :, :, None],
+                    3,
+                    axis=3,
+                ).astype(np.uint8)
+                payloads.append(avi_encode(
+                    frames, fps=8 + did % 4, codec="MJPG"
+                ))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "media_type": "video",
+                "payload": payloads,
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        build,
+        SPARK_T.StructType([
+            SPARK_T.StructField("media_id", SPARK_T.LongType()),
+            SPARK_T.StructField("media_type", SPARK_T.StringType()),
+            SPARK_T.StructField("payload", SPARK_T.BinaryType()),
+        ]),
+    )
+
+
+def mjpg_video_features(df: DataFrame) -> DataFrame:
+    """bytes → per-frame JPEG decode → features over the REAL AVI walk
+    + baseline-JPEG decoder (Arrow-batched mapInPandas, map-only):
+    container metadata plus whole-video and first/last-frame luminance
+    means (the channels are equal by fixture construction; channel 0
+    is the reported luminance)."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                a, fps = avi_decode(bytes(p))
+                af = a.astype("float64")
+                rows.append((
+                    int(mid),
+                    a.shape[0],
+                    int(fps),
+                    a.shape[2],
+                    a.shape[1],
+                    float(af[:, :, :, 0].mean()),
+                    float(af[0, :, :, 0].mean()),
+                    float(af[-1, :, :, 0].mean()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "fps", "width", "height",
+                    "mean_lum", "first_frame_mean", "last_frame_mean",
+                ],
+            ).astype({
+                "n_frames": "int32", "fps": "int32",
+                "width": "int32", "height": "int32",
+            })
+
+    return df.mapInPandas(features, MJPG_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, frame_size: int = 64, max_frames: int = 8) -> DataFrame:

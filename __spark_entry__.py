@@ -31,17 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose most recent driver correctness row is the oldest, topped up
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
-# This tuple is EXACTLY the 50-entry driver window for round 10:
-# 7 new + 7 changed-implementation + ALL 17 remaining round-5-vintage
-# rows (the r5 cohort retires this round) + the 19 oldest round-6 rows
-# (registry declaration order; the other 23 r6 rows lead round 11's
+# This tuple is EXACTLY the 50-entry driver window for round 12:
+# 3 new + 9 changed-implementation + ALL 29 remaining round-7-vintage
+# rows (the r7 cohort retires this round) + the 9 oldest round-8 rows
+# (registry declaration order; the remaining r8 rows lead round 13's
 # rotation).  It is a fixed list committed with the code — the registry
 # order never depends on runtime state or files outside the package.
 _PRIORITY: tuple[str, ...] = (
     # new this round (r12) — no driver row exists yet: the baseline-JPEG
-    # and Motion-JPEG real-decode value gates
+    # and Motion-JPEG real-decode value gates, and the streaming form of
+    # frame-level video dedup
     "jpeg_pixel_stats",
     "mjpg_video_stats",
+    "streaming_frame_dedup_replay",
     # implementation changed this round — prior rows validated old code:
     # png encode/decode vectorized into batched numpy (level-1 deflate);
     # span/cdc window identities moved from concat-string hashing to

@@ -154,9 +154,10 @@ HEADLINE = [
     "token_route_policies",
     "avi_video_stats",
     "video_frame_dedup",
-    # new in r12: the entropy-coded codec tier
+    # new in r12: the entropy-coded codec tier + streaming frame dedup
     "jpeg_pixel_stats",
     "mjpg_video_stats",
+    "streaming_frame_dedup_replay",
 ]
 
 

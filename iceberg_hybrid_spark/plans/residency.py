@@ -1,0 +1,39 @@
+"""Bounded-residency localCheckpoint registry (r12).
+
+localCheckpoint(eager=True) materializes blocks that outlive the
+DataFrame unless explicitly unpersisted; operators that checkpoint per
+invocation (scheduled monitors, streaming micro-batches) would
+accumulate one checkpoint per run.  This registry keeps AT MOST ONE
+resident checkpoint per (tag, SparkContext): each call unpersists the
+previous checkpoint registered under its tag before creating its own.
+
+RETURN CONTRACT for callers: lineage is truncated, so a DataFrame
+returned by invocation N of a tag must be fully consumed before
+invocation N+1 runs in the same context — N+1 frees N's blocks, and
+executing N's result afterwards fails with missing-block errors.
+Scheduled monitors and foreachBatch drains consume-then-discard, which
+is exactly this contract.  tests/test_checkpoint_residency.py pins
+that the persistent-RDD count does not grow across invocations."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_CHECKPOINT_RESIDENCY: dict = {}
+
+
+def checkpoint_bounded(df: DataFrame, tag: str) -> DataFrame:
+    """localCheckpoint(eager) with bounded residency: unpersist the
+    previous checkpoint registered under ``tag`` for this SparkContext
+    (reached through its LogicalRDD plan node — private JVM internals,
+    guarded; the regression test fails if the block count grows)."""
+    ctx_key = (tag, df.sparkSession.sparkContext.applicationId)
+    prev = _CHECKPOINT_RESIDENCY.get(ctx_key)
+    if prev is not None:
+        try:
+            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # a stopped/replaced SparkContext: nothing to free
+    out = df.localCheckpoint(eager=True)
+    _CHECKPOINT_RESIDENCY[ctx_key] = out
+    return out

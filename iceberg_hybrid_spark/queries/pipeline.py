@@ -4102,41 +4102,12 @@ ORDER BY lang, q
 """
 
 
-# Bounded-residency localCheckpoint registry (r12, generalizing the
-# r11 pipeline_health fix to every checkpointing operator): the
-# PREVIOUS invocation's checkpointed blocks, keyed by (operator tag,
-# owning SparkContext) so a new context never receives a stale
-# unpersist and two sessions on one context share one slot per
-# operator — at most ONE checkpoint per (operator, context) is ever
-# resident across repeated scheduled runs.
-#
-# RETURN CONTRACT for callers of the checkpointing operators
-# (pipeline_health, kmv_source_overlap_sketch): localCheckpoint
-# truncates lineage, so a DataFrame returned by invocation N must be
-# fully consumed before invocation N+1 of the same operator runs in
-# the same context — N+1 frees N's blocks, and executing N's result
-# afterwards fails with missing-block errors.  Scheduled monitors
-# consume-then-discard, which is exactly this contract.
-_CHECKPOINT_RESIDENCY: dict = {}
-
-
-def _checkpoint_bounded(df: DataFrame, tag: str) -> DataFrame:
-    """localCheckpoint(eager) with bounded residency: unpersist the
-    previous checkpoint registered under ``tag`` for this SparkContext
-    (reached through its LogicalRDD plan node — private JVM internals,
-    guarded; tests/test_checkpoint_residency.py pins that the block
-    count does NOT grow across repeated invocations, so a silent
-    degradation back to the leak fails the suite)."""
-    ctx_key = (tag, df.sparkSession.sparkContext.applicationId)
-    prev = _CHECKPOINT_RESIDENCY.get(ctx_key)
-    if prev is not None:
-        try:
-            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass  # a stopped/replaced SparkContext: nothing to free
-    out = df.localCheckpoint(eager=True)
-    _CHECKPOINT_RESIDENCY[ctx_key] = out
-    return out
+# Bounded-residency localCheckpoint discipline: see
+# plans/residency.py for the registry and the return contract (one
+# resident checkpoint per (operator tag, SparkContext); a prior
+# invocation's returned DataFrame must be consumed before the next
+# invocation of the same operator runs).
+from ..plans.residency import checkpoint_bounded as _checkpoint_bounded
 
 
 def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4223,21 +4194,94 @@ def pipeline_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN in_exact + in_minhash + in_simhash = 1"
         " THEN 1 ELSE 0 END AS INT) AS alert",
     )
+    media = _media_health(docs_s)
     return (
         ewma.unionByName(psi).unionByName(cal).unionByName(agr)
+        .unionByName(media)
         .orderBy("tag", "metric")
     )
+
+
+def _media_health(docs_s: DataFrame) -> DataFrame:
+    """The modality head of the scheduled dashboard (r11 verdict
+    stretch #8): over the SAME fixed-size document sample, (a) the REAL
+    PNG decode-error rate — payloads are built by the real encoder and
+    a deterministic 1-in-7 subset is truncated 6 bytes (clipping the
+    IEND trailer, which the CRC'd chunk walk must reject), each then
+    actually DECODE-ATTEMPTED in an Arrow batch; (b) the media
+    duplicate rate — 1 - distinct payload fingerprints / sample size,
+    a JVM-side md5 aggregate (fixture payloads are byte-identical
+    exactly within a doc_id % 261 class).  Both rates have closed
+    forms over the sample predicate, so the oracle replays them from
+    doc_id arithmetic alone.  Fixed-cost at any corpus size: every
+    stage is bounded by the ~1,200-doc sample."""
+    from ..sources.multimodal import media_png_from_documents, png_decode
+
+    png = media_png_from_documents(docs_s)
+    corrupted = png.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 7 == 3,
+            F.expr("substring(payload, 1, octet_length(payload) - 6)"),
+        ).otherwise(F.col("payload")),
+    )
+
+    def attempts(batches):
+        for pdf in batches:
+            oks = []
+            for p in pdf["payload"]:
+                try:
+                    png_decode(bytes(p))
+                    oks.append(1)
+                except (ValueError, NotImplementedError):
+                    oks.append(0)
+            yield pd.DataFrame({"ok": pd.Series(oks, dtype="int32")})
+
+    import pandas as pd  # noqa: F811 — worker-side import
+    from pyspark.sql import types as SPARK_T
+
+    ok_df = corrupted.mapInPandas(
+        attempts,
+        SPARK_T.StructType([SPARK_T.StructField("ok", SPARK_T.IntegerType())]),
+    )
+    err = ok_df.agg(
+        (1 - F.avg("ok")).alias("rate")
+    ).selectExpr(
+        "'media_health' AS tag",
+        "'png_decode_error_rate' AS metric",
+        "ROUND(rate - 0.000000001, 4) + 0.0 AS value",
+        "CAST(CASE WHEN rate > 0.1 THEN 1 ELSE 0 END AS INT) AS alert",
+    )
+    dup = png.agg(
+        (1 - F.countDistinct(F.md5("payload")) / F.count(F.lit(1)))
+        .alias("rate")
+    ).selectExpr(
+        "'media_health' AS tag",
+        "'png_dup_rate' AS metric",
+        "ROUND(rate - 0.000000001, 4) + 0.0 AS value",
+        "CAST(CASE WHEN rate > 0.5 THEN 1 ELSE 0 END AS INT) AS alert",
+    )
+    return err.unionByName(dup)
 
 
 def _pipeline_health_sql() -> str:
     from .events import EWMA_HOURLY_SQL
     from .llm import DEDUP_AGREEMENT_SAMPLED_SQL, MINHASH_CALIB_SAMPLED_SQL
 
+    from ..sources.tables import DUCK_DOC_SAMPLE_WHERE_FIXED_SIZE as _W
+
     return f"""
 WITH ewma_h AS ({EWMA_HOURLY_SQL}),
 psi_h AS ({SOURCE_PSI_SQL}),
 cal_h AS ({MINHASH_CALIB_SAMPLED_SQL}),
-agr_h AS ({DEDUP_AGREEMENT_SAMPLED_SQL})
+agr_h AS ({DEDUP_AGREEMENT_SAMPLED_SQL}),
+media_h AS (
+  SELECT CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS err_rate,
+         1.0 - CAST(COUNT(DISTINCT doc_id % 261) AS DOUBLE) / COUNT(*)
+           AS dup_rate
+  FROM documents WHERE {_W}
+)
 SELECT * FROM (
   SELECT 'ewma_burst' AS tag,
          event_type || '@' || CAST(hour_start AS VARCHAR) AS metric,
@@ -4260,6 +4304,16 @@ SELECT * FROM (
          CAST(pair_count AS DOUBLE),
          CASE WHEN in_exact + in_minhash + in_simhash = 1 THEN 1 ELSE 0 END
   FROM agr_h
+  UNION ALL
+  SELECT 'media_health', 'png_decode_error_rate',
+         ROUND(err_rate - 0.000000001, 4) + 0.0,
+         CASE WHEN err_rate > 0.1 THEN 1 ELSE 0 END
+  FROM media_h
+  UNION ALL
+  SELECT 'media_health', 'png_dup_rate',
+         ROUND(dup_rate - 0.000000001, 4) + 0.0,
+         CASE WHEN dup_rate > 0.5 THEN 1 ELSE 0 END
+  FROM media_h
 )
 ORDER BY tag, metric
 """

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lake.table import HyTable
+from ..plans.residency import checkpoint_bounded
 
 FINGERPRINT_DDL = "fp string, corpus_seq bigint"
 
@@ -92,8 +93,9 @@ def dedup_ingest_batch(
     )
     seen = fingerprints.read().select("fp")
     novel = fresh.join(seen, "fp", "left_anti")
-    # one pass over the novel rows feeds both commits
-    novel = novel.localCheckpoint(eager=True)
+    # one pass over the novel rows feeds both commits; bounded across
+    # micro-batches (at most one resident checkpoint for this operator)
+    novel = checkpoint_bounded(novel, "dedup_ingest_novel")
     n = novel.count()
     if n:
         snap = corpus.append(novel.drop("fp"))
@@ -227,7 +229,7 @@ def near_dup_ingest_batch(
         .distinct()
     )
     survivors = batch_canon.join(dup_of_corpus, id_col, "left_anti")
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = checkpoint_bounded(survivors, "near_dup_ingest_survivors")
     n = survivors.count()
     if n:
         snap = corpus.append(survivors)
@@ -355,10 +357,11 @@ def hll_ingest_batch(
         .unionByName(br)
         .groupBy(group_col, "bucket")
         .agg(F.max("mr").alias("mr"))
-        # materialize before the overwrite truncates the table the read
-        # lazily references (bounded relation: <= groups x 1024 rows)
-        .localCheckpoint(eager=True)
     )
+    # materialize before the overwrite truncates the table the read
+    # lazily references (bounded relation: <= groups x 1024 rows;
+    # bounded ACROSS batches by the residency registry)
+    merged = checkpoint_bounded(merged, "hll_ingest_merged")
     registers.overwrite(merged)
 
 
@@ -384,7 +387,9 @@ def prune_band_state(
     One key-partitioned semi-join; returns the number of rows removed."""
     state = bands_state.read()
     live = corpus.read().select(id_col)
-    kept = state.join(live, id_col, "left_semi").localCheckpoint(eager=True)
+    kept = checkpoint_bounded(
+        state.join(live, id_col, "left_semi"), "prune_band_state_kept"
+    )
     removed = state.count() - kept.count()
     if removed:
         bands_state.overwrite(kept)
@@ -457,7 +462,7 @@ def cms_ingest_batch(
         .drop("_rn")
     )
     novel = fresh.join(counted.read().select("fp"), "fp", "left_anti")
-    novel = novel.localCheckpoint(eager=True)
+    novel = checkpoint_bounded(novel, "cms_ingest_novel")
     n = novel.count()
     if n == 0:
         return 0
@@ -487,10 +492,11 @@ def cms_ingest_batch(
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("batch_seq", F.lit(expected).cast("bigint"))
             .withColumn("batch_fp", F.lit(novel_fp).cast("bigint"))
-            # materialize before the overwrite truncates the table the
-            # read lazily references (bounded: <= depth x width rows)
-            .localCheckpoint(eager=True)
         )
+        # materialize before the overwrite truncates the table the
+        # read lazily references (bounded: <= depth x width rows;
+        # bounded ACROSS batches by the residency registry)
+        merged = checkpoint_bounded(merged, "cms_ingest_merged")
         cells.overwrite(merged)
     elif (
         synced == expected
@@ -560,6 +566,139 @@ def start_hll_ingest(
 
     def drain(batch_df: DataFrame, _batch_id: int) -> None:
         hll_ingest_batch(batch_df, registers, group_col, text_col)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(inbox_dir)
+        .writeStream.foreachBatch(drain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- frame-level video dedup ingest ------------------------------------------
+# The streaming form of queries/multimodal.py::video_frame_dedup (the
+# r11 round's clip-reuse detector): a stream of videos dedups FRAMES
+# incrementally against the accumulated frame-fingerprint state, so an
+# ingestion pipeline can drop or downweight mostly-recycled footage as
+# it arrives instead of re-scanning the corpus.  State is narrow (one
+# row per distinct frame fingerprint), never the payload bytes.
+
+FRAME_STATE_DDL = "fp string, video_id bigint, frame_idx int"
+
+
+def video_frame_rows(batch_df: DataFrame,
+                     id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """(video, payload) -> one row per decoded FRAME with its pixel
+    fingerprint, via the REAL AVI decoder (uncompressed-RGB or MJPG) —
+    map-only Arrow stage, linear in footage."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as SPARK_T
+
+    from ..sources.multimodal import avi_decode
+
+    def frame_fps(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                frames, _fps = avi_decode(bytes(p))
+                for f in range(frames.shape[0]):
+                    rows.append((
+                        int(mid),
+                        f,
+                        frames.shape[0],
+                        hashlib.md5(frames[f].tobytes()).hexdigest(),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "n_frames", "fp"]
+            ).astype({"frame_idx": "int32", "n_frames": "int32"})
+
+    return batch_df.mapInPandas(
+        frame_fps,
+        SPARK_T.StructType([
+            SPARK_T.StructField("video_id", SPARK_T.LongType()),
+            SPARK_T.StructField("frame_idx", SPARK_T.IntegerType()),
+            SPARK_T.StructField("n_frames", SPARK_T.IntegerType()),
+            SPARK_T.StructField("fp", SPARK_T.StringType()),
+        ]),
+    )
+
+
+def frame_dedup_ingest_batch(
+    batch_df: DataFrame,
+    frame_state: HyTable,
+    report: HyTable | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> int:
+    """Apply one micro-batch of videos: decode every frame, claim the
+    batch's FIRST occurrence of each new fingerprint (window by
+    (video_id, frame_idx) — the same canonical-keeper rule as the batch
+    operator), anti-join against the accumulated state, append the
+    novel frames to the state table, and (optionally) append a
+    per-video report row (video_id, n_frames, novel_frames) to
+    ``report``.  Returns the number of novel frames.
+
+    Sequential micro-batches reproduce batch semantics exactly: a
+    frame is novel iff no frame with the same fingerprint precedes it
+    in (video_id, frame_idx) order across ALL batches, provided videos
+    arrive in id order across batches (the replay oracle's contract)."""
+    frames = video_frame_rows(batch_df, id_col, payload_col)
+    w = Window.partitionBy("fp").orderBy("video_id", "frame_idx")
+    first = (
+        frames.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_claimed", F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    seen = frame_state.read().select("fp").distinct()
+    flagged = (
+        first.join(seen.hint("shuffle_hash"), "fp", "left_anti")
+        .filter(F.col("_claimed"))
+        .select("fp", "video_id", "frame_idx", "n_frames")
+    )
+    flagged = checkpoint_bounded(flagged, "frame_dedup_ingest_flagged")
+    n = flagged.count()
+    if n:
+        frame_state.append(flagged.select("fp", "video_id", "frame_idx"))
+    if report is not None:
+        per_video = (
+            frames.select("video_id", "n_frames").distinct()
+            .join(
+                flagged.groupBy("video_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("novel_frames")),
+                "video_id",
+                "left",
+            )
+            .select(
+                "video_id",
+                F.col("n_frames").cast("bigint").alias("n_frames"),
+                F.coalesce("novel_frames", F.lit(0)).alias("novel_frames"),
+            )
+        )
+        report.append(per_video)
+    return n
+
+
+def start_frame_dedup_ingest(
+    spark: SparkSession,
+    inbox_dir: str,
+    schema,
+    frame_state: HyTable,
+    checkpoint_dir: str,
+    report: HyTable | None = None,
+    available_now: bool = True,
+):
+    """Tail ``inbox_dir`` (parquet files of (media_id, payload) videos)
+    and dedup frames incrementally against the fingerprint state table
+    (see :func:`frame_dedup_ingest_batch`)."""
+
+    def drain(batch_df: DataFrame, _batch_id: int) -> None:
+        frame_dedup_ingest_batch(batch_df, frame_state, report)
 
     writer = (
         spark.readStream.schema(schema)

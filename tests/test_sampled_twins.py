@@ -321,6 +321,28 @@ def test_pipeline_health_equals_union_of_heads(spark):
             float(r.pair_count),
             int(r.in_exact + r.in_minhash + r.in_simhash == 1),
         )
+    # media head (r12): closed forms over the SAME fixed-size sample —
+    # the 1-in-7 truncated PNGs all fail decode; payloads are
+    # byte-identical exactly within a doc_id % 261 class
+    from iceberg_hybrid_spark.sources.tables import (
+        load_table,
+        sample_documents_fixed_size,
+    )
+
+    dids = [
+        r.doc_id
+        for r in sample_documents_fixed_size(
+            load_table(spark, SF_DIR, "documents")
+        ).select("doc_id").collect()
+    ]
+    err = sum(1 for d in dids if d % 7 == 3) / len(dids)
+    dup = 1 - len({d % 261 for d in dids}) / len(dids)
+    expected[("media_health", "png_decode_error_rate")] = (
+        round(err - 1e-9, 4) + 0.0, int(err > 0.1),
+    )
+    expected[("media_health", "png_dup_rate")] = (
+        round(dup - 1e-9, 4) + 0.0, int(dup > 0.5),
+    )
     assert got == expected
 
 

@@ -651,12 +651,16 @@ def mjpg_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame baseline JPEGs is encoded (``media_mjpg_from_documents``),
     independently DECODED by the RIFF list walk routing every '00dc'
     chunk through the numpy JPEG decoder, and reduced to container
-    metadata + luminance statistics.  The per-frame 7*f term pins frame
-    ORDER through BOTH the container walk and each frame's own entropy
+    metadata + luminance statistics.  Frames are 4:2:0 — the dominant
+    real-corpus MJPG profile, so the gate covers the 2x2-sampled MCU
+    interleave (4 Y + Cb + Cr), the chroma downsample, and the
+    replication upsample.  The per-frame 7*f term pins frame ORDER
+    through BOTH the container walk and each frame's own entropy
     decode; gray-valued even tiles keep the whole chain in the codec's
     exact fixed-point set (color transform rows summing to 1/0 hold
-    Y = v, Cb = Cr = 128), so the SQL oracle is closed-form despite two
-    nested lossy-in-general codecs.
+    Y = v, Cb = Cr = 128 — constant chroma makes the 2x2 average and
+    the upsample exact too), so the SQL oracle is closed-form despite
+    three nested lossy-in-general stages.
 
     Scale shape: two chained map-only Arrow stages — zero shuffle,
     linear at any corpus size."""
@@ -686,10 +690,10 @@ WITH dims AS (
   SELECT doc_id AS media_id,
          CAST(2 + doc_id % 2 AS INTEGER) AS n,
          CAST(8 + doc_id % 4 AS INTEGER) AS fps,
-         CAST(2 + doc_id % 2 AS INTEGER) AS tx,
-         CAST(2 + doc_id % 3 AS INTEGER) AS ty,
-         60 + 2 * (doc_id % 31) + 3 * (1 + doc_id % 2)
-            + 5 * (1 + doc_id % 3) AS first_mean
+         CAST(2 + 2 * (doc_id % 2) AS INTEGER) AS tx,
+         CAST(2 + 2 * ((doc_id % 4) // 2) AS INTEGER) AS ty,
+         60 + 2 * (doc_id % 31) + 3 * (1 + 2 * (doc_id % 2))
+            + 5 * (1 + 2 * ((doc_id % 4) // 2)) AS first_mean
   FROM documents
 )
 SELECT media_id, n AS n_frames, fps,

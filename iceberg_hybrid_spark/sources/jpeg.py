@@ -11,10 +11,13 @@ where entropy coding begins.  Scope is honest baseline sequential DCT:
   coding, AC run-length with EOB/ZRL);
 - dequantization in zigzag order and the 2-D inverse DCT as two 8x8
   matrix products (vectorized over every block of a component at once);
-- 1-component grayscale and 3-component 4:4:4 YCbCr (no subsampling).
+- 1-component grayscale, 3-component 4:4:4 YCbCr, and 4:2:0 (2x2 luma
+  sampling, the dominant real-corpus profile: 4 Y + Cb + Cr blocks per
+  MCU, chroma reconstructed at half resolution and
+  replication-upsampled).
 
-Progressive (SOF2), arithmetic coding, restart markers, and subsampled
-scans raise NotImplementedError; truncation and malformed structure
+Progressive (SOF2), arithmetic coding, restart markers, and other
+sampling layouts (4:2:2/4:1:1) raise NotImplementedError; truncation and malformed structure
 raise ValueError — corrupt files must error, not decode short.
 
 Exactness contract for the oracle fixture (documented tolerance): JPEG
@@ -272,14 +275,20 @@ def _ycbcr_to_rgb(y, cb, cr):
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
-def jpeg_encode_frames(frames, gray: bool | None = None) -> list:
+def jpeg_encode_frames(frames, gray: bool | None = None,
+                       subsampling: str = "444") -> list:
     """Encode a same-shaped stack of images — (n, h, w) grayscale or
     (n, h, w, 3) RGB uint8 — as n independent baseline JPEGs, with the
-    color transform, DCT, quantization, zigzag, and last-nonzero
-    bookkeeping all batched across EVERY block of EVERY frame in one
-    numpy pass (the MJPG hot path: per-frame numpy call overhead
-    otherwise dominates tiny frames).  Only the per-frame entropy scan
-    remains a Python loop, packed via _pack_bits."""
+    color transform, chroma downsampling, DCT, quantization, zigzag,
+    and last-nonzero bookkeeping all batched across EVERY block of
+    EVERY frame per component (the MJPG hot path: per-frame numpy call
+    overhead otherwise dominates tiny frames).  Only the per-frame
+    entropy scan remains a Python loop, packed via _pack_bits.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 luma
+    sampling — the dominant real-corpus profile; dims must be
+    multiples of 16; chroma planes are 2x2-averaged and the scan
+    interleaves 4 Y + 1 Cb + 1 Cr blocks per MCU)."""
     a = np.asarray(frames, dtype=np.uint8)
     if gray is None:
         gray = a.ndim == 3
@@ -287,30 +296,48 @@ def jpeg_encode_frames(frames, gray: bool | None = None) -> list:
     if h % 8 or w % 8:
         raise ValueError("jpeg_encode requires dimensions divisible by 8")
     if gray:
-        stack = (a if a.ndim == 3 else a[..., 0]).astype(np.float64)[:, None]
+        planes = [(a if a.ndim == 3 else a[..., 0]).astype(np.float64)]
         tqs = [0]
+        samp = "444"
     else:
         y, cb, cr = _rgb_to_ycbcr(a)
-        stack = np.clip(np.round(np.stack([y, cb, cr], axis=1)), 0, 255)
+        if subsampling == "420":
+            if h % 16 or w % 16:
+                raise ValueError(
+                    "4:2:0 requires dimensions divisible by 16"
+                )
+            cb = cb.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+            cr = cr.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        elif subsampling != "444":
+            raise NotImplementedError(
+                f"subsampling {subsampling!r} not supported"
+            )
+        planes = [
+            np.clip(np.round(p), 0, 255) for p in (y, cb, cr)
+        ]
         tqs = [0, 1, 1]
+        samp = subsampling
     ncomp = len(tqs)
-    blocks = (
-        stack.reshape(n, ncomp, h // 8, 8, w // 8, 8)
-        .transpose(0, 1, 2, 4, 3, 5)
-        .reshape(n, ncomp, -1, 8, 8)
-    ) - 128.0
-    qstack = np.stack(
-        [Q_LUMA if t == 0 else Q_CHROMA for t in tqs]
-    )[None, :, None, :, :]
-    quant = np.round((_A @ blocks @ _AT) / qstack).astype(np.int64)
-    zz_all = quant.reshape(n, ncomp, -1, 64)[:, :, :, ZIGZAG]
-    n_blocks = zz_all.shape[2]
-    nzmask = zz_all[:, :, :, 1:] != 0
-    rev = nzmask[:, :, :, ::-1]
-    has = rev.any(axis=3)
-    last_all = np.where(has, 63 - rev.argmax(axis=3), 0).tolist()
+    comp_zz, comp_last, comp_nb = [], [], []
+    for ci, plane in enumerate(planes):
+        hc, wc = plane.shape[1:3]
+        blocks = (
+            plane.reshape(n, hc // 8, 8, wc // 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, -1, 8, 8)
+        ) - 128.0
+        q = Q_LUMA if tqs[ci] == 0 else Q_CHROMA
+        quant = np.round((_A @ blocks @ _AT) / q[None, None]).astype(np.int64)
+        zz = quant.reshape(n, -1, 64)[:, :, ZIGZAG]
+        nzmask = zz[:, :, 1:] != 0
+        rev = nzmask[:, :, ::-1]
+        has = rev.any(axis=2)
+        comp_zz.append(zz)
+        comp_last.append(np.where(has, 63 - rev.argmax(axis=2), 0).tolist())
+        comp_nb.append(zz.shape[1])
 
-    hdr = _header_for(gray, h, w, ncomp, tqs)
+    sched = _scan_schedule(samp, ncomp, h, w)
+    hdr = _header_for(gray, h, w, ncomp, tqs, samp)
     dc_enc = _ENC_TABLES["dc"]
     ac_enc = _ENC_TABLES["ac"]
     outs = []
@@ -319,71 +346,105 @@ def jpeg_encode_frames(frames, gray: bool | None = None) -> list:
     for f in range(n):
         if f >= slab0 + _SLAB:
             slab0 = f
-            rows_slab = zz_all[f:f + _SLAB].tolist()
-        comp_rows = rows_slab[f - slab0]
-        comp_last = last_all[f]
+            rows_slab = [zz[f:f + _SLAB].tolist() for zz in comp_zz]
+        comp_rows = [rs[f - slab0] for rs in rows_slab]
+        last_f = [cl[f] for cl in comp_last]
         vals_out: list = []
         lens_out: list = []
         wv, wl = vals_out.append, lens_out.append
         prev_dc = [0] * ncomp
-        for b in range(n_blocks):
-            for ci in range(ncomp):
-                tid = tqs[ci]
-                zz = comp_rows[ci][b]
-                diff = zz[0] - prev_dc[ci]
-                prev_dc[ci] = zz[0]
-                size = _category(diff)
-                code, length = dc_enc[tid][size]
+        for ci, b in sched:
+            tid = tqs[ci]
+            zz = comp_rows[ci][b]
+            diff = zz[0] - prev_dc[ci]
+            prev_dc[ci] = zz[0]
+            size = _category(diff)
+            code, length = dc_enc[tid][size]
+            wv(code)
+            wl(length)
+            if size:
+                wv(_amplitude_bits(diff, size))
+                wl(size)
+            run = 0
+            last_nz = last_f[ci][b]
+            act = ac_enc[tid]
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = act[0xF0]  # ZRL
+                    wv(code)
+                    wl(length)
+                    run -= 16
+                size = _category(v)
+                if size > 10:
+                    raise ValueError("AC coefficient out of table range")
+                code, length = act[(run << 4) | size]
                 wv(code)
                 wl(length)
-                if size:
-                    wv(_amplitude_bits(diff, size))
-                    wl(size)
+                wv(_amplitude_bits(v, size))
+                wl(size)
                 run = 0
-                last_nz = comp_last[ci][b]
-                act = ac_enc[tid]
-                for k in range(1, last_nz + 1):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = act[0xF0]  # ZRL
-                        wv(code)
-                        wl(length)
-                        run -= 16
-                    size = _category(v)
-                    if size > 10:
-                        raise ValueError("AC coefficient out of table range")
-                    code, length = act[(run << 4) | size]
-                    wv(code)
-                    wl(length)
-                    wv(_amplitude_bits(v, size))
-                    wl(size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = act[0x00]  # EOB
-                    wv(code)
-                    wl(length)
+            if last_nz < 63:
+                code, length = act[0x00]  # EOB
+                wv(code)
+                wl(length)
         outs.append(hdr + _pack_bits(vals_out, lens_out) + b"\xff\xd9")
     return outs
 
 
-def jpeg_encode(arr, gray: bool | None = None) -> bytes:
+def jpeg_encode(arr, gray: bool | None = None,
+                subsampling: str = "444") -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline sequential JPEG (SOI / DQT / SOF0 / DHT / SOS / EOI;
-    4:4:4 for color, Annex-K-style tables written into the stream).
-    Dimensions must be multiples of 8 (this encoder does not replicate
-    edges; the in-repo fixtures are tile-aligned by construction).
-    Runs through the frame-batched encoder (batch of one)."""
+    4:4:4 or 4:2:0 for color, Annex-K-style tables written into the
+    stream).  Dimensions must be multiples of 8 (16 for 4:2:0); this
+    encoder does not replicate edges — the in-repo fixtures are
+    tile-aligned by construction.  Runs through the frame-batched
+    encoder (batch of one)."""
     a = np.asarray(arr, dtype=np.uint8)
     if gray is None:
         gray = a.ndim == 2
-    return jpeg_encode_frames(a[None], gray=gray)[0]
+    return jpeg_encode_frames(a[None], gray=gray, subsampling=subsampling)[0]
 
 
-def _header_for(gray: bool, h: int, w: int, ncomp: int, tqs) -> bytes:
-    hdr = _HEADER_CACHE.get((gray, h, w))
+# MCU scan schedules, cached by (samp, ncomp, h, w): the interleave
+# order of (component, block-index) pairs — 4:4:4 visits one block per
+# component per MCU; 4:2:0 visits 4 luma + 1 Cb + 1 Cr per MCU with the
+# luma blocks in 2x2 raster order (T.81 A.2.3).
+_SCHEDULE_CACHE: dict = {}
+
+
+def _scan_schedule(samp: str, ncomp: int, h: int, w: int):
+    key = (samp, ncomp, h, w)
+    sched = _SCHEDULE_CACHE.get(key)
+    if sched is not None:
+        return sched
+    if samp == "420":
+        bpr = w // 8
+        mpr = w // 16
+        sched = []
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                base = 2 * my * bpr + 2 * mx
+                m = my * mpr + mx
+                sched.extend([
+                    (0, base), (0, base + 1),
+                    (0, base + bpr), (0, base + bpr + 1),
+                    (1, m), (2, m),
+                ])
+    else:
+        nb = (h // 8) * (w // 8)
+        sched = [(ci, b) for b in range(nb) for ci in range(ncomp)]
+    _SCHEDULE_CACHE[key] = sched
+    return sched
+
+
+def _header_for(gray: bool, h: int, w: int, ncomp: int, tqs,
+                samp: str) -> bytes:
+    hdr = _HEADER_CACHE.get((gray, h, w, samp))
     if hdr is None:
         hdr = bytearray(b"\xff\xd8")  # SOI
         hdr += _seg(0xDB, _dqt_payload(0, Q_LUMA))
@@ -392,7 +453,8 @@ def _header_for(gray: bool, h: int, w: int, ncomp: int, tqs) -> bytes:
         sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
             + bytes([ncomp])
         for ci in range(ncomp):
-            sof += bytes([ci + 1, 0x11, tqs[ci]])  # 1x1 sampling: 4:4:4
+            sb = 0x22 if (samp == "420" and ci == 0) else 0x11
+            sof += bytes([ci + 1, sb, tqs[ci]])
         hdr += _seg(0xC0, sof)
         hdr += _seg(0xC4, _dht_payload(0, 0, DC_LUMA_SPEC))
         hdr += _seg(0xC4, _dht_payload(1, 0, AC_LUMA_SPEC))
@@ -406,16 +468,17 @@ def _header_for(gray: bool, h: int, w: int, ncomp: int, tqs) -> bytes:
         sos += bytes([0, 63, 0])
         hdr += _seg(0xDA, sos)
         hdr = bytes(hdr)
-        _HEADER_CACHE[(gray, h, w)] = hdr
+        _HEADER_CACHE[(gray, h, w, samp)] = hdr
     return hdr
 
 
 def _jpeg_parse_coefs(payload: bytes):
     """Marker walk + LUT entropy decode of one baseline JPEG: returns
-    (h, w, ncomp, rows, qs) where ``rows`` is the per-component list of
-    per-block zigzag coefficient lists and ``qs`` the per-component
-    dequantization tables.  All structural validation lives here so the
-    (batchable) reconstruction stage can assume clean input."""
+    (h, w, samp, comp_coefs, qs) where ``comp_coefs`` is the
+    per-component list of (n_blocks_c, 64) zigzag coefficient arrays
+    and ``qs`` the per-component dequantization tables.  All structural
+    validation lives here so the (batchable) reconstruction stage can
+    assume clean input."""
     buf = bytes(payload)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -423,6 +486,7 @@ def _jpeg_parse_coefs(payload: bytes):
     qtabs: dict = {}
     htabs: dict = {}
     comps: list = []
+    samps: list = []
     h = w = None
     scan_comps: list = []
     scan_start = None
@@ -479,13 +543,11 @@ def _jpeg_parse_coefs(payload: bytes):
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
             comps = []
+            samps = []
             for ci in range(nc):
-                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
+                cid, sb, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, tq))
+                samps.append(sb)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
@@ -498,13 +560,22 @@ def _jpeg_parse_coefs(payload: bytes):
         pos += seglen
     if h is None or scan_start is None:
         raise ValueError("missing SOF0 or SOS")
-    if h % 8 or w % 8:
-        raise NotImplementedError(
-            "image dimensions not multiples of 8 (partial MCUs)"
-        )
     ncomp = len(scan_comps)
     if ncomp not in (1, 3) or len(comps) != ncomp:
         raise NotImplementedError("only 1- or 3-component scans supported")
+    if all(sb == 0x11 for sb in samps):
+        samp = "444"
+    elif samps == [0x22, 0x11, 0x11]:
+        samp = "420"
+    else:
+        raise NotImplementedError(
+            "only 4:4:4 (1x1) and 4:2:0 (2x2 luma) sampling supported"
+        )
+    mcu = 16 if samp == "420" else 8
+    if h % mcu or w % mcu:
+        raise NotImplementedError(
+            f"image dimensions not multiples of {mcu} (partial MCUs)"
+        )
 
     # Locate the end of the entropy-coded segment: the first 0xFF
     # followed by a non-stuffing byte is a marker (RSTn -> unsupported).
@@ -529,8 +600,11 @@ def _jpeg_parse_coefs(payload: bytes):
     sbuf = unstuffed + b"\x00\x00\x00\x00"
     from_bytes = int.from_bytes
     bit_pos = 0
-    nb = (h // 8) * (w // 8)
-    coef_planes = [np.zeros((nb, 64), dtype=np.int64) for _ in range(ncomp)]
+    nb_y = (h // 8) * (w // 8)
+    comp_nb = [
+        nb_y if (samp == "444" or ci == 0) else nb_y // 4
+        for ci in range(ncomp)
+    ]
     comp_tabs = []
     for ci in range(ncomp):
         _, dc_id, ac_id = scan_comps[ci]
@@ -540,60 +614,61 @@ def _jpeg_parse_coefs(payload: bytes):
             raise ValueError("scan references a missing Huffman table")
         comp_tabs.append((dct[0], dct[1], act[0], act[1]))
     prev_dc = [0] * ncomp
-    rows = [cp.tolist() for cp in coef_planes]
-    for b in range(nb):
-        for ci in range(ncomp):
-            dc_sym, dc_len, ac_sym, ac_len = comp_tabs[ci]
-            # 16-bit window -> one LUT probe per Huffman symbol
+    rows = [
+        np.zeros((nb, 64), dtype=np.int64).tolist() for nb in comp_nb
+    ]
+    for ci, b in _scan_schedule(samp, ncomp, h, w):
+        dc_sym, dc_len, ac_sym, ac_len = comp_tabs[ci]
+        # 16-bit window -> one LUT probe per Huffman symbol
+        i = bit_pos >> 3
+        window = (
+            from_bytes(sbuf[i:i + 4], "big")
+            >> (16 - (bit_pos & 7))
+        ) & 0xFFFF
+        ln = dc_len[window]
+        if not ln:
+            raise ValueError("invalid JPEG Huffman code")
+        size = dc_sym[window]
+        bit_pos += ln
+        if size:
+            i = bit_pos >> 3
+            v = (
+                from_bytes(sbuf[i:i + 4], "big")
+                >> (32 - (bit_pos & 7) - size)
+            ) & ((1 << size) - 1)
+            bit_pos += size
+            prev_dc[ci] += _extend(v, size)
+        zz = rows[ci][b]
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k <= 63:
             i = bit_pos >> 3
             window = (
                 from_bytes(sbuf[i:i + 4], "big")
                 >> (16 - (bit_pos & 7))
             ) & 0xFFFF
-            ln = dc_len[window]
+            ln = ac_len[window]
             if not ln:
                 raise ValueError("invalid JPEG Huffman code")
-            size = dc_sym[window]
+            rs = ac_sym[window]
             bit_pos += ln
-            if size:
-                i = bit_pos >> 3
-                v = (
-                    from_bytes(sbuf[i:i + 4], "big")
-                    >> (32 - (bit_pos & 7) - size)
-                ) & ((1 << size) - 1)
-                bit_pos += size
-                prev_dc[ci] += _extend(v, size)
-            zz = rows[ci][b]
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k <= 63:
-                i = bit_pos >> 3
-                window = (
-                    from_bytes(sbuf[i:i + 4], "big")
-                    >> (16 - (bit_pos & 7))
-                ) & 0xFFFF
-                ln = ac_len[window]
-                if not ln:
-                    raise ValueError("invalid JPEG Huffman code")
-                rs = ac_sym[window]
-                bit_pos += ln
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                i = bit_pos >> 3
-                v = (
-                    from_bytes(sbuf[i:i + 4], "big")
-                    >> (32 - (bit_pos & 7) - size)
-                ) & ((1 << size) - 1)
-                bit_pos += size
-                zz[k] = _extend(v, size)
-                k += 1
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = rs >> 4, rs & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            i = bit_pos >> 3
+            v = (
+                from_bytes(sbuf[i:i + 4], "big")
+                >> (32 - (bit_pos & 7) - size)
+            ) & ((1 << size) - 1)
+            bit_pos += size
+            zz[k] = _extend(v, size)
+            k += 1
     if bit_pos > real_bits:
         raise ValueError("truncated JPEG entropy stream")
     qs = []
@@ -608,56 +683,70 @@ def _jpeg_parse_coefs(payload: bytes):
     # compact numpy coefficients: callers may hold MANY parsed frames
     # before a batched reconstruct; nested Python int lists at that
     # scale are a GC catastrophe (measured 3x wall at 64x)
-    return h, w, ncomp, np.asarray(rows, dtype=np.int64), qs
+    return h, w, samp, [np.asarray(r, dtype=np.int64) for r in rows], qs
 
 
-def _jpeg_reconstruct(coef, qs, h: int, w: int):
-    """Batched dequantize + inverse DCT + color transform: ``coef`` is
-    (n, ncomp, nb, 64) zigzag coefficients for n SAME-SHAPE scans (the
-    MJPG hot path batches a whole video's frames here; stills pass
-    n=1).  Returns (n, h, w) grayscale or (n, h, w, 3) RGB uint8."""
-    n, ncomp, nb, _ = coef.shape
-    dezz = np.zeros((n, ncomp, nb, 64), dtype=np.int64)
-    dezz[:, :, :, ZIGZAG] = coef
-    spatial = _idct_blocks(
-        (dezz.reshape(n, ncomp, nb, 8, 8)
-         * np.stack(qs)[None, :, None, :, :]).astype(np.float64)
-    )
-    planes = (
-        spatial.reshape(n, ncomp, h // 8, w // 8, 8, 8)
-        .transpose(0, 1, 2, 4, 3, 5)
-        .reshape(n, ncomp, h, w)
-    ) + 128.0
-    if ncomp == 1:
-        return np.clip(np.round(planes[:, 0]), 0, 255).astype(np.uint8)
-    return _ycbcr_to_rgb(planes[:, 0], planes[:, 1], planes[:, 2])
+def _jpeg_reconstruct(comp_coefs, qs, h: int, w: int, samp: str):
+    """Batched dequantize + inverse DCT + color transform:
+    ``comp_coefs`` is the per-component list of (n, nb_c, 64) zigzag
+    coefficients for n SAME-SHAPE scans (the MJPG hot path batches a
+    whole video's frames here; stills pass n=1).  4:2:0 chroma planes
+    reconstruct at half resolution and upsample by replication —
+    exact for the constant-chroma fixture class.  Returns (n, h, w)
+    grayscale or (n, h, w, 3) RGB uint8."""
+    planes = []
+    for ci, coef in enumerate(comp_coefs):
+        hc, wc = (h, w) if (samp == "444" or ci == 0) else (h // 2, w // 2)
+        n, nb, _ = coef.shape
+        dezz = np.zeros((n, nb, 64), dtype=np.int64)
+        dezz[:, :, ZIGZAG] = coef
+        spatial = _idct_blocks(
+            (dezz.reshape(n, nb, 8, 8) * qs[ci][None, None]).astype(np.float64)
+        )
+        planes.append(
+            spatial.reshape(n, hc // 8, wc // 8, 8, 8)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, hc, wc) + 128.0
+        )
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    if samp == "420":
+        cb = cb.repeat(2, axis=1).repeat(2, axis=2)
+        cr = cr.repeat(2, axis=1).repeat(2, axis=2)
+    return _ycbcr_to_rgb(y, cb, cr)
 
 
 def jpeg_decode_frames(payloads):
     """Decode a list of SAME-SHAPE baseline JPEGs (an MJPG video's
     frames) with the reconstruction numpy stages batched across all of
-    them; raises ValueError if shapes or component counts differ."""
+    them; raises ValueError if shapes, sampling, or component counts
+    differ."""
     parsed = [_jpeg_parse_coefs(p) for p in payloads]
-    h, w, ncomp = parsed[0][0], parsed[0][1], parsed[0][2]
-    if any((p[0], p[1], p[2]) != (h, w, ncomp) for p in parsed):
+    h, w, samp = parsed[0][0], parsed[0][1], parsed[0][2]
+    ncomp = len(parsed[0][3])
+    if any(
+        (p[0], p[1], p[2], len(p[3])) != (h, w, samp, ncomp) for p in parsed
+    ):
         raise ValueError("jpeg_decode_frames requires same-shape frames")
-    coef = np.stack([p[3] for p in parsed]).reshape(
-        len(parsed), ncomp, -1, 64
-    )
-    return _jpeg_reconstruct(coef, parsed[0][4], h, w)
+    comp_coefs = [
+        np.stack([p[3][ci] for p in parsed]) for ci in range(ncomp)
+    ]
+    return _jpeg_reconstruct(comp_coefs, parsed[0][4], h, w, samp)
 
 
 def jpeg_decode(payload: bytes):
     """Decode a baseline sequential JPEG to (h, w) grayscale or
     (h, w, 3) RGB uint8.  Walks the marker stream, rebuilds the Huffman
-    codes from DHT (16-bit LUT), entropy-decodes the interleaved 4:4:4
-    scan with a flat peek-window bit reader over the pre-unstuffed
-    segment, dequantizes in zigzag order, and applies the inverse DCT
-    to every block of every component in one batched matmul (YCbCr back
-    to RGB for color).  Raises ValueError on truncation/corruption and
-    NotImplementedError on progressive / arithmetic / subsampled /
-    restart-interval files."""
-    h, w, ncomp, coef, qs = _jpeg_parse_coefs(payload)
+    codes from DHT (16-bit LUT), entropy-decodes the interleaved scan
+    (4:4:4 or 4:2:0 MCU order) with a flat peek-window bit reader over
+    the pre-unstuffed segment, dequantizes in zigzag order, and applies
+    the inverse DCT to every block of every component in one batched
+    matmul per component (YCbCr back to RGB for color, replication
+    chroma upsample for 4:2:0).  Raises ValueError on truncation/
+    corruption and NotImplementedError on progressive / arithmetic /
+    other-sampled / restart-interval files."""
+    h, w, samp, comp_coefs, qs = _jpeg_parse_coefs(payload)
     return _jpeg_reconstruct(
-        coef.reshape(1, ncomp, -1, 64), qs, h, w
+        [c[None] for c in comp_coefs], qs, h, w, samp
     )[0]

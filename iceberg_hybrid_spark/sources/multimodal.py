@@ -10,8 +10,9 @@ Six REAL decode paths exist with no external codec library: 24-bit
 uncompressed BMP (numpy header walk + padded BGR row slicing), 16-bit
 mono PCM WAV (RIFF chunk walk), 8-bit truecolor non-interlaced PNG
 (stdlib zlib inflate + the five spec scanline filters), baseline
-sequential JPEG (marker walk + canonical Huffman entropy decode +
-dequant + vectorized IDCT — sources/jpeg.py), uncompressed-RGB AVI
+sequential JPEG in 4:4:4 and 4:2:0 (marker walk + canonical Huffman
+entropy decode + dequant + vectorized IDCT — sources/jpeg.py),
+uncompressed-RGB AVI
 video (RIFF list walk + per-frame DIB slicing), and Motion-JPEG AVI
 (the same RIFF walk with per-frame JPEG decode).  Formats that
 genuinely need codec libraries absent from this container (progressive
@@ -913,7 +914,8 @@ def _avi_bih(w: int, h: int, size_image: int, compression: int = 0) -> bytes:
     )
 
 
-def avi_encode(frames, fps: int = 10, codec: str = "DIB ") -> bytes:
+def avi_encode(frames, fps: int = 10, codec: str = "DIB ",
+               mjpg_subsampling: str = "444") -> bytes:
     """Encode an (n, h, w, 3) uint8 RGB frame stack as an AVI:
     RIFF('AVI ') → LIST hdrl (avih main header + LIST strl with the
     'vids' stream header and a BITMAPINFOHEADER) → LIST movi with one
@@ -931,7 +933,7 @@ def avi_encode(frames, fps: int = 10, codec: str = "DIB ") -> bytes:
     if codec == "MJPG":
         from .jpeg import jpeg_encode_frames
 
-        frame_bytes = jpeg_encode_frames(a)
+        frame_bytes = jpeg_encode_frames(a, subsampling=mjpg_subsampling)
     elif codec == "DIB ":
         for f in range(n):
             rows = np.zeros((h, stride), dtype=np.uint8)
@@ -1326,14 +1328,18 @@ def media_mjpg_from_documents(docs: DataFrame) -> DataFrame:
     (R=G=B) constant 8x8 tiles —
 
         n = 2 + doc_id % 2,  fps = 8 + doc_id % 4
-        tiles_x = 2 + doc_id % 2,  tiles_y = 2 + doc_id % 3
+        tiles_x = 2 + 2 * (doc_id % 2),  tiles_y = 2 + 2 * ((doc_id % 4) // 2)
         v(f, tx, ty) = 60 + 2*((doc_id % 31) + 3*tx + 5*ty + 7*f)
 
-    Gray-valued even tiles are exact through BOTH the color transform
-    (coefficient rows summing to 1 / 0 keep Y = v, Cb = Cr = 128) and
-    the quantizer, so per-video statistics have closed forms; the 7*f
-    term makes first/last-frame means pin frame ORDER through the
-    container walk AND the per-frame entropy decode."""
+    Frames are encoded 4:2:0 — the dominant real-corpus MJPG profile
+    (even tile counts keep dims multiples of 16).  Gray-valued even
+    tiles are exact through the color transform (coefficient rows
+    summing to 1 / 0 keep Y = v, Cb = Cr = 128), the 2x2 chroma
+    downsample AND the replication upsample (constant chroma), and the
+    quantizer — so per-video statistics have closed forms despite two
+    nested lossy-in-general stages; the 7*f term makes first/last-frame
+    means pin frame ORDER through the container walk AND the per-frame
+    entropy decode."""
     import numpy as np
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1347,7 +1353,7 @@ def media_mjpg_from_documents(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 n = 2 + did % 2
-                tx, ty = 2 + did % 2, 2 + did % 3
+                tx, ty = 2 + 2 * (did % 2), 2 + 2 * ((did % 4) // 2)
                 gx = np.arange(tx)[None, None, :]
                 gy = np.arange(ty)[None, :, None]
                 gf = np.arange(n)[:, None, None]
@@ -1359,7 +1365,8 @@ def media_mjpg_from_documents(docs: DataFrame) -> DataFrame:
                     axis=3,
                 ).astype(np.uint8)
                 payloads.append(avi_encode(
-                    frames, fps=8 + did % 4, codec="MJPG"
+                    frames, fps=8 + did % 4, codec="MJPG",
+                    mjpg_subsampling="420",
                 ))
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].astype("int64"),

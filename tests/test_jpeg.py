@@ -130,6 +130,38 @@ def test_jpeg_damage_and_unsupported():
         jpeg_decode(p[:i] + dri + p[i:])
 
 
+def test_jpeg_420_exact_and_tolerance():
+    """4:2:0 — the dominant real-corpus profile: gray-valued even
+    tiles are exact (constant chroma makes the 2x2 average and the
+    replication upsample lossless); smooth color stays within the
+    lossy band; non-16-multiple dims and exotic sampling raise."""
+    rng = np.random.default_rng(9)
+    for _ in range(5):
+        th, tw = 2 * rng.integers(1, 4, 2)  # even tile counts
+        tiles = 2 * rng.integers(10, 118, (int(th), int(tw)))
+        gray_img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+        color = np.repeat(gray_img[:, :, None], 3, axis=2).astype(np.uint8)
+        dec = jpeg_decode(jpeg_encode(color, subsampling="420"))
+        assert (dec == color).all()
+    x, y = np.arange(32), np.arange(16)
+    c = np.zeros((16, 32, 3), np.uint8)
+    c[..., 0] = 40 + 2 * x[None, :]
+    c[..., 1] = 30 + 3 * y[:, None]
+    c[..., 2] = 90
+    dec = jpeg_decode(jpeg_encode(c, subsampling="420"))
+    assert np.abs(dec.astype(int) - c.astype(int)).max() <= 10
+    with pytest.raises(ValueError, match="16"):
+        jpeg_encode(np.zeros((8, 8, 3), np.uint8), subsampling="420")
+    # 2x1 sampling (4:2:2) is not implemented: patch the SOF samp byte
+    p = jpeg_encode(c, subsampling="420")
+    i = p.find(b"\xff\xc0")
+    bad = bytearray(p)
+    assert bad[i + 11] == 0x22  # Y sampling byte
+    bad[i + 11] = 0x21
+    with pytest.raises(NotImplementedError, match="sampling"):
+        jpeg_decode(bytes(bad))
+
+
 def test_mjpg_avi_roundtrip_exact_and_ordered():
     """MJPG extension of the AVI walker: gray-valued even tiles are
     exact through BOTH the color transform and the quantizer; the
@@ -167,6 +199,6 @@ def test_decode_media_routes_jpeg_and_mjpg(spark):
         assert r.height == 8 * (2 + r.media_id % 4)
     rows = decode_media(media_mjpg_from_documents(docs)).collect()
     for r in rows:
-        assert r.width == 8 * (2 + r.media_id % 2)
-        assert r.height == 8 * (2 + r.media_id % 3)
+        assert r.width == 8 * (2 + 2 * (r.media_id % 2))
+        assert r.height == 8 * (2 + 2 * ((r.media_id % 4) // 2))
         assert r.media_type == "video"

@@ -116,6 +116,13 @@ QUERIES = [
     "pipeline_health",
     "bmp_pixel_stats",
     "wav_audio_stats",
+    # round 11-12 codec paths + dedup composites
+    "png_pixel_stats",
+    "avi_video_stats",
+    "media_exact_dedup",
+    "video_frame_dedup",
+    "jpeg_pixel_stats",
+    "mjpg_video_stats",
 ]
 
 HEADER = """# Physical plan audit (sf0.1, AQE on)

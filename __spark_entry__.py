@@ -31,8 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose most recent driver correctness row is the oldest, topped up
 # with the oldest remaining vintage — so a checker that samples a
 # prefix of the registry always validates the least-validated code.
-# This tuple is EXACTLY the 50-entry driver window for round 12:
-# 3 new + 9 changed-implementation + ALL 29 remaining round-7-vintage
+# This tuple is EXACTLY the 51-entry driver window for round 12:
+# 4 new + 9 changed-implementation + ALL 29 remaining round-7-vintage
 # rows (the r7 cohort retires this round) + the 9 oldest round-8 rows
 # (registry declaration order; the remaining r8 rows lead round 13's
 # rotation).  It is a fixed list committed with the code — the registry
@@ -44,6 +44,7 @@ _PRIORITY: tuple[str, ...] = (
     "jpeg_pixel_stats",
     "mjpg_video_stats",
     "streaming_frame_dedup_replay",
+    "image_resize_stats",
     # implementation changed this round — prior rows validated old code:
     # png encode/decode vectorized into batched numpy (level-1 deflate);
     # span/cdc window identities moved from concat-string hashing to

@@ -158,6 +158,7 @@ HEADLINE = [
     "jpeg_pixel_stats",
     "mjpg_video_stats",
     "streaming_frame_dedup_replay",
+    "image_resize_stats",
 ]
 
 

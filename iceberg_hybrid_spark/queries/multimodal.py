@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.text import round_stable
 from ..sources.multimodal import (
     avi_video_features,
+    image_resize_features,
     jpeg_pixel_features,
     media_jpeg_from_documents,
     media_mjpg_from_documents,
@@ -784,6 +785,74 @@ ORDER BY v.video_id
 """
 
 
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE preprocessing stage of a training-data image pipeline,
+    value-gated end-to-end: per document a real 24-bit BMP (closed-form
+    linear gradients, 8..16 px sides) is encoded, really DECODED, and
+    nearest-neighbor-resized to a fixed 16x16 model-input grid; the
+    per-channel means and the two corner pixels of the RESIZED image
+    are reported.  Nearest-neighbor picks source pixel
+    ((i*h)//16, (j*w)//16) — pure integer arithmetic — so the oracle
+    replays the exact source coordinates in SQL (a 16-row unnest per
+    axis) and every statistic is exact: the decode, the orientation
+    (corner pixels), and the index map all sit on the gate.
+
+    Scale shape: two chained map-only Arrow stages — zero shuffle,
+    linear at any corpus size; a real deployment replaces the fixture
+    stage with a binary-file scan and the stats with a tensor write."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = image_resize_features(media_bmp_from_documents(docs))
+    return feats.select(
+        "media_id",
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        round_stable(F.col("mean_r"), 4).alias("mean_r"),
+        round_stable(F.col("mean_g"), 4).alias("mean_g"),
+        round_stable(F.col("mean_b"), 4).alias("mean_b"),
+        round_stable(F.col("top_left_r"), 4).alias("top_left_r"),
+        round_stable(F.col("bottom_right_b"), 4).alias("bottom_right_b"),
+    ).orderBy("media_id")
+
+
+# resized(i, j) channel c = base_c + cx*((j*w)//16) + cy*((i*h)//16);
+# the mean needs SUM_k (k*dim)//16 over k = 0..15 — an exact integer
+# sum the 16-row unnest computes; /16.0 is a power-of-two divide, exact
+# in binary doubles.
+IMAGE_RESIZE_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 9 AS INTEGER) AS w,
+         CAST(8 + (3 * doc_id) % 9 AS INTEGER) AS h
+  FROM documents
+), grid AS (
+  SELECT media_id, w, h, unnest(range(16)) AS k FROM dims
+), sums AS (
+  SELECT media_id,
+         SUM((k * w) // 16) AS sx,
+         SUM((k * h) // 16) AS sy
+  FROM grid GROUP BY media_id
+)
+SELECT d.media_id,
+       d.w AS src_width, d.h AS src_height,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       ROUND(CAST(d.media_id % 32 + 2 * s.sx / 16.0 + 3 * s.sy / 16.0
+                  AS DOUBLE) - 0.000000001, 4) + 0.0 AS mean_r,
+       ROUND(CAST((5 * d.media_id) % 32 + s.sx / 16.0 + 2 * s.sy / 16.0
+                  AS DOUBLE) - 0.000000001, 4) + 0.0 AS mean_g,
+       ROUND(CAST((11 * d.media_id) % 32 + 3 * s.sx / 16.0 + s.sy / 16.0
+                  AS DOUBLE) - 0.000000001, 4) + 0.0 AS mean_b,
+       ROUND(CAST(d.media_id % 32 AS DOUBLE) - 0.000000001, 4) + 0.0
+         AS top_left_r,
+       ROUND(CAST((11 * d.media_id) % 32 + 3 * ((15 * d.w) // 16)
+                  + ((15 * d.h) // 16) AS DOUBLE) - 0.000000001, 4) + 0.0
+         AS bottom_right_b
+FROM dims d JOIN sums s ON s.media_id = d.media_id
+ORDER BY d.media_id
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_metadata", multimodal_metadata, MULTIMODAL_METADATA_SQL,
               "binary payload + typed metadata projection"),
@@ -829,6 +898,11 @@ SPECS = [
               "REAL Motion-JPEG AVI decode (RIFF walk + per-frame "
               "JPEG entropy decode, frame-order-sensitive stats) vs "
               "closed-form tile oracle"),
+    QuerySpec("image_resize_stats", image_resize_stats,
+              IMAGE_RESIZE_STATS_SQL,
+              "training-pipeline image resize: real BMP decode + "
+              "nearest-neighbor index-map resize to the model input "
+              "grid, exact closed-form oracle incl. corner pixels"),
     QuerySpec("streaming_frame_dedup_replay", streaming_frame_dedup_replay,
               STREAMING_FRAME_DEDUP_REPLAY_SQL,
               "incremental frame-level video dedup: two sequential "

@@ -1421,6 +1421,80 @@ def mjpg_video_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(features, MJPG_FEATURES_SCHEMA)
 
 
+RESIZE_FEATURES_SCHEMA = SPARK_T.StructType([
+    SPARK_T.StructField("media_id", SPARK_T.LongType()),
+    SPARK_T.StructField("src_width", SPARK_T.IntegerType()),
+    SPARK_T.StructField("src_height", SPARK_T.IntegerType()),
+    SPARK_T.StructField("width", SPARK_T.IntegerType()),
+    SPARK_T.StructField("height", SPARK_T.IntegerType()),
+    SPARK_T.StructField("mean_r", SPARK_T.DoubleType()),
+    SPARK_T.StructField("mean_g", SPARK_T.DoubleType()),
+    SPARK_T.StructField("mean_b", SPARK_T.DoubleType()),
+    SPARK_T.StructField("top_left_r", SPARK_T.DoubleType()),
+    SPARK_T.StructField("bottom_right_b", SPARK_T.DoubleType()),
+])
+
+
+def resize_nearest(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, c) array by index maps —
+    out[i, j] = src[(i*h)//out_h, (j*w)//out_w], the standard
+    floor-scaled source-pixel pick (pure integer arithmetic, so a SQL
+    oracle can replay the exact source coordinates)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return arr[yi][:, xi]
+
+
+def image_resize_features(df: DataFrame, out_h: int = 16,
+                          out_w: int = 16) -> DataFrame:
+    """The resize stage of a training-data image pipeline: every REAL
+    image payload (BMP or PNG, dispatched by magic bytes) is decoded,
+    nearest-neighbor-resized to the model input size, and reduced to
+    per-channel statistics (corner pixels pin orientation through the
+    resize).  Arrow-batched mapInPandas, map-only — zero shuffle,
+    linear at any corpus size."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if b[:2] == b"BM":
+                    a = bmp_decode(b)
+                elif b[:8] == _PNG_SIG:
+                    a = png_decode(b)
+                else:
+                    raise NotImplementedError(
+                        "image_resize_features handles BMP/PNG payloads"
+                    )
+                sh, sw = a.shape[:2]
+                r = resize_nearest(a, out_h, out_w).astype("float64")
+                rows.append((
+                    int(mid), sw, sh, out_w, out_h,
+                    float(r[:, :, 0].mean()),
+                    float(r[:, :, 1].mean()),
+                    float(r[:, :, 2].mean()),
+                    float(r[0, 0, 0]),
+                    float(r[-1, -1, 2]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height", "width",
+                    "height", "mean_r", "mean_g", "mean_b",
+                    "top_left_r", "bottom_right_b",
+                ],
+            ).astype({
+                "src_width": "int32", "src_height": "int32",
+                "width": "int32", "height": "int32",
+            })
+
+    return df.mapInPandas(features, RESIZE_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, frame_size: int = 64, max_frames: int = 8) -> DataFrame:
     """Frame sampling for "video" payloads: fixed-size byte windows,
     exploded with frame indices — pure column ops (no Python loop over

@@ -566,3 +566,40 @@ def test_video_frame_dedup_matches_prefix_sharing(spark):
     # sanity: at least one PARTIAL reuse exists (dup_frames < n_frames
     # for some video) — the structure whole-file dedup cannot see
     assert any(dup < nf for nf, dup, _ in expected.values())
+
+
+def test_resize_nearest_index_map():
+    """Nearest-neighbor resize picks src[(i*h)//th, (j*w)//tw] exactly —
+    the integer index map the image_resize_stats oracle replays."""
+    import numpy as np
+
+    from iceberg_hybrid_spark.sources.multimodal import resize_nearest
+
+    rng = np.random.RandomState(4)
+    for (h, w, th, tw) in [(8, 16, 16, 16), (13, 9, 4, 7), (16, 16, 16, 16)]:
+        a = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        r = resize_nearest(a, th, tw)
+        assert r.shape == (th, tw, 3)
+        for i in (0, th // 2, th - 1):
+            for j in (0, tw // 2, tw - 1):
+                assert (r[i, j] == a[(i * h) // th, (j * w) // tw]).all()
+
+
+def test_image_resize_features_handles_png_too(spark):
+    """The resize stage dispatches by magic bytes: PNG payloads decode
+    through the real PNG path before the index-map resize."""
+    from iceberg_hybrid_spark.sources.multimodal import (
+        image_resize_features,
+        media_png_from_documents,
+    )
+    from iceberg_hybrid_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(4)
+    rows = image_resize_features(media_png_from_documents(docs)).collect()
+    for r in rows:
+        d = r.media_id
+        w, h = 8 + (5 * d) % 9, 8 + (7 * d) % 9
+        assert (r.src_width, r.src_height) == (w, h)
+        assert (r.width, r.height) == (16, 16)
+        # top-left resized pixel is the source origin: r(0,0) = d % 29
+        assert r.top_left_r == d % 29

@@ -54,7 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     # JPEG/MJPG routes; avi_encode's dwFlags fix changed AVI payload
     # bytes (fingerprint inputs for the dedup pair)
     "png_pixel_stats",
-    "span_duplication_report",
+    "strip_boilerplate_text",
     "cdc_chunk_overlap",
     "pipeline_health",
     "kmv_source_overlap_sketch",

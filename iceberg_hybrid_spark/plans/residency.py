@@ -27,7 +27,17 @@ def checkpoint_bounded(df: DataFrame, tag: str) -> DataFrame:
     previous checkpoint registered under ``tag`` for this SparkContext
     (reached through its LogicalRDD plan node — private JVM internals,
     guarded; the regression test fails if the block count grows)."""
-    ctx_key = (tag, df.sparkSession.sparkContext.applicationId)
+    app_id = df.sparkSession.sparkContext.applicationId
+    # Evict bookkeeping for OTHER applicationIds: a replaced
+    # SparkContext gets a fresh id, so entries under old ids are
+    # unreachable forever and would pin dead py4j handles in a
+    # long-lived driver (test suites, notebooks, schedulers).  The
+    # registry therefore serves one active context at a time — the
+    # library's own deployment shape; interleaving two live contexts
+    # would merely drop the older one's unpersist bookkeeping.
+    for k in [k for k in _CHECKPOINT_RESIDENCY if k[1] != app_id]:
+        _CHECKPOINT_RESIDENCY.pop(k, None)
+    ctx_key = (tag, app_id)
     prev = _CHECKPOINT_RESIDENCY.get(ctx_key)
     if prev is not None:
         try:

@@ -747,17 +747,23 @@ def streaming_frame_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     state.create(spark.createDataFrame([], FRAME_STATE_DDL))
     report = HyTable(spark, os.path.join(root, "report"))
     report.create(spark.createDataFrame(
-        [], "video_id bigint, n_frames bigint, novel_frames bigint"
+        [],
+        "video_id bigint, n_frames bigint, novel_frames bigint,"
+        " batch_seq bigint",
     ))
     half = docs.agg(
         F.floor((F.max("doc_id") + 1) / 2).cast("bigint")
     ).collect()[0][0]
-    for batch in (
+    for seq, batch in enumerate((
         avis.filter(F.col("media_id") < half),
         avis.filter(F.col("media_id") >= half),
-    ):
-        frame_dedup_ingest_batch(batch, state, report)
-    return report.read().orderBy("video_id")
+    )):
+        frame_dedup_ingest_batch(batch, state, report, batch_seq=seq)
+    return (
+        report.read()
+        .select("video_id", "n_frames", "novel_frames")
+        .orderBy("video_id")
+    )
 
 
 # fixture frame content is a pure function of (doc_id % 72, frame_idx);

@@ -293,6 +293,8 @@ def jpeg_encode_frames(frames, gray: bool | None = None,
     if gray is None:
         gray = a.ndim == 3
     n, h, w = a.shape[:3]
+    if n == 0:
+        return []
     if h % 8 or w % 8:
         raise ValueError("jpeg_encode requires dimensions divisible by 8")
     if gray:
@@ -629,6 +631,12 @@ def _jpeg_parse_coefs(payload: bytes):
         if not ln:
             raise ValueError("invalid JPEG Huffman code")
         size = dc_sym[window]
+        if size > 11:
+            # a crafted DHT can map a code to any byte; 8-bit baseline
+            # DC categories stop at 11 (T.81 Table F.1) — reject
+            # instead of decoding plausible garbage (or, past 25,
+            # letting the amplitude read hit a negative shift)
+            raise ValueError("invalid JPEG DC category")
         bit_pos += ln
         if size:
             i = bit_pos >> 3
@@ -729,10 +737,22 @@ def jpeg_decode_frames(payloads):
         (p[0], p[1], p[2], len(p[3])) != (h, w, samp, ncomp) for p in parsed
     ):
         raise ValueError("jpeg_decode_frames requires same-shape frames")
+    q0 = parsed[0][4]
+    same_q = all(
+        all((p[4][ci] == q0[ci]).all() for ci in range(ncomp))
+        for p in parsed[1:]
+    )
+    if not same_q:
+        # adaptive-quality MJPG legally varies DQT per frame: fall back
+        # to per-frame reconstruction with each frame's own tables
+        return np.stack([
+            _jpeg_reconstruct([c[None] for c in p[3]], p[4], h, w, samp)[0]
+            for p in parsed
+        ])
     comp_coefs = [
         np.stack([p[3][ci] for p in parsed]) for ci in range(ncomp)
     ]
-    return _jpeg_reconstruct(comp_coefs, parsed[0][4], h, w, samp)
+    return _jpeg_reconstruct(comp_coefs, q0, h, w, samp)
 
 
 def jpeg_decode(payload: bytes):

@@ -629,20 +629,24 @@ _PNG_BATCH_BUDGET = 32_000_000
 
 def png_decode_batch(payloads):
     """Decode a sequence of PNG payloads via the lockstep batched
-    un-filter, chunked so the padded working set stays bounded.
-    Returns a list of (h, w, 3) uint8 arrays in input order; raises on
-    the first structurally invalid payload exactly as png_decode
-    does."""
+    un-filter, chunked so the PADDED working set stays bounded: the
+    batch planes are (n, max_h, max_w*3), so the budget must price
+    every image at the chunk's running max dims — pricing actual
+    cells would let one tall plus one wide image pad each other into
+    an unbounded allocation.  Returns a list of (h, w, 3) uint8 arrays
+    in input order; raises on the first structurally invalid payload
+    exactly as png_decode does."""
     parsed = [_png_parse(bytes(p)) for p in payloads]
     results = []
-    chunk, cells = [], 0
+    chunk, max_w, max_h = [], 0, 0
     for item in parsed:
-        cost = item[0] * 3 * item[1]
-        if chunk and cells + cost > _PNG_BATCH_BUDGET:
+        w, h = item[0], item[1]
+        nw, nh = max(max_w, w), max(max_h, h)
+        if chunk and (len(chunk) + 1) * nh * nw * 3 > _PNG_BATCH_BUDGET:
             results.extend(_png_unfilter_batch(chunk))
-            chunk, cells = [], 0
+            chunk, nw, nh = [], w, h
         chunk.append(item)
-        cells += cost
+        max_w, max_h = nw, nh
     results.extend(_png_unfilter_batch(chunk))
     return results
 
@@ -947,14 +951,14 @@ def avi_encode(frames, fps: int = 10, codec: str = "DIB ",
 def avi_container(frame_bytes, h: int, w: int, fps: int,
                   codec: str = "DIB ") -> bytes:
     """Assemble an AVI container around already-encoded frame chunks —
-    the byte-assembly half of avi_encode, exposed so batch encoders
-    (``media_mjpg_from_documents`` groups frames across VIDEOS by shape
-    before one jpeg_encode_frames call) can wrap their own payloads."""
+    the byte-assembly half of avi_encode, factored out so callers that
+    encode frames elsewhere (e.g. a pre-encoded MJPG stream) can wrap
+    their own payloads."""
     n = len(frame_bytes)
     stride = (w * 3 + 3) // 4 * 4
     size_image = (
         h * stride if codec == "DIB "
-        else max(len(fb) for fb in frame_bytes)
+        else max((len(fb) for fb in frame_bytes), default=h * stride)
     )
 
     def chunk(cid: bytes, data: bytes) -> bytes:
@@ -1523,12 +1527,16 @@ def sample_frames(df: DataFrame, frame_size: int = 64, max_frames: int = 8) -> D
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize placeholder: passes metadata through with target dims set;
-    the pixel transform itself needs a codec (NotImplemented on access)."""
+    """Resize placeholder for payloads OUTSIDE the in-repo codec ladder
+    (real BMP/PNG resize exists: ``image_resize_features`` decodes and
+    nearest-neighbor-resizes those for real); formats needing external
+    codec libraries keep the honest NotImplementedError."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
-            "resize requires an image codec; wire PIL here off-container"
+            "resize beyond the in-repo BMP/PNG decode ladder "
+            "(image_resize_features) requires codec libraries absent "
+            "from this container; wire PIL here off-container"
         )
         yield  # pragma: no cover — generator marker
 

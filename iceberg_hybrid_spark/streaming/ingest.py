@@ -586,7 +586,9 @@ def start_hll_ingest(
 # it arrives instead of re-scanning the corpus.  State is narrow (one
 # row per distinct frame fingerprint), never the payload bytes.
 
-FRAME_STATE_DDL = "fp string, video_id bigint, frame_idx int"
+FRAME_STATE_DDL = (
+    "fp string, video_id bigint, frame_idx int, batch_seq bigint"
+)
 
 
 def video_frame_rows(batch_df: DataFrame,
@@ -635,20 +637,36 @@ def frame_dedup_ingest_batch(
     report: HyTable | None = None,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    batch_seq: int | None = None,
 ) -> int:
-    """Apply one micro-batch of videos: decode every frame, claim the
+    """Apply one micro-batch of videos: decode every frame ONCE (the
+    frame relation is checkpointed — decode is this operator's dominant
+    cost and feeds both the state anti-join and the report), claim the
     batch's FIRST occurrence of each new fingerprint (window by
     (video_id, frame_idx) — the same canonical-keeper rule as the batch
     operator), anti-join against the accumulated state, append the
     novel frames to the state table, and (optionally) append a
-    per-video report row (video_id, n_frames, novel_frames) to
-    ``report``.  Returns the number of novel frames.
+    per-video report row (video_id, n_frames, novel_frames, batch_seq)
+    to ``report``.  Returns the number of novel frames.
+
+    Effectively-once under at-least-once re-delivery when ``batch_seq``
+    is supplied (the streaming drain passes the foreachBatch id): state
+    rows carry the batch_seq that admitted them, the report is derived
+    from the STATE's rows for this batch_seq (so a retry that finds
+    zero new fingerprints still reports the original novel counts), and
+    a batch_seq already present in the report skips the append instead
+    of duplicating rows — the same torn-batch discipline as
+    cms_ingest_batch.
 
     Sequential micro-batches reproduce batch semantics exactly: a
     frame is novel iff no frame with the same fingerprint precedes it
     in (video_id, frame_idx) order across ALL batches, provided videos
     arrive in id order across batches (the replay oracle's contract)."""
-    frames = video_frame_rows(batch_df, id_col, payload_col)
+    seq = -1 if batch_seq is None else int(batch_seq)
+    frames = checkpoint_bounded(
+        video_frame_rows(batch_df, id_col, payload_col),
+        "frame_dedup_ingest_frames",
+    )
     w = Window.partitionBy("fp").orderBy("video_id", "frame_idx")
     first = (
         frames.withColumn("_rn", F.row_number().over(w))
@@ -664,12 +682,31 @@ def frame_dedup_ingest_batch(
     flagged = checkpoint_bounded(flagged, "frame_dedup_ingest_flagged")
     n = flagged.count()
     if n:
-        frame_state.append(flagged.select("fp", "video_id", "frame_idx"))
+        frame_state.append(
+            flagged.select(
+                "fp", "video_id", "frame_idx",
+                F.lit(seq).cast("bigint").alias("batch_seq"),
+            )
+        )
     if report is not None:
+        if batch_seq is not None and report.read().filter(
+            F.col("batch_seq") == seq
+        ).limit(1).count():
+            return n  # re-delivered batch: report rows already landed
+        # novel counts come from the STATE's rows for this batch_seq
+        # (not from `flagged`): a retry after a torn state-then-crash
+        # attempt sees flagged empty but the state remembers what this
+        # batch admitted.  batch_seq None (ad-hoc batch use) keeps the
+        # direct flagged counts.
+        novel_src = (
+            frame_state.read().filter(F.col("batch_seq") == seq)
+            if batch_seq is not None
+            else flagged
+        )
         per_video = (
             frames.select("video_id", "n_frames").distinct()
             .join(
-                flagged.groupBy("video_id")
+                novel_src.groupBy("video_id")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("novel_frames")),
                 "video_id",
                 "left",
@@ -678,6 +715,7 @@ def frame_dedup_ingest_batch(
                 "video_id",
                 F.col("n_frames").cast("bigint").alias("n_frames"),
                 F.coalesce("novel_frames", F.lit(0)).alias("novel_frames"),
+                F.lit(seq).cast("bigint").alias("batch_seq"),
             )
         )
         report.append(per_video)
@@ -697,8 +735,10 @@ def start_frame_dedup_ingest(
     and dedup frames incrementally against the fingerprint state table
     (see :func:`frame_dedup_ingest_batch`)."""
 
-    def drain(batch_df: DataFrame, _batch_id: int) -> None:
-        frame_dedup_ingest_batch(batch_df, frame_state, report)
+    def drain(batch_df: DataFrame, batch_id: int) -> None:
+        frame_dedup_ingest_batch(
+            batch_df, frame_state, report, batch_seq=batch_id
+        )
 
     writer = (
         spark.readStream.schema(schema)

@@ -58,13 +58,19 @@ def test_frame_dedup_ingest_batches_accumulate_state(spark, tmp_path):
     state.create(spark.createDataFrame([], FRAME_STATE_DDL))
     report = HyTable(spark, str(tmp_path / "report"))
     report.create(spark.createDataFrame(
-        [], "video_id bigint, n_frames bigint, novel_frames bigint"
+        [],
+        "video_id bigint, n_frames bigint, novel_frames bigint,"
+        " batch_seq bigint",
     ))
 
-    n1 = frame_dedup_ingest_batch(_videos(spark, 0, 72), state, report)
+    n1 = frame_dedup_ingest_batch(
+        _videos(spark, 0, 72), state, report, batch_seq=1
+    )
     # batch 1: every class is fresh — every frame novel
     assert n1 == sum(2 + d % 5 for d in range(72))
-    n2 = frame_dedup_ingest_batch(_videos(spark, 72, 144), state, report)
+    n2 = frame_dedup_ingest_batch(
+        _videos(spark, 72, 144), state, report, batch_seq=2
+    )
     assert 0 < n2 < sum(2 + d % 5 for d in range(72, 144))
 
     expected = _expected_novel(list(range(144)))
@@ -78,9 +84,22 @@ def test_frame_dedup_ingest_batches_accumulate_state(spark, tmp_path):
     })
     assert state.read().count() == n1 + n2 == distinct_frames
 
-    # re-delivery of batch 2 is a no-op
-    assert frame_dedup_ingest_batch(_videos(spark, 72, 144), state) == 0
+    # re-delivery of batch 2 is a no-op for the STATE and the REPORT
+    # (batch_seq 2 already reported — the cms-style torn-batch guard)
+    rows_before = report.read().count()
+    assert frame_dedup_ingest_batch(
+        _videos(spark, 72, 144), state, report, batch_seq=2
+    ) == 0
     assert state.read().count() == distinct_frames
+    assert report.read().count() == rows_before
+    # and the report rows still carry the ORIGINAL novel counts (they
+    # are derived from the state's batch_seq-tagged rows, not from the
+    # retry's empty novel set)
+    got2 = {
+        r.video_id: r.novel_frames
+        for r in report.read().filter("batch_seq = 2").collect()
+    }
+    assert got2 == {d: expected[d] for d in range(72, 144)}
 
 
 def test_start_frame_dedup_ingest_stream(spark, tmp_path):

@@ -474,6 +474,15 @@ def _header_for(gray: bool, h: int, w: int, ncomp: int, tqs,
     return hdr
 
 
+# single-entry header-parse cache: MJPG streams carry byte-identical
+# headers on every frame, so one exact byte-compare of the prefix
+# replaces the whole marker walk (identical bytes => identical parsed
+# state, including every validation the walk performs — the compare is
+# against the EXACT bytes up to SOS recorded when the state was built,
+# so there is no partial-prefix collision to reason about)
+_HEADER_PARSE_CACHE: dict = {"key": None, "state": None}
+
+
 def _jpeg_parse_coefs(payload: bytes):
     """Marker walk + LUT entropy decode of one baseline JPEG: returns
     (h, w, samp, comp_coefs, qs) where ``comp_coefs`` is the
@@ -484,6 +493,13 @@ def _jpeg_parse_coefs(payload: bytes):
     buf = bytes(payload)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    hk = _HEADER_PARSE_CACHE["key"]
+    if hk is not None and buf[:len(hk)] == hk:
+        (qtabs, htabs, comps, samps, h, w, scan_comps, scan_start,
+         samp) = _HEADER_PARSE_CACHE["state"]
+        return _jpeg_entropy_and_finish(
+            buf, qtabs, htabs, comps, h, w, scan_comps, scan_start, samp
+        )
     pos = 2
     qtabs: dict = {}
     htabs: dict = {}
@@ -578,7 +594,18 @@ def _jpeg_parse_coefs(payload: bytes):
         raise NotImplementedError(
             f"image dimensions not multiples of {mcu} (partial MCUs)"
         )
+    _HEADER_PARSE_CACHE["key"] = buf[:scan_start]
+    _HEADER_PARSE_CACHE["state"] = (
+        qtabs, htabs, comps, samps, h, w, scan_comps, scan_start, samp
+    )
+    return _jpeg_entropy_and_finish(
+        buf, qtabs, htabs, comps, h, w, scan_comps, scan_start, samp
+    )
 
+
+def _jpeg_entropy_and_finish(buf, qtabs, htabs, comps, h, w, scan_comps,
+                             scan_start, samp):
+    ncomp = len(scan_comps)
     # Locate the end of the entropy-coded segment: the first 0xFF
     # followed by a non-stuffing byte is a marker (RSTn -> unsupported).
     end = scan_start

@@ -481,6 +481,13 @@ def connected_components(
                     ).alias("component"),
                 )
             )
+        # Materialize FIRST, then read the fixpoint probe off the
+        # checkpointed rows: the old order ran the iteration's
+        # join+union+agg subtree twice per round (once for the changed
+        # count, once for the materialize) — counting against the
+        # checkpoint halves the per-iteration work (guide §1.2: remove
+        # redundant passes before tuning anything inside them).
+        new_labels = _materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -488,7 +495,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = _materialize(new_labels)  # truncate lineage
+        labels = new_labels
         if changed == 0:
             break
     if changed != 0:

@@ -535,11 +535,16 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_near_dup(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_near_dup(docs: DataFrame) -> DataFrame:
+def _minhash_near_dup(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Body of ``minhash_near_dup`` over an arbitrary documents relation
     (full corpus, or a hash-sample — banding and verify are per-pair, so
     the pair relation over a filtered corpus equals the full relation
-    restricted to surviving endpoints)."""
+    restricted to surviving endpoints).  ``ordered=False`` skips the
+    output sort for internal consumers (component labelling, agreement
+    aggregation) whose next step is a key shuffle that destroys the
+    order anyway — the global sort is a range exchange + sample pass
+    paid for nothing (guide §2.4: an orderBy used only to make output
+    deterministic)."""
     cands = D.minhash_lsh_candidates(docs, num_hashes=32, bands=16)
     d = docs.select("doc_id", T.shingle_hashes("text").alias("sh"))
     verified = (
@@ -558,7 +563,7 @@ def _minhash_near_dup(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.3)
     )
-    return verified.orderBy("id_a", "id_b")
+    return verified.orderBy("id_a", "id_b") if ordered else verified
 
 
 # The oracle is the *exact* pair relation the LSH path approximates; they
@@ -596,7 +601,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MINHASH_NEAR_DUP_SQL); cluster correctness additionally pinned in
     tests with planted duplicate groups."""
     docs = load_table(spark, sf_dir, "documents")
-    verified = minhash_near_dup(spark, sf_dir)
+    # unordered pair body: the component labelling shuffles by node id,
+    # so the public form's output sort would be pure overhead here
+    verified = _minhash_near_dup(docs, ordered=False)
     comps = D.connected_components(verified, "id_a", "id_b")
     kept = D.dedup_keep_canonical(docs, comps)
     return (
@@ -1494,10 +1501,10 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_near_dup(load_table(spark, sf_dir, "documents"))
 
 
-def _simhash_near_dup(docs: DataFrame) -> DataFrame:
+def _simhash_near_dup(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Body of ``simhash_near_dup`` over an arbitrary documents relation
     (banding and the hamming verify are per-pair — see
-    ``_minhash_near_dup``)."""
+    ``_minhash_near_dup``; ``ordered=False`` as there)."""
     d = D.simhash128_rel(docs, "text", "doc_id")
     chunks = d.select(
         "doc_id",
@@ -1527,7 +1534,8 @@ def _simhash_near_dup(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return cands.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+    out = cands.filter(F.col("hamming") <= 3)
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 def simhash_hamming_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1670,9 +1678,12 @@ def minhash_estimate_calibration_sampled(
 
 def _minhash_estimate_calibration(docs: DataFrame) -> DataFrame:
     d = docs.select("doc_id", T.shingle_hashes("text").alias("sh"))
-    sig = d.select(
-        "doc_id", D.minhash_from_hashes(F.col("sh"), 32).alias("sig")
-    )
+    # one per-doc relation carrying BOTH the shingle array and the
+    # 32-slot signature: the signature is a projection of the shingle
+    # fold, so deriving it in place (not via a d-join-sig) lets each
+    # downstream consumer evaluate the fold exactly once
+    feat = d.withColumn("sig", D.minhash_from_hashes(F.col("sh"), 32))
+    sig = feat.select("doc_id", "sig")
     slots = sig.select("doc_id", F.posexplode("sig")).toDF(
         "doc_id", "slot", "v"
     )
@@ -1691,11 +1702,18 @@ def _minhash_estimate_calibration(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # joined once per pair side (was four joins against two relations,
+    # each re-deriving the shingle fold — guide §2.4: two exchanges and
+    # one shingle_hashes evaluation per side instead of four/two)
     paired = (
-        cands.join(sig.selectExpr("doc_id AS id_a", "sig AS sig_a"), "id_a")
-        .join(sig.selectExpr("doc_id AS id_b", "sig AS sig_b"), "id_b")
-        .join(d.selectExpr("doc_id AS id_a", "sh AS sh_a"), "id_a")
-        .join(d.selectExpr("doc_id AS id_b", "sh AS sh_b"), "id_b")
+        cands.join(
+            feat.selectExpr("doc_id AS id_a", "sh AS sh_a", "sig AS sig_a"),
+            "id_a",
+        )
+        .join(
+            feat.selectExpr("doc_id AS id_b", "sh AS sh_b", "sig AS sig_b"),
+            "id_b",
+        )
     )
     stats = (
         paired.select(
@@ -1814,21 +1832,45 @@ def _dedup_modality_agreement(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    mh = _minhash_near_dup(docs).select("id_a", "id_b")
-    sh = _simhash_near_dup(docs).select(
+    mh = _minhash_near_dup(docs, ordered=False).select("id_a", "id_b")
+    sh = _simhash_near_dup(docs, ordered=False).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
-    universe = exact.union(mh).union(sh).distinct()
-    flags = (
-        universe.join(
-            exact.withColumn("e", F.lit(1)), ["id_a", "id_b"], "left"
+    # Single-pass membership: tag each (distinct) pair relation with its
+    # modality flag, union them, and MAX-aggregate per pair — the flag
+    # triple is identical to the old universe-distinct + three LeftOuter
+    # joins (a pair is in the universe iff some tagged row exists, and
+    # each flag is 1 iff that modality contributed a row), but the plan
+    # references each pair relation ONCE and replaces a union-distinct
+    # plus three SortMergeJoins with one hash aggregate on (id_a, id_b)
+    # (plans/r12/dedup_modality_agreement_before.txt: every modality
+    # subtree appeared twice).  Guide §2.4 / §2.3: one exchange, fewer
+    # shuffled bytes.
+    def _tag(rel: DataFrame, e: int, m: int, s: int) -> DataFrame:
+        return rel.select(
+            "id_a",
+            "id_b",
+            F.lit(e).alias("e"),
+            F.lit(m).alias("m"),
+            F.lit(s).alias("s"),
         )
-        .join(mh.withColumn("m", F.lit(1)), ["id_a", "id_b"], "left")
-        .join(sh.withColumn("s", F.lit(1)), ["id_a", "id_b"], "left")
+
+    tagged = (
+        _tag(exact, 1, 0, 0)
+        .union(_tag(mh, 0, 1, 0))
+        .union(_tag(sh, 0, 0, 1))
+    )
+    flags = (
+        tagged.groupBy("id_a", "id_b")
+        .agg(
+            F.max("e").alias("e"),
+            F.max("m").alias("m"),
+            F.max("s").alias("s"),
+        )
         .selectExpr(
-            "CAST(COALESCE(e, 0) AS INT) AS in_exact",
-            "CAST(COALESCE(m, 0) AS INT) AS in_minhash",
-            "CAST(COALESCE(s, 0) AS INT) AS in_simhash",
+            "CAST(e AS INT) AS in_exact",
+            "CAST(m AS INT) AS in_minhash",
+            "CAST(s AS INT) AS in_simhash",
         )
     )
     return (
@@ -1869,7 +1911,9 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR_DUP_CLUSTERS_SQL recall-1.0 argument), identical split-bucket
     text."""
     docs = load_table(spark, sf_dir, "documents")
-    verified = minhash_near_dup(spark, sf_dir)
+    # unordered pair body: the component labelling shuffles by node id,
+    # so the public form's output sort would be pure overhead here
+    verified = _minhash_near_dup(docs, ordered=False)
     comps = D.connected_components(verified, "id_a", "id_b")
     assigned = docs.join(
         comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
@@ -1888,19 +1932,36 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         T.token_count("text").alias("tc"),
     )
+    # One (component, split) aggregate materialized ONCE feeds all three
+    # downstream reductions — the old plan evaluated the full `tagged`
+    # subtree (docs ⋈ components + md5 split + tokenization) three
+    # separate times (straddle, per_split, and per_split again under
+    # `total`); (component, split) is unique per group, so per-split
+    # n_docs/n_clusters/total_tokens and the straddle count are exact
+    # derivations (guide §1.2: remove redundant passes first).  Bounded:
+    # one row per (component, split) — at most one per document.
+    from ..plans.residency import checkpoint_bounded
+
+    g1 = checkpoint_bounded(
+        tagged.groupBy("component", "split").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nd"),
+            F.sum("tc").cast("bigint").alias("tt"),
+        ),
+        "cluster_aware_split_g1",
+    )
     straddle = (
-        tagged.groupBy("component")
-        .agg(F.countDistinct("split").alias("ns"))
+        g1.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("ns"))
         .agg(
             F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
             .cast("bigint")
             .alias("straddling_clusters")
         )
     )
-    per_split = tagged.groupBy("split").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.countDistinct("component").alias("n_clusters"),
-        F.sum("tc").cast("bigint").alias("total_tokens"),
+    per_split = g1.groupBy("split").agg(
+        F.sum("nd").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("tt").cast("bigint").alias("total_tokens"),
     )
     total = per_split.agg(F.sum("n_docs").alias("tot"))
     return (
@@ -2140,7 +2201,9 @@ def cluster_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive min-label CTE (same recall-1.0 argument as
     MINHASH_NEAR_DUP_SQL) and the same window rule."""
     docs = load_table(spark, sf_dir, "documents")
-    verified = minhash_near_dup(spark, sf_dir)
+    # unordered pair body: the component labelling shuffles by node id,
+    # so the public form's output sort would be pure overhead here
+    verified = _minhash_near_dup(docs, ordered=False)
     comps = D.connected_components(verified, "id_a", "id_b")
     sized = comps.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"

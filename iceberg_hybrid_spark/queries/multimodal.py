@@ -427,12 +427,16 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SPARK_T.StructField("fp", SPARK_T.StringType()),
         ]),
     )
-    keepers = frames.groupBy("fp").agg(
-        F.min("video_id").alias("keep_video"),
-        F.count(F.lit(1)).alias("grp"),
-    )
+    # One window pass on the fingerprint shuffle (the oracle's own MIN
+    # OVER PARTITION formulation) instead of groupBy + self-join, which
+    # re-ran the whole per-frame decode subtree on both join sides —
+    # same restructure as media_exact_dedup (guide §2.4).
+    from pyspark.sql import Window
+
     stars = (
-        frames.join(keepers.hint("shuffle_hash"), "fp")
+        frames.withColumn(
+            "keep_video", F.min("video_id").over(Window.partitionBy("fp"))
+        )
         .filter(F.col("video_id") != F.col("keep_video"))
     )
     return (
@@ -516,12 +520,20 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(media_avi_from_documents(docs))
     )
     fps = decode_media(media).select("media_id", "media_type", "fingerprint")
-    keepers = fps.groupBy("media_type", "fingerprint").agg(
-        F.min("media_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
+    # Keeper assignment as ONE window pass over the fingerprint shuffle
+    # (min + count over the same partition spec — exactly the oracle's
+    # own formulation) instead of a groupBy + self-join: the join form
+    # duplicated the entire encode+decode subtree on both sides of the
+    # ShuffledHashJoin (plans/r12/media_exact_dedup_before.txt shows the
+    # 4-codec Union + MapInPandas chain TWICE), so every payload was
+    # encoded and really decoded twice per run.  One shuffle, one decode
+    # pass, identical star rows (guide §2.4: share the exchange).
+    from pyspark.sql import Window
+
+    grp = Window.partitionBy("media_type", "fingerprint")
     stars = (
-        fps.join(keepers.hint("shuffle_hash"), ["media_type", "fingerprint"])
+        fps.withColumn("keep_id", F.min("media_id").over(grp))
+        .withColumn("group_size", F.count(F.lit(1)).over(grp))
         .filter(
             (F.col("group_size") > 1)
             & (F.col("media_id") != F.col("keep_id"))

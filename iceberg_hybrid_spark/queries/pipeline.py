@@ -2696,7 +2696,15 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = edges.join(outw, "src")
+    # Materialize the graph ONCE: the five unrolled PageRank rounds each
+    # reference `e` (and `nodes`) — without the checkpoint the corpus
+    # tokenization/explode subtree is re-planned per round into a
+    # 5-deep nested plan (guide §3.3: materialize to truncate very wide
+    # iterated plans).  Both relations are Heaps-law vocabulary-sized —
+    # the bounded class localCheckpoint is for; residency-bounded like
+    # the kmv bottom-k sketch.
+    e = _checkpoint_bounded(edges.join(outw, "src"), "textrank_edges")
+    nodes = _checkpoint_bounded(nodes, "textrank_nodes")
     scores = nodes.select("token", F.expr("CAST(1.0 AS DOUBLE)").alias("s"))
     for _ in range(5):
         contrib = (
@@ -4218,50 +4226,71 @@ def _media_health(docs_s: DataFrame) -> DataFrame:
     from ..sources.multimodal import media_png_from_documents, png_decode
 
     png = media_png_from_documents(docs_s)
-    corrupted = png.withColumn(
-        "payload",
-        F.when(
-            F.col("media_id") % 7 == 3,
-            F.expr("substring(payload, 1, octet_length(payload) - 6)"),
-        ).otherwise(F.col("payload")),
-    )
 
+    # ONE pass over the sample's PNG payloads computing BOTH health
+    # signals (the old form ran the PNG encoder twice — once under the
+    # decode-attempt branch, once under the dup-rate aggregate): per
+    # payload, the decode attempt runs against the same deterministic
+    # 1-in-7 truncation (payload[:-6] ≡ the former JVM substring — the
+    # IEND clip the CRC'd chunk walk must reject) while the fingerprint
+    # is md5 over the ORIGINAL bytes.  Both rates then come from one
+    # aggregate, reshaped to the two dashboard rows with an explode
+    # (guide §1.2 / §2.4: one encoder pass, one aggregation).
     def attempts(batches):
+        import hashlib
+
         for pdf in batches:
-            oks = []
-            for p in pdf["payload"]:
+            oks, fps = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                fps.append(hashlib.md5(b).hexdigest())
+                if int(mid) % 7 == 3:
+                    b = b[:-6]
                 try:
-                    png_decode(bytes(p))
+                    png_decode(b)
                     oks.append(1)
                 except (ValueError, NotImplementedError):
                     oks.append(0)
-            yield pd.DataFrame({"ok": pd.Series(oks, dtype="int32")})
+            yield pd.DataFrame({
+                "ok": pd.Series(oks, dtype="int32"),
+                "fp": pd.Series(fps, dtype="object"),
+            })
 
     import pandas as pd  # noqa: F811 — worker-side import
     from pyspark.sql import types as SPARK_T
 
-    ok_df = corrupted.mapInPandas(
+    ok_df = png.mapInPandas(
         attempts,
-        SPARK_T.StructType([SPARK_T.StructField("ok", SPARK_T.IntegerType())]),
+        SPARK_T.StructType([
+            SPARK_T.StructField("ok", SPARK_T.IntegerType()),
+            SPARK_T.StructField("fp", SPARK_T.StringType()),
+        ]),
     )
-    err = ok_df.agg(
-        (1 - F.avg("ok")).alias("rate")
-    ).selectExpr(
-        "'media_health' AS tag",
-        "'png_decode_error_rate' AS metric",
-        "ROUND(rate - 0.000000001, 4) + 0.0 AS value",
-        "CAST(CASE WHEN rate > 0.1 THEN 1 ELSE 0 END AS INT) AS alert",
+    return (
+        ok_df.agg(
+            (1 - F.avg("ok")).alias("err_rate"),
+            (1 - F.countDistinct("fp") / F.count(F.lit(1))).alias(
+                "dup_rate"
+            ),
+        )
+        .selectExpr(
+            "explode(array("
+            " named_struct('metric', 'png_decode_error_rate',"
+            "  'value', ROUND(err_rate - 0.000000001, 4) + 0.0,"
+            "  'alert', CAST(CASE WHEN err_rate > 0.1 THEN 1 ELSE 0 END"
+            "           AS INT)),"
+            " named_struct('metric', 'png_dup_rate',"
+            "  'value', ROUND(dup_rate - 0.000000001, 4) + 0.0,"
+            "  'alert', CAST(CASE WHEN dup_rate > 0.5 THEN 1 ELSE 0 END"
+            "           AS INT)))) AS row"
+        )
+        .selectExpr(
+            "'media_health' AS tag",
+            "row.metric AS metric",
+            "row.value AS value",
+            "row.alert AS alert",
+        )
     )
-    dup = png.agg(
-        (1 - F.countDistinct(F.md5("payload")) / F.count(F.lit(1)))
-        .alias("rate")
-    ).selectExpr(
-        "'media_health' AS tag",
-        "'png_dup_rate' AS metric",
-        "ROUND(rate - 0.000000001, 4) + 0.0 AS value",
-        "CAST(CASE WHEN rate > 0.5 THEN 1 ELSE 0 END AS INT) AS alert",
-    )
-    return err.unionByName(dup)
 
 
 def _pipeline_health_sql() -> str:

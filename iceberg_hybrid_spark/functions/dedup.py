@@ -431,6 +431,21 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    def _free(df: DataFrame | None) -> None:
+        # Unpersist a SUPERSEDED checkpoint's blocks (same guarded
+        # LogicalRDD reach-through as plans/residency.py).  Without
+        # this every fixpoint iteration of every invocation leaves its
+        # label snapshot resident for the life of the SparkContext —
+        # the accumulation class the r12 round bounded for the kmv and
+        # pipeline_health checkpoints, and a measurable monotonic drag
+        # on long sessions (the bench loops this operator's consumers).
+        if df is None:
+            return
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -447,18 +462,36 @@ def connected_components(
         "component", F.col("node")
     )
     changed = 1
+    prev_checkpoint: DataFrame | None = None
     for it in range(max_iter):
         # (a) one hop: candidate label per node = min over its own and
-        # neighbors' labels
+        # neighbors' labels.  The node's OWN (previous) label rides the
+        # same aggregate as a second agg column: each node contributes
+        # exactly one `labels` row (prev = its old component) and its
+        # neighbor rows carry a typed NULL, so max(prev) IS the old
+        # label — the fixpoint probe below then reads new-vs-old off
+        # the materialized rows alone, replacing the per-iteration
+        # new⋈old join (two label-relation shuffles + a join per round)
+        # with a filter over the checkpoint (guide §2.4).
+        null_comp = F.when(F.lit(False), F.col("component"))
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), F.col("component"))
+            .select(
+                F.col("src").alias("node"),
+                F.col("component"),
+                null_comp.alias("prev"),
+            )
         )
         hopped = (
-            labels.select("node", "component")
+            labels.select(
+                "node", "component", F.col("component").alias("prev")
+            )
             .union(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("prev").alias("prev"),
+            )
         )
         if it < jump_after:
             new_labels = hopped
@@ -479,6 +512,7 @@ def connected_components(
                     F.coalesce(
                         F.col("p_comp"), F.col("component")
                     ).alias("component"),
+                    F.col("prev"),
                 )
             )
         # Materialize FIRST, then read the fixpoint probe off the
@@ -489,15 +523,21 @@ def connected_components(
         # redundant passes before tuning anything inside them).
         new_labels = _materialize(new_labels)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the previous iteration's label checkpoint is superseded the
+        # moment the new one is materialized — free its blocks (the
+        # FINAL iteration's checkpoint is the return value and stays)
+        _free(prev_checkpoint)
+        prev_checkpoint = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
+    # the edge checkpoint served only the loop; the returned labels are
+    # a materialized RDD that no longer references it
+    _free(edges)
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
@@ -507,6 +547,13 @@ def connected_components(
             f"> 2^{max_iter - jump_after}; raise max_iter or investigate "
             "the pair relation for pathological structure."
         )
+    # the ONE surviving checkpoint (the final labels) is registry-bounded
+    # across invocations: the next fixpoint run frees it, same
+    # consume-then-discard contract as every other tag (plans/residency)
+    from ..plans.residency import register_checkpointed
+
+    if prev_checkpoint is not None:
+        register_checkpointed(prev_checkpoint, "connected_components_labels")
     return labels.select(F.col("node"), F.col("component"))
 
 

@@ -27,7 +27,18 @@ def checkpoint_bounded(df: DataFrame, tag: str) -> DataFrame:
     previous checkpoint registered under ``tag`` for this SparkContext
     (reached through its LogicalRDD plan node — private JVM internals,
     guarded; the regression test fails if the block count grows)."""
-    app_id = df.sparkSession.sparkContext.applicationId
+    return register_checkpointed(df.localCheckpoint(eager=True), tag)
+
+
+def register_checkpointed(out: DataFrame, tag: str) -> DataFrame:
+    """Bounded-residency registration for an ALREADY-checkpointed
+    DataFrame: free the previous checkpoint registered under ``tag``
+    (same contract as :func:`checkpoint_bounded` — the caller of
+    invocation N must consume its result before invocation N+1 runs).
+    For operators that materialize internally (e.g. the
+    connected-components fixpoint, whose return value IS its final
+    iteration's checkpoint) and only need the cross-invocation bound."""
+    app_id = out.sparkSession.sparkContext.applicationId
     # Evict bookkeeping for OTHER applicationIds: a replaced
     # SparkContext gets a fresh id, so entries under old ids are
     # unreachable forever and would pin dead py4j handles in a
@@ -44,6 +55,5 @@ def checkpoint_bounded(df: DataFrame, tag: str) -> DataFrame:
             prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             pass  # a stopped/replaced SparkContext: nothing to free
-    out = df.localCheckpoint(eager=True)
     _CHECKPOINT_RESIDENCY[ctx_key] = out
     return out

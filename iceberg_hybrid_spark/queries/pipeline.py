@@ -2703,10 +2703,38 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterated plans).  Both relations are Heaps-law vocabulary-sized —
     # the bounded class localCheckpoint is for; residency-bounded like
     # the kmv bottom-k sketch.
-    e = _checkpoint_bounded(edges.join(outw, "src"), "textrank_edges")
+    # The checkpointed graph is pre-partitioned on the per-round join key
+    # (src): every power-iteration join then reuses the LogicalRDD's
+    # hash partitioning and only the (small) score relation is shuffled
+    # per round (guide §2.4: two operations keyed the same way share one
+    # exchange).
+    e = _checkpoint_bounded(
+        edges.join(outw, "src").repartition(F.col("src")), "textrank_edges"
+    )
     nodes = _checkpoint_bounded(nodes, "textrank_nodes")
-    scores = nodes.select("token", F.expr("CAST(1.0 AS DOUBLE)").alias("s"))
-    for _ in range(5):
+    # Per-round domain restriction (guide §2.4 — remove joins outright):
+    # only s(src) for edge sources feeds the next round, and the edge
+    # relation is SYMMETRIC (src and dst sets are equal), so every edge
+    # source appears in every round's `contrib` with cs > 0 (weights
+    # positive, scores >= 0.15 > 0).  Rounds therefore propagate the
+    # contrib-derived scores directly — same COALESCE step expression,
+    # cs provably non-null — and the full `nodes` domain (which adds
+    # the isolated-node rows at s = (1-d) + d·0) is restored by ONE
+    # left join after the last round, exactly when the output needs it.
+    # Round 1 folds the constant s0 = 1.0 in place of its join
+    # (x * 1.0 is IEEE-exact for the positive finite w/outw).  Plan:
+    # 5 graph joins + 5 domain joins -> 4 graph joins + 1 domain join,
+    # bit-identical output (oracle re-checked at sf0.001/sf0.01).
+    contrib = (
+        e.select(
+            F.col("dst").alias("token"),
+            (F.col("w") / F.col("outw") * F.lit(1.0)).alias("c"),
+        )
+        .groupBy("token")
+        .agg(F.sum("c").alias("cs"))
+    )
+    for _ in range(4):
+        scores = contrib.selectExpr("token", f"{_TEXTRANK_STEP} AS s")
         contrib = (
             e.join(scores, e["src"] == scores["token"])
             .select(
@@ -2716,9 +2744,9 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("token")
             .agg(F.sum("c").alias("cs"))
         )
-        scores = nodes.join(contrib, "token", "left").selectExpr(
-            "token", f"{_TEXTRANK_STEP} AS s"
-        )
+    scores = nodes.join(contrib, "token", "left").selectExpr(
+        "token", f"{_TEXTRANK_STEP} AS s"
+    )
     return (
         scores.select(
             "token", T.round_stable(F.col("s"), 4).alias("textrank")

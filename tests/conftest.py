@@ -1,8 +1,11 @@
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+# the tree THIS conftest sits in — a hardcoded /root/repo here makes a
+# worktree's test run silently import the main tree's package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from iceberg_hybrid_spark.session import get_spark
 

@@ -52,7 +52,15 @@ def main() -> None:
         q: {"A": [], "B": []} for q in args.queries
     }
     for p in range(args.n):
-        for label, tree in (("A", args.tree_a), ("B", args.tree_b)):
+        # Alternate which tree goes first each pass: with a fixed A,B
+        # order, any monotonic within-session drift (block/metadata
+        # accumulation, JIT state) systematically lands on B — measured
+        # as a ~1.1x B/A ratio on IDENTICAL code.  A,B / B,A / A,B ...
+        # balances the mean position of both labels.
+        order = (("A", args.tree_a), ("B", args.tree_b))
+        if p % 2:
+            order = tuple(reversed(order))
+        for label, tree in order:
             specs = load_specs(tree)
             for name in args.queries:
                 t0 = time.perf_counter()
@@ -60,19 +68,27 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 results[name][label].append(dt)
             print(f"pass {p} {label} done", flush=True)
-    print(f"\n{'query':42s} {'A_med':>8s} {'B_med':>8s} {'A_min':>8s} {'B_min':>8s}  B/A")
+    print(f"\n{'query':42s} {'A_med':>8s} {'B_med':>8s} {'A_min':>8s} {'B_min':>8s}  B/A  pairB/A")
     ta = tb = 0.0
     for name in args.queries:
         am = statistics.median(results[name]["A"])
         bm = statistics.median(results[name]["B"])
         ta += am
         tb += bm
+        # median of per-pass paired ratios: robust to between-pass drift
+        # (each pass's A and B run adjacently under ~the same ambient)
+        pr = statistics.median(
+            b / a for a, b in zip(results[name]["A"], results[name]["B"])
+        )
         print(
             f"{name:42s} {am:8.3f} {bm:8.3f} "
             f"{min(results[name]['A']):8.3f} {min(results[name]['B']):8.3f}"
-            f"  {bm / am:.2f}"
+            f"  {bm / am:.2f}  {pr:.2f}"
         )
     print(f"{'TOTAL(median)':42s} {ta:8.3f} {tb:8.3f}")
+    import json as _json
+
+    print("RAW " + _json.dumps(results))
 
 
 if __name__ == "__main__":

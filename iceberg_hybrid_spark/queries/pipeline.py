@@ -2158,15 +2158,46 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ("scan", "merge", "vector")
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
-    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    # ONE tokenize+explode pass serves both the per-doc length and the
+    # query-term frequencies (guide §1.2: the old form ran the corpus
+    # explode twice — once under the dl aggregate, once under the
+    # filtered tf aggregate); the shared groupBy(doc_id) partitioning is
+    # then reused by the scoring join.  tf rows for absent terms unpivot
+    # to NULL and are dropped, so the (doc_id, w, tf) relation is
+    # row-identical to the filtered two-pass form.
+    g = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.count(F.when(F.col("w") == t, F.lit(1)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    lens = g.select("doc_id", "dl")
     stats = lens.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     tf = (
-        tok.filter(F.col("w").isin(*terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        g.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("w"),
+                            F.when(
+                                F.col(f"tf_{i}") > 0, F.col(f"tf_{i}")
+                            ).alias("tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", F.col("e.w").alias("w"), F.col("e.tf").alias("tf"))
+        .filter(F.col("tf").isNotNull())
     )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (

@@ -1124,8 +1124,16 @@ def pq_append_index(
     # surviving copy encodes identically.
     fresh = fresh.dropDuplicates([id_col])
     delta = pq_encode(fresh, codebooks, sub, vec_col).drop(vec_col)
-    # align to the persisted schema (column order + any extra columns)
-    delta = delta.select(*codes.columns).localCheckpoint(eager=True)
+    # align to the persisted schema (column order + any extra columns);
+    # registry-bounded: the delta is consumed by the append below, so
+    # the next invocation may free it (one resident checkpoint per tag
+    # instead of one per append — plans/residency.py)
+    from ..plans.residency import register_checkpointed
+
+    delta = register_checkpointed(
+        delta.select(*codes.columns).localCheckpoint(eager=True),
+        "pq_append_delta",
+    )
     n = delta.count()
     if n:
         codes_table.append(delta)
@@ -1154,7 +1162,13 @@ def ivfpq_append_index(
     fresh = fresh.dropDuplicates([id_col])  # within-batch redelivery
     assigned = assign_frozen_centers(fresh, centers, vec_col, centroid_col)
     delta = pq_encode(assigned, codebooks, sub, vec_col).drop(vec_col)
-    delta = delta.select(*codes.columns).localCheckpoint(eager=True)
+    # registry-bounded like pq_append_index's delta
+    from ..plans.residency import register_checkpointed
+
+    delta = register_checkpointed(
+        delta.select(*codes.columns).localCheckpoint(eager=True),
+        "ivfpq_append_delta",
+    )
     n = delta.count()
     if n:
         codes_table.append(delta)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pytest
 
+from iceberg_hybrid_spark.queries.lake_ops import embedding_pq_ann_appended
 from iceberg_hybrid_spark.queries.pipeline import (
     _checkpoint_bounded,
     kmv_source_overlap_sketch,
@@ -59,8 +60,9 @@ def test_checkpoint_bounded_tags_are_independent(spark):
 
 
 @pytest.mark.parametrize(
-    "op", [pipeline_health, kmv_source_overlap_sketch],
-    ids=["pipeline_health", "kmv_sketch"],
+    "op",
+    [pipeline_health, kmv_source_overlap_sketch, embedding_pq_ann_appended],
+    ids=["pipeline_health", "kmv_sketch", "pq_append"],
 )
 def test_scheduled_operators_do_not_accumulate_blocks(spark, op):
     """Three scheduled runs of each checkpointing operator: the

@@ -225,6 +225,25 @@ def main() -> None:
     # per-query run spread (max - min): when a round-over-round delta is
     # inside the spread it is scheduler noise, not a plan change
     spreads = {name: round(max(ts) - min(ts), 3) for name, ts in samples.items()}
+    # pass-1 wall time per query (additions-only, r12 verdict item 7):
+    # the PQ/IVF ANN queries memoise trained codebooks + encoded corpus
+    # within one SparkSession (applicationId-scoped, never crosses bench
+    # processes), so their pass-2/3 samples — and hence the median — are
+    # warm-serving numbers.  Pass 1 is the honest end-to-end
+    # build+encode+serve cost; report it separately instead of hiding it.
+    first_pass = {name: round(ts[0], 3) for name, ts in samples.items()}
+    ann_session_memo = [
+        n
+        for n in (
+            "embedding_pq_ann",
+            "embedding_ivfpq_ann",
+            "embedding_pq_ann_persisted",
+            "embedding_ivfpq_ann_persisted",
+            "embedding_pq_ann_appended",
+            "embedding_ann_recall_curve",
+        )
+        if n in samples
+    ]
 
     total = round(sum(timings.values()), 3)
     value_min = round(sum(floors.values()), 3)
@@ -256,6 +275,10 @@ def main() -> None:
         "queries": timings,
         "queries_min": floors,
         "queries_spread": spreads,
+        "queries_first_pass": first_pass,
+        # medians for these are warm-serving (session ANN memo); their
+        # build+serve end-to-end cost is queries_first_pass[name]
+        "ann_build_serve_note": ann_session_memo,
         "value_min": value_min,
         "sf": sf,
         "load_avg": load_avg,
@@ -280,6 +303,12 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # r12 verdict item 1: the driver's per-query comparison (PERF_r*.json)
+    # parses the printed line itself — BENCH_DETAIL.json alone left it
+    # with n_common=0 / null geomean two rounds running.  Re-embed the
+    # per-query map, rounded to 2 dp so the line stays ~3 KB (well inside
+    # the driver's stdout tail).  Full-precision medians/floors/spreads
+    # remain in BENCH_DETAIL.json.
     print(
         json.dumps(
             {
@@ -289,6 +318,7 @@ def main() -> None:
                 "runs": runs,
                 "method": "median",
                 "n_queries": len(HEADLINE),
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "value_min": value_min,
                 "sf": sf,
                 "load_avg_1m": load_avg[0] if load_avg else None,

@@ -413,6 +413,20 @@ def connected_components(
     dedup.  Returns (node_id, component_id) with component_id = min
     member id.
 
+    RETURN CONTRACT (bounded checkpoint residency): the returned
+    DataFrame is the final iteration's localCheckpoint, registered
+    under the cross-invocation tag ``connected_components_labels`` —
+    the NEXT invocation of this function in the same SparkContext
+    frees its blocks (plans/residency.py).  Consume (collect/write/
+    re-checkpoint) invocation N's result — including any lazy query
+    plan embedding it — BEFORE invocation N+1 runs; executing it
+    afterwards fails with missing-block errors.  Every in-repo
+    consumer (near_dup_clusters, cluster_aware_split,
+    cluster_quality_canonicals, streaming_neardup_ingest) builds and
+    consumes serially, which satisfies the contract;
+    tests/test_cc_residency.py pins both the bound and this
+    consume-before-next-invocation behavior.
+
     Fault-tolerance note: the fixpoint loop truncates lineage by
     checkpointing.  When the session has a checkpoint dir
     (``sc.setCheckpointDir`` — the right call on a real cluster with
@@ -431,20 +445,13 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    def _free(df: DataFrame | None) -> None:
-        # Unpersist a SUPERSEDED checkpoint's blocks (same guarded
-        # LogicalRDD reach-through as plans/residency.py).  Without
-        # this every fixpoint iteration of every invocation leaves its
-        # label snapshot resident for the life of the SparkContext —
-        # the accumulation class the r12 round bounded for the kmv and
-        # pipeline_health checkpoints, and a measurable monotonic drag
-        # on long sessions (the bench loops this operator's consumers).
-        if df is None:
-            return
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+    # Unpersist a SUPERSEDED checkpoint's blocks.  Without this every
+    # fixpoint iteration of every invocation leaves its label snapshot
+    # resident for the life of the SparkContext — the accumulation
+    # class the r12 round bounded for the kmv and pipeline_health
+    # checkpoints, and a measurable monotonic drag on long sessions
+    # (the bench loops this operator's consumers).
+    from ..plans.residency import free_checkpoint as _free
 
     edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -539,6 +546,10 @@ def connected_components(
     # a materialized RDD that no longer references it
     _free(edges)
     if changed != 0:
+        # the final iteration's checkpoint has no consumer on this
+        # path — free it before raising, or every failed invocation
+        # leaks one label snapshot for the life of the SparkContext
+        _free(prev_checkpoint)
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
             "iterations — labels are still moving and would be WRONG if "

@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame
 _CHECKPOINT_RESIDENCY: dict = {}
 
 
+def free_checkpoint(df: DataFrame | None) -> None:
+    """Unpersist a checkpointed DataFrame's materialized blocks.
+
+    The ONE shared copy of the guarded LogicalRDD reach-through
+    (private JVM internals — a Spark upgrade that changes the py4j
+    surface breaks exactly this function, nowhere else).  Safe on
+    None, on never-persisted frames, and on stopped/replaced contexts:
+    failures mean there is nothing to free."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def checkpoint_bounded(df: DataFrame, tag: str) -> DataFrame:
     """localCheckpoint(eager) with bounded residency: unpersist the
     previous checkpoint registered under ``tag`` for this SparkContext
@@ -49,11 +65,6 @@ def register_checkpointed(out: DataFrame, tag: str) -> DataFrame:
     for k in [k for k in _CHECKPOINT_RESIDENCY if k[1] != app_id]:
         _CHECKPOINT_RESIDENCY.pop(k, None)
     ctx_key = (tag, app_id)
-    prev = _CHECKPOINT_RESIDENCY.get(ctx_key)
-    if prev is not None:
-        try:
-            prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass  # a stopped/replaced SparkContext: nothing to free
+    free_checkpoint(_CHECKPOINT_RESIDENCY.get(ctx_key))
     _CHECKPOINT_RESIDENCY[ctx_key] = out
     return out

@@ -2715,7 +2715,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = nodes.select(F.col("token").alias("a"))
     nb = nodes.select(F.col("token").alias("b"))
     qual = pair_counts.join(na, "a").join(nb, "b")
-    # undirected: each adjacency contributes both directions
+    # undirected: each adjacency contributes both directions.
+    # INVARIANT the power-iteration restructure below depends on: this
+    # two-direction union makes src and dst sets EQUAL (every src is a
+    # dst with positive weight), which is what lets the per-round
+    # isolated-node domain join be deferred to one final left join.
+    # Making the graph directed here — or weight-filtering one
+    # direction — would silently change scores, not fail.
     edges = (
         qual.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
         .unionByName(

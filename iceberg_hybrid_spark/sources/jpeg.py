@@ -148,12 +148,13 @@ _ENC_TABLES["ac"] = [
 
 
 def _build_decode_lut(spec):
-    """(BITS, HUFFVAL) -> 16-bit prefix lookup: two 65536-entry lists,
-    ``sym[window]`` and ``length[window]`` (length 0 = invalid code).
-    One list index replaces up to 16 per-bit dictionary probes — the
-    table-driven decoder every fast JPEG implementation uses.  Built
-    with numpy slice fills (one per code) and converted to Python lists
-    (faster scalar indexing than numpy)."""
+    """(BITS, HUFFVAL) -> 16-bit prefix lookup: ``sym[window]`` and
+    ``length[window]`` (length 0 = invalid code), each as BOTH a Python
+    list (fastest scalar indexing, used by the per-stream decoder) and
+    the underlying int32 numpy array (vectorized gather, used by the
+    cross-stream lockstep decoder).  One index replaces up to 16
+    per-bit dictionary probes — the table-driven decoder every fast
+    JPEG implementation uses."""
     bits, vals = spec
     sym = np.zeros(1 << 16, dtype=np.int32)
     ln = np.zeros(1 << 16, dtype=np.int32)
@@ -167,7 +168,7 @@ def _build_decode_lut(spec):
             code += 1
             k += 1
         code <<= 1
-    return sym.tolist(), ln.tolist()
+    return sym.tolist(), ln.tolist(), sym, ln
 
 
 # decode LUTs cached by the DHT payload bytes: table construction costs
@@ -268,11 +269,18 @@ def _rgb_to_ycbcr(a):
 
 
 def _ycbcr_to_rgb(y, cb, cr):
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    """y plus CENTERED chroma (caller passes cb-128, cr-128): the
+    centering runs once and round/clip run in place — value-identical
+    to the textbook form (same products, same per-element operation
+    order), fewer float64 temporaries (the batched decode path is
+    memory-bandwidth-bound here)."""
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
     out = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    np.round(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)
 
 
 def jpeg_encode_frames(frames, gray: bool | None = None,
@@ -474,32 +482,32 @@ def _header_for(gray: bool, h: int, w: int, ncomp: int, tqs,
     return hdr
 
 
-# single-entry header-parse cache: MJPG streams carry byte-identical
-# headers on every frame, so one exact byte-compare of the prefix
-# replaces the whole marker walk (identical bytes => identical parsed
-# state, including every validation the walk performs — the compare is
-# against the EXACT bytes up to SOS recorded when the state was built,
-# so there is no partial-prefix collision to reason about)
-_HEADER_PARSE_CACHE: dict = {"key": None, "state": None}
+# bounded multi-entry header-parse cache: MJPG streams carry
+# byte-identical headers on every frame and still-image corpora reuse a
+# handful of (dims, tables) combinations, so one exact byte-compare of
+# the prefix replaces the whole marker walk (identical bytes =>
+# identical parsed state, including every validation the walk performs
+# — the compare is against the EXACT bytes up to SOS recorded when the
+# state was built; parsing stops at the first SOS, so any buffer
+# starting with a cached prefix parses identically to it).  Multi-entry
+# (r13): the old single-entry cache thrashed on corpora that interleave
+# a few distinct shapes — e.g. the 12-shape jpeg_pixel_stats fixture
+# missed on EVERY image.
+_HEADER_STATE_CACHE: dict = {}
+_HEADER_STATE_CACHE_MAX = 64
 
 
-def _jpeg_parse_coefs(payload: bytes):
-    """Marker walk + LUT entropy decode of one baseline JPEG: returns
-    (h, w, samp, comp_coefs, qs) where ``comp_coefs`` is the
-    per-component list of (n_blocks_c, 64) zigzag coefficient arrays
-    and ``qs`` the per-component dequantization tables.  All structural
-    validation lives here so the (batchable) reconstruction stage can
-    assume clean input."""
-    buf = bytes(payload)
+def _jpeg_parse_header(buf: bytes):
+    """Marker walk of one baseline JPEG up to SOS: returns the parsed
+    header state ``(qtabs, htabs, comps, samps, h, w, scan_comps,
+    scan_start, samp)``, serving byte-identical header prefixes from
+    the bounded cache.  All structural validation up to the scan lives
+    here."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
-    hk = _HEADER_PARSE_CACHE["key"]
-    if hk is not None and buf[:len(hk)] == hk:
-        (qtabs, htabs, comps, samps, h, w, scan_comps, scan_start,
-         samp) = _HEADER_PARSE_CACHE["state"]
-        return _jpeg_entropy_and_finish(
-            buf, qtabs, htabs, comps, h, w, scan_comps, scan_start, samp
-        )
+    for hk, state in _HEADER_STATE_CACHE.items():
+        if buf.startswith(hk):
+            return state
     pos = 2
     qtabs: dict = {}
     htabs: dict = {}
@@ -594,20 +602,33 @@ def _jpeg_parse_coefs(payload: bytes):
         raise NotImplementedError(
             f"image dimensions not multiples of {mcu} (partial MCUs)"
         )
-    _HEADER_PARSE_CACHE["key"] = buf[:scan_start]
-    _HEADER_PARSE_CACHE["state"] = (
-        qtabs, htabs, comps, samps, h, w, scan_comps, scan_start, samp
-    )
+    if len(_HEADER_STATE_CACHE) >= _HEADER_STATE_CACHE_MAX:
+        _HEADER_STATE_CACHE.clear()
+    state = (qtabs, htabs, comps, samps, h, w, scan_comps, scan_start, samp)
+    _HEADER_STATE_CACHE[buf[:scan_start]] = state
+    return state
+
+
+def _jpeg_parse_coefs(payload: bytes):
+    """Marker walk + LUT entropy decode of one baseline JPEG: returns
+    (h, w, samp, comp_coefs, qs) where ``comp_coefs`` is the
+    per-component list of (n_blocks_c, 64) zigzag coefficient arrays
+    and ``qs`` the per-component dequantization tables.  All structural
+    validation lives here so the (batchable) reconstruction stage can
+    assume clean input."""
+    buf = bytes(payload)
+    (qtabs, htabs, comps, samps, h, w, scan_comps, scan_start,
+     samp) = _jpeg_parse_header(buf)
     return _jpeg_entropy_and_finish(
         buf, qtabs, htabs, comps, h, w, scan_comps, scan_start, samp
     )
 
 
-def _jpeg_entropy_and_finish(buf, qtabs, htabs, comps, h, w, scan_comps,
-                             scan_start, samp):
-    ncomp = len(scan_comps)
-    # Locate the end of the entropy-coded segment: the first 0xFF
-    # followed by a non-stuffing byte is a marker (RSTn -> unsupported).
+def _entropy_segment(buf: bytes, scan_start: int) -> bytes:
+    """Locate, validate, and unstuff the entropy-coded segment: the
+    first 0xFF followed by a non-stuffing byte is a marker (RSTn ->
+    unsupported); one C-speed ``replace`` removes the 0xFF00 stuffing;
+    the EOI trailer must exist past the scan (truncation check)."""
     end = scan_start
     L = len(buf)
     while True:
@@ -622,10 +643,17 @@ def _jpeg_entropy_and_finish(buf, qtabs, htabs, comps, h, w, scan_comps,
         if 0xD0 <= nxt <= 0xD7:
             raise NotImplementedError("JPEG restart markers not supported")
         break
-    # one C-speed pass removes the stuffing; 4 zero bytes allow a flat
-    # 4-byte window peek at the tail
-    unstuffed = buf[scan_start:end].replace(b"\xff\x00", b"\xff")
+    if b"\xff\xd9" not in buf[end:]:
+        raise ValueError("truncated JPEG: no EOI marker")
+    return buf[scan_start:end].replace(b"\xff\x00", b"\xff")
+
+
+def _jpeg_entropy_and_finish(buf, qtabs, htabs, comps, h, w, scan_comps,
+                             scan_start, samp):
+    ncomp = len(scan_comps)
+    unstuffed = _entropy_segment(buf, scan_start)
     real_bits = 8 * len(unstuffed)
+    # 4 zero bytes allow a flat 4-byte window peek at the tail
     sbuf = unstuffed + b"\x00\x00\x00\x00"
     from_bytes = int.from_bytes
     bit_pos = 0
@@ -712,9 +740,6 @@ def _jpeg_entropy_and_finish(buf, qtabs, htabs, comps, h, w, scan_comps,
         if q is None:
             raise ValueError("component references a missing DQT table")
         qs.append(q)
-    # verify the EOI trailer exists (truncation after the scan)
-    if b"\xff\xd9" not in buf[end:]:
-        raise ValueError("truncated JPEG: no EOI marker")
     # compact numpy coefficients: callers may hold MANY parsed frames
     # before a batched reconstruct; nested Python int lists at that
     # scale are a GC catastrophe (measured 3x wall at 64x)
@@ -744,42 +769,352 @@ def _jpeg_reconstruct(comp_coefs, qs, h: int, w: int, samp: str):
             .reshape(n, hc, wc) + 128.0
         )
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        out = planes[0]
+        np.round(out, out=out)
+        np.clip(out, 0, 255, out=out)
+        return out.astype(np.uint8)
     y, cb, cr = planes
     if samp == "420":
-        cb = cb.repeat(2, axis=1).repeat(2, axis=2)
-        cr = cr.repeat(2, axis=1).repeat(2, axis=2)
-    return _ycbcr_to_rgb(y, cb, cr)
+        # chroma products at QUARTER resolution, then replication-
+        # upsampled: up() is element replication, so every per-pixel
+        # product equals the full-resolution one bit-for-bit, and the
+        # add/subtract order against y is unchanged — value-identical
+        # to upsample-then-transform at a quarter of the float traffic.
+        cbc = cb - 128.0
+        crc = cr - 128.0
+
+        def up(p):
+            return p.repeat(2, axis=1).repeat(2, axis=2)
+
+        r = y + up(1.402 * crc)
+        g = y - up(0.344136 * cbc)
+        g -= up(0.714136 * crc)
+        b = y + up(1.772 * cbc)
+        out = np.stack([r, g, b], axis=-1)
+        np.round(out, out=out)
+        np.clip(out, 0, 255, out=out)
+        return out.astype(np.uint8)
+    return _ycbcr_to_rgb(y, cb - 128.0, cr - 128.0)
+
+
+# Lockstep decode: below this many same-header streams the vectorized
+# state machine's per-step numpy-call overhead loses to the scalar
+# per-stream loop (measured crossover ~4-8 streams on this class of
+# payload); at or above it, every step decodes one Huffman symbol for
+# EVERY stream at once.
+_LOCKSTEP_MIN = 8
+# bound one lockstep slab's working set (the (streams x bytes) window
+# matrix is ~5x payload bytes)
+_LOCKSTEP_MAX_BYTES = 64 << 20
+
+
+def _decode_group_lockstep(bufs, state):
+    """Entropy-decode N baseline JPEGs that share one identical header
+    prefix (same dims/sampling/tables — hence the same MCU schedule) in
+    LOCKSTEP: one vectorized step decodes the next Huffman symbol of
+    every still-active stream (guide §4.2 — frames/images are
+    independent, so the format's bit-level sequential dependency only
+    binds WITHIN a stream; across streams the bit cursors advance as a
+    numpy vector).  Returns (flat, err) where ``flat`` is the
+    (N, total_blocks*64) zigzag coefficient matrix and ``err`` marks
+    streams that diverged (invalid code / bad category / run overflow /
+    truncated stream) — the caller re-runs those through the scalar
+    decoder, which reproduces the exact per-payload exception, so the
+    lockstep path only ever SERVES streams it decoded cleanly."""
+    (qtabs, htabs, comps, samps, h, w, scan_comps, scan_start,
+     samp) = state
+    ncomp = len(scan_comps)
+    N = len(bufs)
+    err = np.zeros(N, dtype=bool)
+    segs = []
+    for j, buf in enumerate(bufs):
+        try:
+            segs.append(_entropy_segment(buf, scan_start))
+        except Exception:
+            segs.append(b"")
+            err[j] = True
+    lens = np.fromiter((len(s) for s in segs), dtype=np.int64, count=N)
+    real_bits = lens * 8
+    maxlen = int(lens.max()) + 8
+    B = np.zeros((N, maxlen), dtype=np.uint8)
+    for j, s in enumerate(segs):
+        if s:
+            B[j, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    b32 = B.astype(np.uint32)
+    # big-endian 32-bit window starting at every byte offset: the same
+    # flat 4-byte peek the scalar reader does, for all streams at once
+    W = (
+        (b32[:, :-3] << 24)
+        | (b32[:, 1:-2] << 16)
+        | (b32[:, 2:-1] << 8)
+        | b32[:, 3:]
+    ).astype(np.int64)
+    max_i = W.shape[1] - 1
+
+    def _tabs(tclass, sel_idx):
+        out_sym, out_len = [], []
+        for ci in range(ncomp):
+            t = htabs.get((tclass, scan_comps[ci][sel_idx]))
+            if t is None:
+                raise ValueError("scan references a missing Huffman table")
+            out_sym.append(t[2])
+            out_len.append(t[3])
+        return (
+            np.stack(out_sym).astype(np.int64),
+            np.stack(out_len).astype(np.int64),
+        )
+
+    dc_sym, dc_len = _tabs(0, 1)
+    ac_sym, ac_len = _tabs(1, 2)
+
+    sched = _scan_schedule(samp, ncomp, h, w)
+    M = len(sched)
+    sched_ci = np.fromiter((c for c, _ in sched), dtype=np.int64, count=M)
+    nb_y = (h // 8) * (w // 8)
+    comp_nb = [
+        nb_y if (samp == "444" or ci == 0) else nb_y // 4
+        for ci in range(ncomp)
+    ]
+    comp_off = np.concatenate(
+        ([0], np.cumsum(comp_nb))
+    )[:ncomp].astype(np.int64)
+    sched_off = np.fromiter(
+        ((comp_off[c] + b) * 64 for c, b in sched), dtype=np.int64, count=M
+    )
+    total = int(sum(comp_nb))
+    flat = np.zeros((N, total * 64), dtype=np.int64)
+
+    # flat views: 1-D ``take``/scatter beats 2-D fancy indexing, and the
+    # loop below runs once per Huffman SYMBOL — its numpy dispatch count
+    # is the whole cost model
+    Wstride = W.shape[1]
+    Wf = W.ravel()
+    dc_sym_f, dc_len_f = dc_sym.ravel(), dc_len.ravel()
+    ac_sym_f, ac_len_f = ac_sym.ravel(), ac_len.ravel()
+    flat_f = flat.ravel()
+    row_w = total * 64
+
+    # per-stream state, kept COMPACTED to active streams; a stream that
+    # diverges (invalid code / DC category / run overflow) is flagged
+    # in ``err`` and ejected by forcing its schedule index to M
+    sid = np.flatnonzero(~err).astype(np.int64)
+    pos = np.zeros(sid.size, dtype=np.int64)
+    m = np.zeros(sid.size, dtype=np.int64)
+    k = np.zeros(sid.size, dtype=np.int64)
+    in_ac = np.zeros(sid.size, dtype=bool)
+    prev_dc = np.zeros((sid.size, ncomp), dtype=np.int64)
+    one = np.int64(1)
+    while sid.size:
+        wbase = sid * Wstride
+        win = (
+            Wf.take(wbase + np.minimum(pos >> 3, max_i))
+            >> (16 - (pos & 7))
+        ) & 0xFFFF
+        ci = sched_ci.take(m)
+        lut = ci * 65536 + win
+        # mode snapshot BEFORE the DC step flips streams to AC: a
+        # stream decodes exactly ONE symbol per iteration
+        start_ac = in_ac.copy()
+        dix = np.flatnonzero(~start_ac)
+        if dix.size:
+            ln = dc_len_f.take(lut.take(dix))
+            size = dc_sym_f.take(lut.take(dix))
+            bd = (ln == 0) | (size > 11)
+            if bd.any():
+                size = np.where(bd, 0, size)
+                b = dix[bd]
+                err[sid.take(b)] = True
+                m[b] = M  # eject through the finished path
+            p2 = pos.take(dix) + ln
+            v = (
+                Wf.take(wbase.take(dix) + np.minimum(p2 >> 3, max_i))
+                >> (32 - (p2 & 7) - size)
+            ) & ((one << size) - 1)
+            half = (one << size) >> 1  # size 0 -> 0: extend(0,0)=0 holds
+            c_d = ci.take(dix)
+            dcv = prev_dc[dix, c_d] + v - (v < half) * (2 * half - 1)
+            prev_dc[dix, c_d] = dcv
+            # min() clamp: ejected (err) streams carry m == M; their
+            # row is garbage by contract and never served
+            flat_f[
+                sid.take(dix) * row_w
+                + sched_off.take(np.minimum(m.take(dix), M - 1))
+            ] = dcv
+            pos[dix] = p2 + size
+            in_ac[dix] = True
+            k[dix] = 1
+        aix = np.flatnonzero(start_ac)
+        if aix.size:
+            ln = ac_len_f.take(lut.take(aix))
+            rs = ac_sym_f.take(lut.take(aix))
+            bd = ln == 0
+            if bd.any():
+                rs = np.where(bd, 0, rs)  # forced EOB keeps math valid
+                b = aix[bd]
+                err[sid.take(b)] = True
+                m[b] = M
+            p2 = pos.take(aix) + ln
+            eob = rs == 0
+            zrl = rs == 0xF0
+            other = ~(eob | zrl)
+            kk = k.take(aix) + np.where(zrl, 16, other * (rs >> 4))
+            overrun = other & (kk > 63)  # "AC run past end of block"
+            if overrun.any():
+                b = aix[overrun]
+                err[sid.take(b)] = True
+                m[b] = M
+                other = other & ~overrun
+            size = other * (rs & 15)
+            v = (
+                Wf.take(wbase.take(aix) + np.minimum(p2 >> 3, max_i))
+                >> (32 - (p2 & 7) - size)
+            ) & ((one << size) - 1)
+            half = (one << size) >> 1
+            val = v - (v < half) * (2 * half - 1)
+            wsel = np.flatnonzero(other)
+            asel = aix.take(wsel)
+            flat_f[
+                sid.take(asel) * row_w
+                + sched_off.take(m.take(asel))
+                + np.minimum(kk.take(wsel), 63)
+            ] = val.take(wsel)
+            kk = kk + other
+            blk_done = eob | (kk > 63)
+            pos[aix] = p2 + size
+            k[aix] = kk * ~blk_done
+            m[aix] += blk_done
+            in_ac[aix] = ~blk_done
+        finished = m >= M
+        if finished.any():
+            # the scalar reader checks stream truncation once, at the
+            # end of the schedule — replicate exactly (ejected err
+            # streams pass through here too; err is already set)
+            err[sid[finished & (pos > real_bits.take(sid))]] = True
+            keep = ~finished
+            sid, pos, m, k, in_ac = (
+                sid[keep], pos[keep], m[keep], k[keep], in_ac[keep]
+            )
+            prev_dc = prev_dc[keep]
+    return flat, err, comp_off, comp_nb
+
+
+def jpeg_decode_batch(payloads):
+    """Decode MANY independent baseline JPEGs (the cross-stream hot
+    path: a whole Arrow batch of stills, or every frame of every video
+    in a batch).  Payloads sharing an identical pre-scan header (same
+    dims/sampling/tables) are grouped; groups of >= ``_LOCKSTEP_MIN``
+    entropy-decode in lockstep (one vectorized step per Huffman symbol
+    across all streams) and reconstruct in one batched dequant+IDCT per
+    slab; smaller groups and any stream the lockstep flags take the
+    scalar per-payload path, which also reproduces exact per-payload
+    errors.  Returns decoded arrays in input order; raises the
+    earliest-index payload's error, matching a caller that decodes
+    sequentially."""
+    n = len(payloads)
+    out: list = [None] * n
+    errors: dict = {}
+    groups: dict = {}
+    for idx in range(n):
+        buf = bytes(payloads[idx])
+        try:
+            state = _jpeg_parse_header(buf)
+        except Exception as e:  # noqa: BLE001 — re-raised by index below
+            errors[idx] = e
+            continue
+        groups.setdefault(id(state), (state, []))[1].append((idx, buf))
+
+    def _scalar(idx, buf):
+        try:
+            h, w, samp, comp_coefs, qs = _jpeg_parse_coefs(buf)
+            out[idx] = _jpeg_reconstruct(
+                [c[None] for c in comp_coefs], qs, h, w, samp
+            )[0]
+        except Exception as e:  # noqa: BLE001 — re-raised by index below
+            errors[idx] = e
+
+    for state, members in groups.values():
+        (qtabs, htabs, comps, samps, h, w, scan_comps, scan_start,
+         samp) = state
+        if len(members) < _LOCKSTEP_MIN:
+            for idx, buf in members:
+                _scalar(idx, buf)
+            continue
+        qs = []
+        for ci in range(len(scan_comps)):
+            q = qtabs.get(comps[ci][1])
+            if q is None:
+                qs = None
+                break
+            qs.append(q)
+        if qs is None:
+            for idx, buf in members:  # missing DQT: scalar raises it
+                _scalar(idx, buf)
+            continue
+        # slab the group so the lockstep working set stays bounded:
+        # the window matrix costs ~40 bytes per payload byte (int64
+        # windows + transients) and the coefficient matrix 512 bytes
+        # per 8x8 block per stream
+        mcu = 16 if samp == "420" else 8
+        blocks = (h // mcu) * (w // mcu) * (6 if samp == "420" else len(scan_comps))
+        per_stream = 40 * max(len(b) for _, b in members) + 512 * blocks
+        slab_n = int(_LOCKSTEP_MAX_BYTES // max(per_stream, 1))
+        if slab_n < _LOCKSTEP_MIN:
+            for idx, buf in members:  # huge payloads: scalar path
+                _scalar(idx, buf)
+            continue
+        for s0 in range(0, len(members), slab_n):
+            slab = members[s0 : s0 + slab_n]
+            bufs = [b for _, b in slab]
+            try:
+                flat, err, comp_off, comp_nb = _decode_group_lockstep(
+                    bufs, state
+                )
+            except Exception:  # noqa: BLE001 — per-payload retry decides
+                for idx, buf in slab:
+                    _scalar(idx, buf)
+                continue
+            ok = np.flatnonzero(~err)
+            if ok.size:
+                coefs3 = flat.reshape(len(bufs), -1, 64)
+                # reconstruct in CACHE-RESIDENT slabs: the dequant+IDCT+
+                # color chain allocates ~10 float64 temporaries per
+                # plane, so one giant batch falls off the memory-
+                # bandwidth cliff (the r12 session measured exactly this
+                # on the encode side) while per-payload calls pay numpy
+                # dispatch ~50x per tiny frame.  ~2 MB of plane data per
+                # slab keeps both small.
+                rs_n = max(8, int((2 << 20) // max(h * w * 8, 1)))
+                for r0 in range(0, ok.size, rs_n):
+                    sel = ok[r0 : r0 + rs_n]
+                    comp_coefs = [
+                        np.ascontiguousarray(
+                            coefs3[
+                                sel, comp_off[ci] : comp_off[ci] + comp_nb[ci]
+                            ]
+                        )
+                        for ci in range(len(comp_nb))
+                    ]
+                    recon = _jpeg_reconstruct(comp_coefs, qs, h, w, samp)
+                    for r, j in enumerate(sel):
+                        out[slab[j][0]] = recon[r]
+            for j in np.flatnonzero(err):
+                _scalar(*slab[j])
+    if errors:
+        raise errors[min(errors)]
+    return out
 
 
 def jpeg_decode_frames(payloads):
     """Decode a list of SAME-SHAPE baseline JPEGs (an MJPG video's
-    frames) with the reconstruction numpy stages batched across all of
-    them; raises ValueError if shapes, sampling, or component counts
-    differ."""
-    parsed = [_jpeg_parse_coefs(p) for p in payloads]
-    h, w, samp = parsed[0][0], parsed[0][1], parsed[0][2]
-    ncomp = len(parsed[0][3])
-    if any(
-        (p[0], p[1], p[2], len(p[3])) != (h, w, samp, ncomp) for p in parsed
-    ):
+    frames) through :func:`jpeg_decode_batch` (same-header frames
+    entropy-decode in lockstep and reconstruct batched); raises
+    ValueError if shapes differ.  Adaptive-quality MJPG (per-frame DQT)
+    lands in different header groups and decodes per group."""
+    arrs = jpeg_decode_batch(payloads)
+    shp = arrs[0].shape
+    if any(a.shape != shp for a in arrs[1:]):
         raise ValueError("jpeg_decode_frames requires same-shape frames")
-    q0 = parsed[0][4]
-    same_q = all(
-        all((p[4][ci] == q0[ci]).all() for ci in range(ncomp))
-        for p in parsed[1:]
-    )
-    if not same_q:
-        # adaptive-quality MJPG legally varies DQT per frame: fall back
-        # to per-frame reconstruction with each frame's own tables
-        return np.stack([
-            _jpeg_reconstruct([c[None] for c in p[3]], p[4], h, w, samp)[0]
-            for p in parsed
-        ])
-    comp_coefs = [
-        np.stack([p[3][ci] for p in parsed]) for ci in range(ncomp)
-    ]
-    return _jpeg_reconstruct(comp_coefs, q0, h, w, samp)
+    return np.stack(arrs)
 
 
 def jpeg_decode(payload: bytes):

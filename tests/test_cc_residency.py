@@ -48,3 +48,35 @@ def test_connected_components_residency_bounded(spark):
         }
         assert out[3 + 100 * i] == 1 + 100 * i
         assert _persistent_rdd_count(spark) == baseline
+
+
+def test_connected_components_consume_before_next_invocation(spark):
+    """Pin the documented RETURN CONTRACT: invocation N+1 frees
+    invocation N's checkpoint blocks, so a result held lazily across
+    the next invocation fails on execution (missing checkpoint blocks)
+    rather than silently returning stale rows.  Every in-repo consumer
+    builds-and-consumes serially; this pins what a NEW caller that
+    doesn't must expect."""
+    import time
+
+    first = connected_components(_pairs(spark))
+    assert first.count() == 9  # consumed while its blocks are live: fine
+    second = connected_components(_pairs(spark, 1000))
+    # re-executing the FIRST result after the second invocation ran
+    # must fail: its localCheckpoint blocks were freed by the registry
+    # (unpersist is non-blocking, so allow the removal a moment to land
+    # — a localCheckpoint is non-replayable, so once the blocks are
+    # gone the only possible outcome is an error, never stale rows)
+    raised = None
+    deadline = time.time() + 10
+    while time.time() < deadline and raised is None:
+        try:
+            first.collect()
+            time.sleep(0.2)
+        except Exception as e:  # noqa: BLE001 — the error IS the pin
+            raised = e
+    assert raised is not None, (
+        "collecting invocation N's labels after invocation N+1 must "
+        "fail (bounded-residency RETURN CONTRACT)"
+    )
+    assert second.count() == 9  # the live invocation is unaffected

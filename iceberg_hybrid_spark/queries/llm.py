@@ -1836,6 +1836,31 @@ def _dedup_modality_agreement(docs: DataFrame) -> DataFrame:
     sh = _simhash_near_dup(docs, ordered=False).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
+    # Overlap the three INDEPENDENT modality pipelines as concurrent
+    # jobs (guide §2.6): as subtrees of one lazy plan their deep stage
+    # ladders execute effectively back-to-back (measured: full head
+    # 5.2 s ~= exact 0.5 + minhash 1.9 + simhash 2.1 + combine at
+    # sf0.1 — none of the small stages fills the cluster), so three
+    # driver threads materialize the pair relations in parallel and
+    # the combine below consumes the checkpoints.  Pair relations are
+    # output-scale (bounded by near-dup density), not corpus-scale —
+    # the r12 nulls on materializing CORPUS-side relations don't
+    # apply.  Residency-bounded per tag; the bench/driver consume each
+    # query before building the next (the pipeline_health sample's
+    # established contract).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..plans.residency import checkpoint_bounded as _ckb
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        exact, mh, sh = pool.map(
+            lambda rel_tag: _ckb(rel_tag[0], rel_tag[1]),
+            [
+                (exact, "agreement_exact_pairs"),
+                (mh, "agreement_minhash_pairs"),
+                (sh, "agreement_simhash_pairs"),
+            ],
+        )
     # Single-pass membership: tag each (distinct) pair relation with its
     # modality flag, union them, and MAX-aggregate per pair — the flag
     # triple is identical to the old universe-distinct + three LeftOuter

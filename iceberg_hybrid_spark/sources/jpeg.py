@@ -147,6 +147,37 @@ _ENC_TABLES["ac"] = [
 ]
 
 
+def _enc_np(table: dict, size: int):
+    codes = np.zeros(size, dtype=np.int64)
+    lens = np.zeros(size, dtype=np.int64)
+    for sym, (c, ln) in table.items():
+        codes[sym] = c
+        lens[sym] = ln
+    return codes, lens
+
+
+# dense (tid, symbol) -> code/length arrays for the vectorized encoder:
+# DC symbols are the 12 size categories, AC symbols the (run<<4)|size
+# byte (length 0 = symbol absent from the table)
+_ENC_NP = {
+    "dc": tuple(
+        np.stack(t)
+        for t in zip(*(_enc_np(tb, 12) for tb in _ENC_TABLES["dc"]))
+    ),
+    "ac": tuple(
+        np.stack(t)
+        for t in zip(*(_enc_np(tb, 256) for tb in _ENC_TABLES["ac"]))
+    ),
+}
+
+
+def _bitlen(x):
+    """Vectorized int bit_length for |x| < 2**53: frexp's exponent of
+    |x| as float64 is exactly floor(log2|x|)+1 for x != 0, and 0 for 0
+    — the JPEG size category."""
+    return np.frexp(np.abs(x).astype(np.float64))[1].astype(np.int64)
+
+
 def _build_decode_lut(spec):
     """(BITS, HUFFVAL) -> 16-bit prefix lookup: ``sym[window]`` and
     ``length[window]`` (length 0 = invalid code), each as BOTH a Python
@@ -328,7 +359,7 @@ def jpeg_encode_frames(frames, gray: bool | None = None,
         tqs = [0, 1, 1]
         samp = subsampling
     ncomp = len(tqs)
-    comp_zz, comp_last, comp_nb = [], [], []
+    comp_zz, comp_last = [], []
     for ci, plane in enumerate(planes):
         hc, wc = plane.shape[1:3]
         blocks = (
@@ -343,65 +374,133 @@ def jpeg_encode_frames(frames, gray: bool | None = None,
         rev = nzmask[:, :, ::-1]
         has = rev.any(axis=2)
         comp_zz.append(zz)
-        comp_last.append(np.where(has, 63 - rev.argmax(axis=2), 0).tolist())
-        comp_nb.append(zz.shape[1])
+        comp_last.append(np.where(has, 63 - rev.argmax(axis=2), 0))
 
-    sched = _scan_schedule(samp, ncomp, h, w)
+    # Vectorized entropy scan across EVERY block of EVERY frame
+    # (guide §4.2 — r13; the per-frame Python symbol loop was half the
+    # encode cost): generate all Huffman items (DC code/amplitude, ZRL,
+    # AC code/amplitude, EOB, per-frame byte padding) as flat arrays
+    # with a (frame, schedule-slot, in-block-position) sort key, stable-
+    # sort once into exact scan order, pack ALL frames' bits in one
+    # pass, byte-stuff globally (per-byte local, so frame splits stay
+    # exact), and slice per frame.  Bit-identical to the per-frame scan.
+    M, sched_per = _scan_schedule_np(samp, ncomp, h, w)
     hdr = _header_for(gray, h, w, ncomp, tqs, samp)
-    dc_enc = _ENC_TABLES["dc"]
-    ac_enc = _ENC_TABLES["ac"]
+    dcc_all, dcl_all = _ENC_NP["dc"]
+    acc_all, acl_all = _ENC_NP["ac"]
+
+    tid_s = np.empty(M, dtype=np.int64)
+    dcs = np.empty((n, M), dtype=np.int64)
+    prev = np.zeros((n, M), dtype=np.int64)
+    acm = np.empty((n, M, 63), dtype=np.int64)
+    lastm = np.empty((n, M), dtype=np.int64)
+    for ci in range(ncomp):
+        spos, sb = sched_per[ci]
+        tid_s[spos] = tqs[ci]
+        dcs[:, spos] = comp_zz[ci][:, sb, 0]
+        prev[:, spos[1:]] = dcs[:, spos[:-1]]
+        acm[:, spos] = comp_zz[ci][:, sb, 1:]
+        lastm[:, spos] = comp_last[ci][:, sb]
+
+    frame_key = 256 * (M + 1)  # per-frame key space: M blocks + pad slot
+    # DC items (every block): code, then amplitude where size > 0
+    diff = dcs - prev
+    dsize = _bitlen(diff)
+    base_dc = (
+        np.arange(n, dtype=np.int64)[:, None] * frame_key
+        + np.arange(M, dtype=np.int64)[None, :] * 256
+    ).ravel()
+    dsize_f = dsize.ravel()
+    tid_f = np.tile(tid_s, n)
+    k_dccode = base_dc
+    v_dccode = dcc_all[tid_f, dsize_f]
+    l_dccode = dcl_all[tid_f, dsize_f]
+    damp_sel = np.flatnonzero(dsize_f)
+    diff_f = diff.ravel()[damp_sel]
+    dsz = dsize_f[damp_sel]
+    k_dcamp = base_dc[damp_sel] + 1
+    v_dcamp = diff_f + (diff_f < 0) * ((np.int64(1) << dsz) - 1)
+    l_dcamp = dsz
+    # AC items: nonzero coefficients in (frame, slot, position) order
+    f_i, s_i, p_i = np.nonzero(acm)
+    pos = p_i + 1
+    same = np.zeros(pos.size, dtype=bool)
+    if pos.size:
+        same[1:] = (f_i[1:] == f_i[:-1]) & (s_i[1:] == s_i[:-1])
+    prevpos = np.where(same, np.concatenate(([0], pos[:-1])), 0)
+    run = pos - prevpos - 1
+    v = acm[f_i, s_i, p_i]
+    asize = _bitlen(v)
+    if (asize > 10).any():
+        raise ValueError("AC coefficient out of table range")
+    zrl_n = run >> 4
+    rs = ((run & 15) << 4) | asize
+    tid_i = tid_s[s_i]
+    base_ac = f_i * frame_key + s_i * 256 + 2 + 4 * p_i
+    k_accode = base_ac + 1
+    v_accode = acc_all[tid_i, rs]
+    l_accode = acl_all[tid_i, rs]
+    k_acamp = base_ac + 2
+    v_acamp = v + (v < 0) * ((np.int64(1) << asize) - 1)
+    l_acamp = asize
+    zsel = np.repeat(np.arange(pos.size), zrl_n)
+    k_zrl = base_ac[zsel]
+    v_zrl = acc_all[tid_i[zsel], 0xF0]
+    l_zrl = acl_all[tid_i[zsel], 0xF0]
+    # EOB where the block's last nonzero is before position 63
+    ef, es = np.nonzero(lastm < 63)
+    k_eob = ef * frame_key + es * 256 + 255
+    v_eob = acc_all[tid_s[es], 0x00]
+    l_eob = acl_all[tid_s[es], 0x00]
+
+    keys = np.concatenate([k_dccode, k_dcamp, k_zrl, k_accode, k_acamp,
+                           k_eob])
+    vals = np.concatenate([v_dccode, v_dcamp, v_zrl, v_accode, v_acamp,
+                           v_eob])
+    lens = np.concatenate([l_dccode, l_dcamp, l_zrl, l_accode, l_acamp,
+                           l_eob])
+    # per-frame 1-padding to a byte boundary, as its own item at the
+    # frame's pad slot (identical bits to the per-frame _pack_bits pad)
+    fbits = np.bincount(
+        keys // frame_key, weights=lens, minlength=n
+    ).astype(np.int64)
+    pad = (-fbits) % 8
+    keys = np.concatenate(
+        [keys, np.arange(n, dtype=np.int64) * frame_key + 256 * M]
+    )
+    vals = np.concatenate([vals, (np.int64(1) << pad) - 1])
+    lens = np.concatenate([lens, pad])
+
+    order = np.argsort(keys, kind="stable")
+    vals = vals[order]
+    lens = lens[order]
+    total = int(lens.sum())
+    offs = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    idx = np.repeat(np.arange(lens.size), lens)
+    j = np.arange(total) - offs[idx]
+    bits = ((vals[idx] >> (lens[idx] - 1 - j)) & 1).astype(np.uint8)
+    by = np.packbits(bits)
+    # global 0xFF00 byte-stuffing (insertion is per byte, so per-frame
+    # output slices are exactly the per-frame stuffed segments)
+    ff = by == 0xFF
+    if ff.any():
+        shift = np.zeros(len(by), dtype=np.int64)
+        np.cumsum(ff[:-1], out=shift[1:])
+        out_b = np.zeros(len(by) + int(ff.sum()), dtype=np.uint8)
+        out_b[np.arange(len(by)) + shift] = by
+        ffcum = np.concatenate(([0], np.cumsum(ff)))
+    else:
+        out_b = by
+        ffcum = np.zeros(len(by) + 1, dtype=np.int64)
+    ends = np.cumsum((fbits + pad) // 8)
+    starts = np.concatenate(([0], ends[:-1]))
+    sb_ = out_b.tobytes()
     outs = []
-    _SLAB = 128  # frames per tolist slab: caps live Python-int volume
-    rows_slab, slab0 = None, -_SLAB
     for f in range(n):
-        if f >= slab0 + _SLAB:
-            slab0 = f
-            rows_slab = [zz[f:f + _SLAB].tolist() for zz in comp_zz]
-        comp_rows = [rs[f - slab0] for rs in rows_slab]
-        last_f = [cl[f] for cl in comp_last]
-        vals_out: list = []
-        lens_out: list = []
-        wv, wl = vals_out.append, lens_out.append
-        prev_dc = [0] * ncomp
-        for ci, b in sched:
-            tid = tqs[ci]
-            zz = comp_rows[ci][b]
-            diff = zz[0] - prev_dc[ci]
-            prev_dc[ci] = zz[0]
-            size = _category(diff)
-            code, length = dc_enc[tid][size]
-            wv(code)
-            wl(length)
-            if size:
-                wv(_amplitude_bits(diff, size))
-                wl(size)
-            run = 0
-            last_nz = last_f[ci][b]
-            act = ac_enc[tid]
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = act[0xF0]  # ZRL
-                    wv(code)
-                    wl(length)
-                    run -= 16
-                size = _category(v)
-                if size > 10:
-                    raise ValueError("AC coefficient out of table range")
-                code, length = act[(run << 4) | size]
-                wv(code)
-                wl(length)
-                wv(_amplitude_bits(v, size))
-                wl(size)
-                run = 0
-            if last_nz < 63:
-                code, length = act[0x00]  # EOB
-                wv(code)
-                wl(length)
-        outs.append(hdr + _pack_bits(vals_out, lens_out) + b"\xff\xd9")
+        a0 = int(starts[f] + ffcum[starts[f]])
+        a1 = int(ends[f] + ffcum[ends[f]])
+        outs.append(hdr + sb_[a0:a1] + b"\xff\xd9")
     return outs
 
 
@@ -450,6 +549,30 @@ def _scan_schedule(samp: str, ncomp: int, h: int, w: int):
         sched = [(ci, b) for b in range(nb) for ci in range(ncomp)]
     _SCHEDULE_CACHE[key] = sched
     return sched
+
+
+# numpy view of the MCU schedule, cached alongside it: per component,
+# its schedule positions (visit order) and the block id visited there —
+# the gather maps the vectorized encoder uses
+_SCHED_NP_CACHE: dict = {}
+
+
+def _scan_schedule_np(samp: str, ncomp: int, h: int, w: int):
+    key = (samp, ncomp, h, w)
+    hit = _SCHED_NP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sched = _scan_schedule(samp, ncomp, h, w)
+    M = len(sched)
+    ci_arr = np.fromiter((c for c, _ in sched), dtype=np.int64, count=M)
+    b_arr = np.fromiter((b for _, b in sched), dtype=np.int64, count=M)
+    per = []
+    for ci in range(ncomp):
+        spos = np.flatnonzero(ci_arr == ci)
+        per.append((spos, b_arr[spos]))
+    hit = (M, per)
+    _SCHED_NP_CACHE[key] = hit
+    return hit
 
 
 def _header_for(gray: bool, h: int, w: int, ncomp: int, tqs,

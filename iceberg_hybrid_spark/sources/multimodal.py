@@ -1257,21 +1257,40 @@ def media_jpeg_from_documents(docs: DataFrame) -> DataFrame:
     tile means) all sit on the gate."""
     import numpy as np
 
-    from .jpeg import jpeg_encode
+    from .jpeg import jpeg_encode_frames
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                tx, ty = 2 + did % 3, 2 + did % 4
-                gx = np.arange(tx)[None, :]
-                gy = np.arange(ty)[:, None]
-                tiles = 60 + 2 * ((did % 37) + 3 * gx + 5 * gy)
-                img = np.kron(
-                    tiles, np.ones((8, 8), dtype=np.int64)
+            # Same-shape images batch through ONE vectorized build +
+            # one jpeg_encode_frames per bounded slab (guide §4.2):
+            # the tile grids stack into a (g, ty, tx) array, kron with
+            # (1, 8, 8) reproduces each per-image kron exactly, and the
+            # encoder's per-frame outputs are independent of batch
+            # composition (DC chain resets per frame) — payload bytes
+            # are identical to per-image jpeg_encode.
+            dids = pdf["doc_id"].to_numpy().astype("int64")
+            payloads: list = [None] * len(dids)
+            shape_key = (dids % 3) * 4 + (dids % 4)
+            for key in np.unique(shape_key):
+                sel = np.flatnonzero(shape_key == key)
+                d = dids[sel]
+                tx, ty = int(2 + d[0] % 3), int(2 + d[0] % 4)
+                gx = np.arange(tx)[None, None, :]
+                gy = np.arange(ty)[None, :, None]
+                tiles = 60 + 2 * (
+                    (d % 37)[:, None, None] + 3 * gx + 5 * gy
+                )
+                imgs = np.kron(
+                    tiles, np.ones((1, 8, 8), dtype=np.int64)
                 ).astype(np.uint8)
-                payloads.append(jpeg_encode(img))
+                for s0 in range(0, len(sel), 128):
+                    for i, p in zip(
+                        sel[s0 : s0 + 128],
+                        jpeg_encode_frames(
+                            imgs[s0 : s0 + 128], gray=True
+                        ),
+                    ):
+                        payloads[i] = p
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].astype("int64"),
                 "media_type": "image",
@@ -1359,31 +1378,59 @@ def media_mjpg_from_documents(docs: DataFrame) -> DataFrame:
     import numpy as np
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_encode_frames
+
         for pdf in batches:
-            # Per-VIDEO encode: each video's frames batch through one
-            # jpeg_encode_frames call (cache-resident on this box — a
-            # cross-video shape-grouped variant was measured 4x SLOWER
-            # at the 64x corpus: large working sets fall off this VM's
-            # memory-bandwidth cliff; see docs/SCALING.md r12).
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                n = 2 + did % 2
-                tx, ty = 2 + 2 * (did % 2), 2 + 2 * ((did % 4) // 2)
-                gx = np.arange(tx)[None, None, :]
-                gy = np.arange(ty)[None, :, None]
-                gf = np.arange(n)[:, None, None]
-                tiles = 60 + 2 * ((did % 31) + 3 * gx + 5 * gy + 7 * gf)
+            # Cross-video encode in BOUNDED same-shape slabs (guide
+            # §4.2, r13): videos of one shape class build their tile
+            # grids in one vectorized expression and their frames
+            # encode through one jpeg_encode_frames per ~128-frame
+            # slab, then each video's payloads wrap in avi_container.
+            # The r12 null ("shape-grouped encode 4x slower at 64x")
+            # measured UNBOUNDED groups falling off the memory-
+            # bandwidth cliff; the slab keeps the working set cache-
+            # resident (remeasured: slabs 32-128 are ~1.8x faster per
+            # frame than per-video calls, >=300-frame groups regress).
+            # Encoder frame bytes are independent of batch composition
+            # (per-frame DC chain), so payloads are byte-identical.
+            dids = pdf["doc_id"].to_numpy().astype("int64")
+            payloads: list = [None] * len(dids)
+            # n and tx ride did%2, ty rides (did%4)//2
+            shape_key = (dids % 2) * 2 + (dids % 4) // 2
+            for key in np.unique(shape_key):
+                sel = np.flatnonzero(shape_key == key)
+                d = dids[sel]
+                n = int(2 + d[0] % 2)
+                tx = int(2 + 2 * (d[0] % 2))
+                ty = int(2 + 2 * ((d[0] % 4) // 2))
+                gx = np.arange(tx)[None, None, None, :]
+                gy = np.arange(ty)[None, None, :, None]
+                gf = np.arange(n)[None, :, None, None]
+                tiles = 60 + 2 * (
+                    (d % 31)[:, None, None, None] + 3 * gx + 5 * gy
+                    + 7 * gf
+                )
                 frames = np.repeat(
-                    np.kron(tiles, np.ones((1, 8, 8), dtype=np.int64))
-                    [:, :, :, None],
+                    np.kron(
+                        tiles, np.ones((1, 1, 8, 8), dtype=np.int64)
+                    )[..., None],
                     3,
-                    axis=3,
+                    axis=4,
                 ).astype(np.uint8)
-                payloads.append(avi_encode(
-                    frames, fps=8 + did % 4, codec="MJPG",
-                    mjpg_subsampling="420",
-                ))
+                h, w = ty * 8, tx * 8
+                flat = frames.reshape(-1, h, w, 3)
+                vids_per_slab = max(1, 128 // n)
+                for v0 in range(0, len(sel), vids_per_slab):
+                    vsel = sel[v0 : v0 + vids_per_slab]
+                    enc = jpeg_encode_frames(
+                        flat[v0 * n : (v0 + len(vsel)) * n],
+                        subsampling="420",
+                    )
+                    for j, i in enumerate(vsel):
+                        payloads[i] = avi_container(
+                            enc[j * n : (j + 1) * n], h, w,
+                            int(8 + dids[i] % 4), "MJPG",
+                        )
             yield pd.DataFrame({
                 "media_id": pdf["doc_id"].astype("int64"),
                 "media_type": "video",

@@ -673,7 +673,12 @@ def frame_dedup_ingest_batch(
         .withColumn("_claimed", F.col("_rn") == 1)
         .drop("_rn")
     )
-    seen = frame_state.read().select("fp").distinct()
+    # no .distinct() on the state side: LEFT ANTI produces the same
+    # rows whether or not the right side carries duplicates, and state
+    # fps are unique by construction anyway — the distinct was a full
+    # shuffle of the (corpus-growing) state table per micro-batch
+    # (guide §2.4: a distinct on data that is already unique)
+    seen = frame_state.read().select("fp")
     flagged = (
         first.join(seen.hint("shuffle_hash"), "fp", "left_anti")
         .filter(F.col("_claimed"))
@@ -689,7 +694,15 @@ def frame_dedup_ingest_batch(
             )
         )
     if report is not None:
-        if batch_seq is not None and report.read().filter(
+        # the re-delivery guard scans the report only when the manifest
+        # says it has rows at all (row counts are snapshot metadata —
+        # a fresh table answers without a Spark job); the scan itself
+        # is unchanged, so the effectively-once discipline is intact
+        head = report.current_snapshot()
+        report_has_rows = head is not None and any(
+            f.row_count for f in head.manifest
+        )
+        if batch_seq is not None and report_has_rows and report.read().filter(
             F.col("batch_seq") == seq
         ).limit(1).count():
             return n  # re-delivered batch: report rows already landed
